@@ -1,13 +1,401 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.agg.{CountStage, Rollup, Stateful}
+import graft.enrich.EnrichStage
+import graft.model.PipelineConfig._
+import graft.parse.ParseStage
+import graft.route.RouteStage
+import graft.run.Pipeline
+import graft.sources.Transcripts
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
+  *
+  * The transcript-pipeline queries (p*) run over a transcripts table
+  * derived deterministically from the `events` parquet
+  * ([[Transcripts.derive]]); the oracle reproduces the same derivation via
+  * [[Transcripts.OracleCte]], so parse/enrich/route/aggregate semantics are
+  * checked end-to-end against an independent engine.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------------- shared SQL fragments (DuckDB dialect) ----------------
+
+  private val P1 = "^CALL tool=(\\w+) args=(\\{.*\\}) dur_ms=(\\d+)$"
+  private val P2 = "^(TRACE|DEBUG|INFO|WARN|ERROR|FATAL) \\[([\\w.-]+)\\] (.*)$"
+  private val P3 = "^\\w+=[^ ]+( \\w+=[^ ]+)*$"
+
+  private def sql1(p: String) = p.replace("\\", "\\\\") // not needed in duckdb std strings
+  private def withT(body: String, extra: Seq[String] = Nil): String =
+    (Transcripts.OracleCte +: extra).mkString("", ",\n", "\n") + body
+
+  private def t(s: SparkSession, dir: String): DataFrame = Transcripts.fromEvents(s, dir)
+  private def parsedT(s: SparkSession, dir: String): DataFrame =
+    ParseStage(t(s, dir), Pipeline.parseConfig)
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val centsE = round(col("value") * 100).cast("bigint")
+
+  // ---------------- flagship ----------------
+
+  /** Flagship: full parse→enrich→route→aggregate on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val tr = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    val (_, counts) = Pipeline.run(spark, tr)
+    counts.toSeq.sortBy(_._1).map { case (sink, df) =>
+      df.select(lit(sink).as("sink"), col("window_start"), col("count"))
+    }.reduce(_ unionByName _)
+  }
+
+  // ---------------- queries + oracles ----------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- parse stage (stanza regex/severity/kv parsers; on_error policies) --
+    "p01_parse_tool_calls" -> ((s, dir) =>
+      parsedT(s, dir)
+        .filter(col("pattern") === "tool_call")
+        .select(col("conv_id"), col("turn_idx"),
+          col("parsed").getItem("tool_name").as("tool_name"),
+          col("parsed").getItem("args_json").as("args_json"),
+          col("parsed").getItem("dur_ms").cast("bigint").as("dur_ms"))),
+
+    "p02_parse_status_severity" -> ((s, dir) =>
+      parsedT(s, dir)
+        .filter(col("pattern") === "status")
+        .select(col("conv_id"), col("turn_idx"),
+          col("parsed").getItem("level").as("level"),
+          col("parsed").getItem("component").as("component"),
+          col("parsed").getItem("msg").as("msg"),
+          ParseStage.parseSeverity(col("parsed").getItem("level")).as("severity_num"))),
+
+    "p03_parse_onerror_send" -> ((s, dir) =>
+      parsedT(s, dir)
+        .filter(col("pattern").isNull)
+        .select(col("conv_id"), col("turn_idx"), col("text"), col("_error"))),
+
+    "p04_parse_keyvalue" -> ((s, dir) =>
+      parsedT(s, dir)
+        .filter(col("pattern") === "kv")
+        .withColumn("kvmap", ParseStage.parseKeyValue(col("parsed").getItem("kvpairs")))
+        .select(col("conv_id"), col("turn_idx"),
+          element_at(col("kvmap"), "action").as("action"),
+          element_at(col("kvmap"), "cents").cast("bigint").as("cents"))),
+
+    "p05_parse_json_args" -> ((s, dir) =>
+      parsedT(s, dir)
+        .filter(col("pattern") === "tool_call")
+        .select(col("conv_id"), col("turn_idx"),
+          ParseStage.parseJsonField(col("parsed").getItem("args_json"), "$.k")
+            .cast("bigint").as("k"))),
+
+    // -- enrich stage (attributes processor as broadcast join) --
+    "p06_enrich_broadcast" -> ((s, dir) =>
+      Pipeline.parseEnrich(s, t(s, dir))
+        .groupBy("tool_family", "cost_class", "is_sandboxed")
+        .agg(count(lit(1)).as("n"))),
+
+    // -- route stage (routing connector) --
+    "p07_route_multimatch_counts" -> ((s, dir) => {
+      val sinks = RouteStage.fanOut(Pipeline.parseEnrich(s, t(s, dir)), Pipeline.routeTable)
+      Seq("tool_calls", "errors", "user_turns", "default").map { n =>
+        sinks(n).agg(count(lit(1)).as("n")).select(lit(n).as("sink"), col("n"))
+      }.reduce(_ unionByName _)
+    }),
+
+    "p08_route_first_match" -> ((s, dir) =>
+      RouteStage.tagged(Pipeline.parseEnrich(s, t(s, dir)), Pipeline.routeTable)
+        .groupBy("route").agg(count(lit(1)).as("n"))),
+
+    "p09_route_default_rows" -> ((s, dir) => {
+      val sinks = RouteStage.fanOut(Pipeline.parseEnrich(s, t(s, dir)), Pipeline.routeTable)
+      sinks("default").select("conv_id", "turn_idx", "role", "text")
+    }),
+
+    // -- aggregate stage (count connector; windows) --
+    "p10_count_windowed_by_role" -> ((s, dir) =>
+      CountStage.countWindowed(
+        t(s, dir), MetricSpec("n", attrs = Seq(AttrSpec("role"))),
+        col("ts"), "1 hour")),
+
+    "p11_count_tool_cost_default" -> ((s, dir) =>
+      CountStage.count(
+        Pipeline.parseEnrich(s, t(s, dir)),
+        MetricSpec("n",
+          conditions = Seq(col("tool") =!= ""),
+          attrs = Seq(AttrSpec("tool"), AttrSpec("cost_class", Some("unknown")))))),
+
+    "p12_count_required_attr_skip" -> ((s, dir) =>
+      CountStage.count(
+        parsedT(s, dir),
+        MetricSpec("n", attrs = Seq(AttrSpec("component"), AttrSpec("level", Some("none")))),
+        Pipeline.resolveAttr(Pipeline.parsedFields))),
+
+    // -- per-conversation rollup (recombine analog) + salted-skew variant --
+    "p13_rollup_conversation" -> ((s, dir) => Rollup.rollup(t(s, dir))),
+    "p14_rollup_salted" -> ((s, dir) => Rollup.rollupSalted(t(s, dir), saltBuckets = 8)),
+
+    // -- per-turn text round-trip invariant (north rule) --
+    "p15_text_roundtrip" -> ((s, dir) =>
+      t(s, dir).select("conv_id", "turn_idx", "role", "text", "tool", "ts")),
+
+    // -- stateful metric processors --
+    "p16_delta_to_cumulative" -> ((s, dir) =>
+      Stateful.deltaToCumulative(
+        events(s, dir).withColumn("cents", centsE),
+        Seq("user_id"), "ts", "cents", tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("cumulative").as("cum_cents"))),
+
+    "p17_cumulative_to_delta" -> ((s, dir) =>
+      Stateful.cumulativeToDelta(
+        events(s, dir).withColumn("cents", centsE),
+        Seq("user_id"), "ts", "cents", tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("delta").as("delta_cents"))),
+
+    "p18_delta_to_rate" -> ((s, dir) =>
+      Stateful.deltaToRate(
+        events(s, dir).withColumn("cents", centsE),
+        Seq("user_id"), "ts", "cents", tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          floor(col("rate")).cast("bigint").as("rate_floor"))),
+
+    "p19_interval_last" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("hour"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir).withColumn("hour", date_trunc("hour", col("ts")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("hour").as("window_start"),
+          centsE.as("last_cents"))
+    }),
+
+    "p20_aggregate_labels" -> ((s, dir) =>
+      Stateful.aggregateLabels(
+        events(s, dir).withColumn("cents", centsE),
+        Seq("event_type"), "cents", "sum")
+        .withColumnRenamed("sum_value", "sum_cents")),
+
+    // -- classical relational (joins/aggregation; enrich-at-scale analog) --
+    "q01_lineitem_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("bigint")).as("sum_price_cents"))),
+
+    "q02_orders_customer_join" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("bigint")).as("sum_cents"))
+    }),
+
+    // -- training-data ops: documents --
+    "d01_dedup_exact" -> ((s, dir) =>
+      documents(s, dir)
+        .groupBy("text")
+        .agg(min("doc_id").as("first_doc"), count(lit(1)).as("n"))),
+
+    "d02_token_count" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))),
+
+    "d03_text_quality" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        floor(lit(1000.0) *
+          size(filter(split(col("text"), " "), x => x.isin("the", "a"))) /
+          size(split(col("text"), " "))).cast("bigint").as("stopword_permille"))),
+
+    "d04_lang_source_counts" -> ((s, dir) =>
+      documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "p01_parse_tool_calls" -> withT(
+      s"""SELECT conv_id, turn_idx,
+         |  regexp_extract(text, '$P1', 1) AS tool_name,
+         |  regexp_extract(text, '$P1', 2) AS args_json,
+         |  CAST(regexp_extract(text, '$P1', 3) AS BIGINT) AS dur_ms
+         |FROM transcripts WHERE regexp_matches(text, '$P1')""".stripMargin),
+
+    "p02_parse_status_severity" -> withT(
+      s"""SELECT conv_id, turn_idx,
+         |  regexp_extract(text, '$P2', 1) AS level,
+         |  regexp_extract(text, '$P2', 2) AS component,
+         |  regexp_extract(text, '$P2', 3) AS msg,
+         |  CASE lower(regexp_extract(text, '$P2', 1))
+         |    WHEN 'trace' THEN 1 WHEN 'debug' THEN 5 WHEN 'info' THEN 9
+         |    WHEN 'warn' THEN 13 WHEN 'error' THEN 17 WHEN 'fatal' THEN 21
+         |    ELSE 0 END AS severity_num
+         |FROM transcripts
+         |WHERE NOT regexp_matches(text, '$P1') AND regexp_matches(text, '$P2')""".stripMargin),
+
+    "p03_parse_onerror_send" -> withT(
+      s"""SELECT conv_id, turn_idx, text,
+         |  'regex pattern does not match' AS _error
+         |FROM transcripts
+         |WHERE NOT regexp_matches(text, '$P1')
+         |  AND NOT regexp_matches(text, '$P2')
+         |  AND NOT regexp_matches(text, '$P3')""".stripMargin),
+
+    "p04_parse_keyvalue" -> withT(
+      s"""SELECT conv_id, turn_idx,
+         |  regexp_extract(text, 'action=([^ ]+)', 1) AS action,
+         |  CAST(regexp_extract(text, 'cents=(\\d+)', 1) AS BIGINT) AS cents
+         |FROM transcripts
+         |WHERE NOT regexp_matches(text, '$P1')
+         |  AND NOT regexp_matches(text, '$P2')
+         |  AND regexp_matches(text, '$P3')""".stripMargin),
+
+    "p05_parse_json_args" -> withT(
+      s"""SELECT conv_id, turn_idx,
+         |  CAST(json_extract(regexp_extract(text, '$P1', 2), '$$.k') AS BIGINT) AS k
+         |FROM transcripts WHERE regexp_matches(text, '$P1')""".stripMargin),
+
+    "p06_enrich_broadcast" -> withT(
+      """SELECT d.tool_family, d.cost_class, d.is_sandboxed, count(*) AS n
+        |FROM transcripts t JOIN dim_tool d USING (tool)
+        |GROUP BY 1, 2, 3""".stripMargin,
+      Seq(EnrichStage.dimToolSqlValues)),
+
+    "p07_route_multimatch_counts" -> withT(
+      s"""SELECT 'tool_calls' AS sink, count(*) AS n FROM transcripts
+         |  WHERE tool <> '' AND regexp_matches(text, '$P1')
+         |UNION ALL
+         |SELECT 'errors', count(*) FROM transcripts
+         |  WHERE NOT regexp_matches(text, '$P1') AND regexp_matches(text, '$P2')
+         |    AND regexp_extract(text, '$P2', 1) IN ('ERROR','FATAL')
+         |UNION ALL
+         |SELECT 'user_turns', count(*) FROM transcripts WHERE role = 'user'
+         |UNION ALL
+         |SELECT 'default', count(*) FROM transcripts
+         |  WHERE NOT (tool <> '' AND regexp_matches(text, '$P1'))
+         |    AND NOT (NOT regexp_matches(text, '$P1') AND regexp_matches(text, '$P2')
+         |             AND regexp_extract(text, '$P2', 1) IN ('ERROR','FATAL'))
+         |    AND role <> 'user'""".stripMargin),
+
+    "p08_route_first_match" -> withT(
+      s"""SELECT CASE
+         |  WHEN tool <> '' AND regexp_matches(text, '$P1') THEN 'tool_calls'
+         |  WHEN NOT regexp_matches(text, '$P1') AND regexp_matches(text, '$P2')
+         |       AND regexp_extract(text, '$P2', 1) IN ('ERROR','FATAL') THEN 'errors'
+         |  WHEN role = 'user' THEN 'user_turns'
+         |  ELSE 'default' END AS route, count(*) AS n
+         |FROM transcripts GROUP BY 1""".stripMargin),
+
+    "p09_route_default_rows" -> withT(
+      s"""SELECT conv_id, turn_idx, role, text FROM transcripts
+         |WHERE NOT (tool <> '' AND regexp_matches(text, '$P1'))
+         |  AND NOT (NOT regexp_matches(text, '$P1') AND regexp_matches(text, '$P2')
+         |           AND regexp_extract(text, '$P2', 1) IN ('ERROR','FATAL'))
+         |  AND role <> 'user'""".stripMargin),
+
+    "p10_count_windowed_by_role" -> withT(
+      """SELECT role, count(*) AS n, date_trunc('hour', ts) AS window_start
+        |FROM transcripts GROUP BY 1, 3""".stripMargin),
+
+    "p11_count_tool_cost_default" -> withT(
+      """SELECT t.tool, coalesce(d.cost_class, 'unknown') AS cost_class, count(*) AS n
+        |FROM transcripts t LEFT JOIN dim_tool d USING (tool)
+        |WHERE t.tool <> ''
+        |GROUP BY 1, 2""".stripMargin,
+      Seq(EnrichStage.dimToolSqlValues)),
+
+    "p12_count_required_attr_skip" -> withT(
+      s"""SELECT regexp_extract(text, '$P2', 1) AS level,
+         |  regexp_extract(text, '$P2', 2) AS component, count(*) AS n
+         |FROM transcripts
+         |WHERE NOT regexp_matches(text, '$P1') AND regexp_matches(text, '$P2')
+         |GROUP BY 1, 2""".stripMargin),
+
+    "p13_rollup_conversation" -> withT(
+      """SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts,
+        |  string_agg(text, chr(10) ORDER BY turn_idx) AS full_text
+        |FROM transcripts GROUP BY conv_id""".stripMargin),
+
+    "p14_rollup_salted" -> withT(
+      """SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts,
+        |  string_agg(text, chr(10) ORDER BY turn_idx) AS full_text
+        |FROM transcripts GROUP BY conv_id""".stripMargin),
+
+    "p15_text_roundtrip" -> withT(
+      "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
+
+    "p16_delta_to_cumulative" ->
+      """SELECT event_id, user_id,
+        |  sum(CAST(round(value*100) AS BIGINT)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS cum_cents
+        |FROM events""".stripMargin,
+
+    "p17_cumulative_to_delta" ->
+      """SELECT event_id, user_id,
+        |  CAST(round(value*100) AS BIGINT)
+        |    - lag(CAST(round(value*100) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents
+        |FROM events""".stripMargin,
+
+    "p18_delta_to_rate" ->
+      """SELECT event_id, user_id,
+        |  CAST(floor(CAST(round(value*100) AS BIGINT) /
+        |    ((epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6)) AS BIGINT) AS rate_floor
+        |FROM events""".stripMargin,
+
+    "p19_interval_last" ->
+      """SELECT user_id, window_start, last_cents FROM (
+        |  SELECT user_id, date_trunc('hour', ts) AS window_start,
+        |    CAST(round(value*100) AS BIGINT) AS last_cents,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "p20_aggregate_labels" ->
+      """SELECT event_type, sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q01_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_orders_customer_join" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "d01_dedup_exact" ->
+      "SELECT text, min(doc_id) AS first_doc, count(*) AS n FROM documents GROUP BY text",
+
+    "d02_token_count" ->
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents",
+
+    "d03_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars_actual,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(floor(1000.0 * len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a'))) / len(string_split(text, ' '))) AS BIGINT)
+        |    AS stopword_permille
+        |FROM documents""".stripMargin,
+
+    "d04_lang_source_counts" ->
+      """SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin
+  )
 }

@@ -1,0 +1,90 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.functions.MultiPatternExtract
+import graft.model.PipelineConfig._
+
+/** Parse stage — the stanza parser chain re-expressed as declarative
+  * column projections (SURVEY.md §2.2).
+  *
+  * Frame semantics preserved from the reference
+  * (`pkg/stanza/operator/helper/parser.go:101-187`,
+  * `helper/transformer.go:97-139`, in `/root/reference`):
+  *   - first-matching-pattern wins per row (router-style bank);
+  *   - `on_error=send`: keep row, parsed fields null, `_error` set with
+  *     the reference's message text (`parser/regex/parser.go:55`);
+  *   - `on_error=drop`: filter the row out.
+  *
+  * Everything stays a native Catalyst expression — predicate pushdown,
+  * column pruning and whole-stage codegen survive (SURVEY.md §4).
+  */
+object ParseStage {
+
+  val ErrorMessage = "regex pattern does not match"
+
+  /** struct(pattern, fields) column from the one-pass bank expression. */
+  def extract(source: Column, patterns: Seq[PatternSpec]): Column =
+    Bridge.column(
+      MultiPatternExtract(Bridge.expression(source), patterns))
+
+  /** Apply a parse config: adds `pattern: string`, `parsed:
+    * map<string,string>` and (on_error=send) `_error: string` columns.
+    */
+  def apply(df: DataFrame, config: ParseConfig): DataFrame = {
+    val ex = extract(col(config.sourceCol), config.patterns)
+    val withParsed = df
+      .withColumn("_x", ex)
+      .withColumn("pattern", col("_x.pattern"))
+      .withColumn("parsed", col("_x.fields"))
+      .drop("_x")
+    config.onError match {
+      case OnError.Drop => withParsed.filter(col("pattern").isNotNull)
+      case OnError.Send =>
+        withParsed.withColumn(
+          "_error",
+          when(col("pattern").isNull, lit(ErrorMessage)).otherwise(lit(null: String)))
+    }
+  }
+
+  // ---- sub-parsers (reference `helper/parser.go:152-186` post-parse ops) ----
+
+  /** Timestamp parse (`pkg/stanza/operator/helper/time.go:19-83`):
+    * strptime/gotime layouts map to Java patterns; epoch variants below. */
+  def parseTime(c: Column, javaFormat: String): Column = to_timestamp(c, javaFormat)
+  def parseEpochSeconds(c: Column): Column = timestamp_seconds(c.cast("long"))
+  def parseEpochMillis(c: Column): Column = timestamp_millis(c.cast("long"))
+
+  /** Severity mapping (`helper/severity_builder.go:17-87`): text → enum,
+    * with the reference's built-in alias table. Compiled to one CASE
+    * chain (codegen'd) rather than a per-row map lookup. */
+  val severityAliases: Seq[(String, Int)] = Seq(
+    "trace" -> 1, "debug" -> 5, "info" -> 9, "warn" -> 13,
+    "error" -> 17, "fatal" -> 21
+  )
+  def parseSeverity(c: Column): Column = {
+    val lc = lower(c)
+    severityAliases.foldLeft(lit(0)) { case (acc, (name, num)) =>
+      when(lc === name, lit(num)).otherwise(acc)
+    }.as("severity_num")
+  }
+
+  /** JSON body parse (`parser/json/parser.go:23-39`). */
+  def parseJsonField(c: Column, path: String): Column = get_json_object(c, path)
+
+  /** CSV parse (`parser/csv/parser.go:29-107`). */
+  def parseCsv(c: Column, schemaDdl: String): Column =
+    from_csv(c, lit(schemaDdl), new java.util.HashMap[String, String]())
+
+  /** key=value parse (`parser/keyvalue/parser.go:23-48`). */
+  def parseKeyValue(c: Column, pairDelim: String = " ", kvDelim: String = "="): Column =
+    str_to_map(c, lit(pairDelim), lit(kvDelim))
+
+  /** URI parse (`parser/uri/parser.go:22-121`). */
+  def parseUriPart(c: Column, part: String): Column = parse_url(c, lit(part))
+
+  /** Trace parse (`helper/trace.go`): hex → binary. */
+  def parseTraceId(c: Column): Column = unhex(c)
+}

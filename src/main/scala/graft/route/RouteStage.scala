@@ -1,0 +1,64 @@
+package graft.route
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.PipelineConfig.RouteTable
+
+/** Route stage — the routing-connector fan-out re-expressed relationally
+  * (SURVEY.md §2.4, §3.3).
+  *
+  * Reference semantics (`connector/routingconnector/logs.go:62-103` in
+  * `/root/reference`):
+  *   - multi-match fan-out by default (one row may reach several sinks);
+  *   - `match_once=true` → first-match-wins (`logs.go:87`);
+  *   - rows matching no route → default sink (`logs.go:94-97`);
+  *   - `error_mode=ignore` → a predicate that errors counts as no-match
+  *     (we compile predicates null-safe, so nulls fall to default).
+  *
+  * Physical strategy at 100 TB:
+  *   - `matchOnce`: ONE pass — tag each row with a `route` column via a
+  *     short-circuiting CASE chain, then a single write with
+  *     `partitionBy("route")`. No per-sink rescan.
+  *   - multi-match: one filtered write per sink from a cached upstream —
+  *     each sink's predicate is pushed into its own scan; with the
+  *     upstream persisted, the source is read once.
+  */
+object RouteStage {
+
+  /** First-match route tag (`when` chains short-circuit exactly like the
+    * reference's `break` at `transformer/router/transformer.go:59`).
+    * Null predicate results (error_mode=ignore) fall through to default. */
+  def routeTag(table: RouteTable): Column = {
+    val tagged = table.routes.foldLeft(Option.empty[Column]) { (acc, r) =>
+      Some(acc match {
+        case None      => when(coalesce(r.predicate, lit(false)), lit(r.name))
+        case Some(c)   => c.when(coalesce(r.predicate, lit(false)), lit(r.name))
+      })
+    }
+    tagged.map(_.otherwise(lit(table.defaultName))).getOrElse(lit(table.defaultName)).as("route")
+  }
+
+  /** Tag rows with their (first-match) route — the match_once plan. */
+  def tagged(df: DataFrame, table: RouteTable): DataFrame =
+    df.withColumn("route", routeTag(table))
+
+  /** Multi-match fan-out: route name → filtered frame, plus the default
+    * sink as the conjunction of negations (null-safe). */
+  def fanOut(df: DataFrame, table: RouteTable): Map[String, DataFrame] = {
+    val sinks = table.routes.map(r => r.name -> df.filter(coalesce(r.predicate, lit(false)))).toMap
+    val noMatch = table.routes
+      .map(r => !coalesce(r.predicate, lit(false)))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    sinks + (table.defaultName -> df.filter(noMatch))
+  }
+
+  /** Single-pass partitioned write for the match_once plan: the
+    * `df.write.partitionBy("route")` path — one scan, one shuffle-free
+    * write, route directories as sink tables. */
+  def writeMatchOnce(df: DataFrame, table: RouteTable, outDir: String,
+                     format: String = "parquet"): Unit =
+    tagged(df, table).write.format(format).mode("overwrite")
+      .partitionBy("route").save(outDir)
+}

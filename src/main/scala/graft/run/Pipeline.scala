@@ -1,0 +1,88 @@
+package graft.run
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.CountStage
+import graft.enrich.EnrichStage
+import graft.model.PipelineConfig._
+import graft.parse.ParseStage
+import graft.route.RouteStage
+import graft.sources.Transcripts
+
+/** The flagship parse→enrich→route→aggregate pipeline (SURVEY.md §7.3),
+  * assembled from the standard config below. This is the Spark-native
+  * rendering of the reference collector graph
+  * `filelog → regex parse → attributes enrich → routing connector →
+  * count connector` (`/root/reference`, SURVEY.md §3).
+  */
+object Pipeline {
+
+  /** FIXTURES.md §1 pattern bank (first match wins). */
+  val patternBank: Seq[PatternSpec] = Seq(
+    PatternSpec("tool_call",
+      "^CALL tool=(?<tool_name>\\w+) args=(?<args_json>\\{.*\\}) dur_ms=(?<dur_ms>\\d+)$",
+      Seq("tool_name", "args_json", "dur_ms")),
+    PatternSpec("status",
+      "^(?<level>TRACE|DEBUG|INFO|WARN|ERROR|FATAL) \\[(?<component>[\\w.-]+)\\] (?<msg>.*)$",
+      Seq("level", "component", "msg")),
+    PatternSpec("kv",
+      "^(?<kvpairs>\\w+=[^ ]+( \\w+=[^ ]+)*)$",
+      Seq("kvpairs"))
+  )
+
+  val parseConfig: ParseConfig = ParseConfig(patternBank)
+
+  /** FIXTURES.md §3 route table. Predicates reference post-parse columns. */
+  def routeTable: RouteTable = RouteTable(
+    routes = Seq(
+      RouteSpec("tool_calls",
+        col("tool") =!= "" && col("parsed").getItem("tool_name").isNotNull),
+      RouteSpec("errors",
+        col("parsed").getItem("level").isin("ERROR", "FATAL")),
+      RouteSpec("user_turns", col("role") === "user")
+    ),
+    defaultName = "default",
+    matchOnce = false
+  )
+
+  /** FIXTURES.md §4 count-connector metric definitions. */
+  val metrics: Seq[MetricSpec] = Seq(
+    MetricSpec("turn_count"),
+    MetricSpec("turn_count_by_role", attrs = Seq(AttrSpec("role"))),
+    MetricSpec("tool_call_count",
+      conditions = Seq(col("tool") =!= ""),
+      attrs = Seq(AttrSpec("tool"), AttrSpec("cost_class", Some("unknown")))),
+    MetricSpec("error_count_by_component",
+      conditions = Seq(col("parsed").getItem("level") === "ERROR"),
+      // component is REQUIRED (no default): rows missing it are skipped
+      attrs = Seq(AttrSpec("component")))
+  )
+
+  /** Attribute resolution for metric attrs: post-parse fields live in the
+    * `parsed` map, enriched/base attrs are top-level columns. */
+  def resolveAttr(parsedFields: Set[String])(key: String): Column =
+    if (parsedFields(key)) col("parsed").getItem(key) else col(key)
+
+  val parsedFields: Set[String] = patternBank.flatMap(_.fields).toSet
+
+  /** parse + enrich over a transcripts frame. */
+  def parseEnrich(spark: SparkSession, transcripts: DataFrame): DataFrame = {
+    val parsed = ParseStage(transcripts, parseConfig)
+    EnrichStage(parsed, EnrichStage.dimTool(spark), Seq("tool"))
+  }
+
+  /** Full batch run: returns (per-sink frames, per-sink windowed counts).
+    * Callers write each sink frame to its own table (multi-match fan-out,
+    * routing-connector semantics). */
+  def run(spark: SparkSession, transcripts: DataFrame, windowDur: String = "1 hour")
+      : (Map[String, DataFrame], Map[String, DataFrame]) = {
+    val enriched = parseEnrich(spark, transcripts)
+    val sinks = RouteStage.fanOut(enriched, routeTable)
+    val counts = sinks.map { case (name, df) =>
+      name -> CountStage.countWindowed(
+        df, MetricSpec(s"count"), col("ts"), windowDur, resolveAttr(parsedFields))
+    }
+    (sinks, counts)
+  }
+}

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify output
+against the DuckDB oracle and compare row sets (columns sorted by name,
+values canonicalised). Usage:
+    python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os, math
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return round(v, 9)
+    return v
+
+def sortkey(row):
+    return tuple((v is None, str(v)) for v in row)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    passed, failed = [], []
+    for name, sql in sorted(oracle.items()):
+        spark_glob = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not spark_glob:
+            failed.append((name, "no spark output"))
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({spark_glob!r})").fetch_df()
+            want = con.execute(sql).fetch_df()
+        except Exception as e:
+            failed.append((name, f"exec error: {e}"))
+            continue
+        gc, wc = sorted(got.columns), sorted(want.columns)
+        if gc != wc:
+            failed.append((name, f"schema mismatch: spark={gc} oracle={wc}"))
+            continue
+        g = sorted((tuple(canon(v) for v in row) for row in got[gc].itertuples(index=False, name=None)), key=sortkey)
+        w = sorted((tuple(canon(v) for v in row) for row in want[wc].itertuples(index=False, name=None)), key=sortkey)
+        if len(g) != len(w):
+            failed.append((name, f"row count: spark={len(g)} oracle={len(w)}"))
+            continue
+        if g != w:
+            diff = next((i, a, b) for i, (a, b) in enumerate(zip(g, w)) if a != b)
+            failed.append((name, f"value mismatch at sorted row {diff[0]}:\n  spark={diff[1]}\n  oracle={diff[2]}"))
+            continue
+        passed.append((name, len(g)))
+    for name, n in passed:
+        print(f"PASS {name} ({n} rows)")
+    for name, why in failed:
+        print(f"FAIL {name}: {why}")
+    # queries without oracle → rows-only check
+    for d in sorted(glob.glob(os.path.join(out_dir, "*/"))):
+        name = os.path.basename(d.rstrip("/"))
+        if name not in oracle:
+            files = glob.glob(os.path.join(d, "*.parquet"))
+            n = con.execute(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
+            print(f"ROWS-ONLY {name}: {n} rows")
+    print(f"\n{len(passed)} passed, {len(failed)} failed")
+    return 1 if failed else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
