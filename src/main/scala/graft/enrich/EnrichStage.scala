@@ -33,7 +33,7 @@ object EnrichStage {
       val out = if (!factCols.contains(c)) dimc
       else action match {
         case EnrichAction.Insert => when(col(c).isNull, dimc).otherwise(col(c))
-        case EnrichAction.Update => when(col(c).isNotNull, dimc).otherwise(col(c))
+        case EnrichAction.Update => when(col(c).isNotNull && dimc.isNotNull, dimc).otherwise(col(c))
         case EnrichAction.Upsert => when(dimc.isNotNull, dimc).otherwise(col(c))
       }
       acc.withColumn(c, out).drop(s"__dim_$c")
