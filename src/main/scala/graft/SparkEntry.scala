@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.agg.{CountStage, Rollup, Stateful}
 import graft.enrich.EnrichStage
 import graft.model.PipelineConfig._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.parse.ParseStage
 import graft.route.RouteStage
 import graft.run.Pipeline
@@ -220,8 +221,86 @@ object SparkEntry {
     "d04_lang_source_counts" -> ((s, dir) =>
       documents(s, dir)
         .groupBy("lang", "source")
-        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars")))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))),
+
+    // -- training-data ops: dedup --
+    "d05_jaccard_pairs_brute" -> ((s, dir) =>
+      Dedup.nearDupJaccardBrute(documents(s, dir), "doc_id", "text",
+        shingleSize = 1, threshold = 0.85)
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * 10000).cast("bigint").as("jaccard_e4"))),
+
+    "d06_fingerprint" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    "d07_minhash_lsh_neardups" -> ((s, dir) => // rows-only (xxhash64 family)
+      Dedup.nearDupMinhashLsh(documents(s, dir), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.85)
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * 10000).cast("bigint").as("jaccard_e4"))),
+
+    "d08_simhash_signatures" -> ((s, dir) => // rows-only (xxhash64-based)
+      documents(s, dir).select(col("doc_id"),
+        Dedup.simhash64(col("text")).as("simhash"))),
+
+    "d09_quality_metrics" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.qualityMetrics(col("text")).as("q"))
+        .select(col("doc_id"), col("q.n_tokens").as("n_tokens"),
+          col("q.punct_ratio").as("punct_ratio"),
+          col("q.stopword_ratio").as("stopword_ratio"),
+          col("q.quality_score").as("quality_score"))),
+
+    "d10_langid" -> ((s, dir) => // rows-only (heuristic argmax not worth SQL)
+      documents(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // -- training-data ops: similarity search --
+    "e01_ann_bruteforce" -> ((s, dir) => {
+      val q = embeddingQuery(s, dir)
+      Similarity.bruteForceTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))
+    }),
+
+    "e02_ann_lsh" -> ((s, dir) => { // rows-only (probabilistic recall)
+      val q = embeddingQuery(s, dir)
+      Similarity.lshTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", q,
+        k = 10, signBits = 8)
+        .select(col("vec_id"), floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))
+    }),
+
+    "e03_ann_ivf" -> ((s, dir) => { // rows-only (probe-dependent recall)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val centroids = emb.filter(col("vec_id") % 37 === 1).limit(16)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+      val q = embeddingQuery(s, dir)
+      Similarity.ivfTopK(
+        Similarity.ivfAssign(emb, "embedding", centroids),
+        "vec_id", "embedding", q, centroids, k = 10, nProbe = 4)
+        .select(col("vec_id"), floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))
+    }),
+
+    // -- multimodal plumbing (stubbed decode; rows-only) --
+    "m01_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(s,
+        Multimodal.synthFromDocuments(documents(s, dir), "doc_id", "text"))
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          element_at(col("features"), 1).as("f0"))),
+
+    "m02_multimodal_metastats" -> ((s, dir) =>
+      Multimodal.metaStats(
+        Multimodal.synthFromDocuments(documents(s, dir), "doc_id", "text")))
   )
+
+  /** Query vector for ANN queries: the embedding of vec_id=0. */
+  private def embeddingQuery(s: SparkSession, dir: String): Array[Double] =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0).map(_.toDouble).toArray
 
   def oracleSql: Map[String, String] = Map(
     "p01_parse_tool_calls" -> withT(
@@ -396,6 +475,56 @@ object SparkEntry {
 
     "d04_lang_source_counts" ->
       """SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars
-        |FROM documents GROUP BY 1, 2""".stripMargin
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "d05_jaccard_pairs_brute" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(floor(10000 * (len(list_intersect(a.s, b.s)) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))) AS BIGINT) AS jaccard_e4
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.s, b.s)) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85""".stripMargin,
+
+    "d06_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    [CAST(0 AS BIGINT)] || list_transform(string_split(text, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc*31 + x) % 2147483647) AS fp
+        |FROM documents""".stripMargin,
+
+    "d09_quality_metrics" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS n_tokens,
+        |  length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g'))
+        |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x IN ('the','and','of','to','a','in','is','that','it','for')))
+        |    / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS stopword_ratio,
+        |  least(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |  + (1.0 - least(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g'))
+        |      / CAST(length(text) AS DOUBLE) * 5, 1.0)) * 0.2
+        |  + least(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x IN ('the','and','of','to','a','in','is','that','it','for')))
+        |      / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) * 4, 1.0) * 0.2
+        |  + (1.0 - least(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      / CAST(length(text) AS DOUBLE) * 5, 1.0)) * 0.2 AS quality_score
+        |FROM documents""".stripMargin,
+
+    "e01_ann_bruteforce" ->
+      """SELECT vec_id,
+        |  CAST(floor(10000 * list_dot_product(embedding::DOUBLE[], q) /
+        |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |     * sqrt(list_dot_product(q, q)))) AS BIGINT) AS cos_e4
+        |FROM embeddings,
+        |  (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+        |ORDER BY list_dot_product(embedding::DOUBLE[], q) /
+        |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |     * sqrt(list_dot_product(q, q))) DESC, vec_id
+        |LIMIT 10""".stripMargin
   )
 }

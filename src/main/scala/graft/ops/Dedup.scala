@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design: exact dedup is a hash groupBy (one shuffle on the text
+  * hash, not the text — see [[exactByHash]]); near-dup avoids the O(n²)
+  * pair space via MinHash+LSH banding — only documents sharing a band
+  * bucket are compared, so the candidate join is shuffle-partitioned by
+  * (band, bucket) and the verify step touches a tiny candidate set.
+  */
+object Dedup {
+
+  /** Exact dedup: keep first doc per identical value. */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame = df.dropDuplicates(cols)
+
+  /** Exact-dup groups keyed by a 64-bit content hash instead of the full
+    * text — at 100 TB the shuffle carries 8-byte keys, not documents.
+    * (xxhash64 collisions at 10^12 docs: ~3e-8 expected pairs — callers
+    * needing certainty re-verify within groups.) */
+  def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(xxhash64(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy("text_hash")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Token n-gram shingle set (distinct), guarded for short docs.
+    * Uses 0-based `get` (null past the end, ANSI-safe) + concat_ws's
+    * null-skipping, so a doc shorter than n yields one degenerate
+    * shingle instead of an out-of-bounds error. */
+  def shingles(textCol: Column, n: Int = 3): Column = {
+    val toks = split(textCol, " ")
+    val starts = sequence(lit(0), greatest(lit(0), size(toks) - lit(n)))
+    array_distinct(transform(starts, i =>
+      concat_ws(" ", (0 until n).map(j => get(toks, i + lit(j))): _*)))
+  }
+
+  /** MinHash signature: element h = min over shingles of xxhash64(s, h).
+    * One array expression, whole-stage codegen'd; no UDF. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), h =>
+      array_min(transform(shinglesCol, s => xxhash64(s, h))))
+
+  /** Banded LSH keys: split the signature into `bands` bands of
+    * `numHashes/bands` rows and hash each band. Docs sharing ANY
+    * (band_idx, band_hash) become near-dup candidates. */
+  def bandHashes(sigCol: Column, numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    require(bands * r == numHashes, s"bands=$bands must divide numHashes=$numHashes")
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(slice(sigCol, b * lit(r) + lit(1), lit(r)), b))
+  }
+
+  /** Jaccard similarity of two (distinct) shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** MinHash+LSH near-duplicate pairs: shingle → minhash → band →
+    * bucket self-join → exact-Jaccard verify. Returns (id_a, id_b,
+    * jaccard) with id_a < id_b and jaccard ≥ threshold.
+    *
+    * The self-join is on (band_idx, band_hash) — the LSH guarantee is
+    * that pairs above the threshold share a bucket w.h.p., so the
+    * shuffle carries only (key, id, shingles-of-candidates), never the
+    * full pair matrix.
+    */
+  def nearDupMinhashLsh(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    val banded = sh
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"), col("sh"),
+        posexplode(bandHashes(col("sig"), numHashes, bands)).as(Seq("band", "bh")))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("id_a", "id_b").agg(first("jaccard").as("jaccard")) // dedupe multi-band hits
+  }
+
+  /** Brute-force n-gram Jaccard pairs — the small-scale oracle-checkable
+    * variant (O(n²); LSH above is the scale path). */
+  def nearDupJaccardBrute(df: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit i of the result is the
+    * sign of Σ_tokens (2·bit_i(xxhash64(token)) − 1). Token hashes are
+    * computed once into an array, then 64 bit-accumulations run over
+    * bigint values (cheap). Pure Catalyst expressions.
+    */
+  def simhash64(textCol: Column): Column = {
+    val th = transform(split(textCol, " "), t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) => {
+        // call_function: shiftleft/shiftright with a column shift amount
+        // (the functions._ overloads only take Int literals)
+        val bitSum = aggregate(th, lit(0),
+          (c, h) => c + call_function("shiftright", h, i)
+            .bitwiseAND(lit(1L)).cast("int") * 2 - 1)
+        acc.bitwiseOR(
+          when(bitSum > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+      })
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming. Scale path:
+    * block on the top `blockBits` bits so only same-block pairs compare
+    * (near-dups agree on most bits, so high-bit blocking has high
+    * recall for small hamming radii; multi-probe = rotate which bits
+    * form the block). */
+  def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, blockBits: Int = 16): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+      .withColumn("block", shiftrightunsigned(col("sig"), 64 - blockBits))
+    val a = withSig.select(col("block"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = withSig.select(col("block"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed by partition-batched
+  * transforms.
+  *
+  * The decode step is STUBBED (this container has no image/audio codecs)
+  * — [[stubDecodeFeatures]] derives a deterministic pseudo-feature vector
+  * from the bytes so the Spark-side plumbing (schema, partitioning,
+  * batch shape, encoder round-trip) is real and tested; swap the stub
+  * for an actual codec (e.g. JNI/ONNX batch scorer) on a real cluster.
+  *
+  * Scale notes: binary payloads ride in the same row as metadata —
+  * filters on typed metadata columns (modality, width, dur_ms) push down
+  * to parquet WITHOUT touching the blob column (columnar pruning), which
+  * is the whole point of this layout at 100 TB.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("dur_ms", IntegerType, nullable = true),
+      StructField("codec", StringType, nullable = true)
+    )), nullable = false)
+  ))
+
+  /** Deterministic synthetic media table (blob = text bytes; metadata
+    * derived from id) — stands in for a real multimodal corpus. */
+  def synthFromDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      element_at(lit(Array("image", "audio", "video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"),
+      col(textCol).cast("binary").as("bytes"),
+      struct(
+        (pmod(xxhash64(col(idCol), lit(1)), lit(1920)) + 1).cast("int").as("width"),
+        (pmod(xxhash64(col(idCol), lit(2)), lit(1080)) + 1).cast("int").as("height"),
+        (pmod(xxhash64(col(idCol), lit(3)), lit(60000)) + 1).cast("int").as("dur_ms"),
+        lit("stub").as("codec")).as("meta"))
+
+  val featureDim = 8
+
+  /** STUB decode: deterministic pseudo-features from the blob bytes.
+    * Real implementation would decode pixels/samples here — per
+    * partition, batched, exactly this signature. */
+  def stubDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    var h = 1125899906842597L // FNV-ish seed
+    var i = 0
+    while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+    var d = 0
+    while (d < featureDim) {
+      val hd = h ^ (h >>> (d + 17)) ^ (d.toLong * 0x9E3779B97F4A7C15L)
+      out(d) = ((hd % 1000L).toFloat) / 1000.0f
+      d += 1
+    }
+    out
+  }
+
+  private val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)
+  ))
+
+  /** Partition-batched decode+featurize: the Scala analog of a pandas
+    * `mapInPandas` batch UDF — one JVM-side pass per partition, blob
+    * column read only here. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    media.select("media_id", "modality", "bytes").mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        Row(r.getLong(0), r.getString(1), bytes.length,
+          stubDecodeFeatures(bytes).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Metadata-only stats — must NOT read the blob column (verified by
+    * plan in tests: ReadSchema excludes `bytes`). */
+  def metaStats(media: DataFrame): DataFrame =
+    media.groupBy("modality")
+      .agg(count(lit(1)).as("n"),
+        avg(col("meta.width")).as("avg_width"),
+        avg(col("meta.dur_ms")).as("avg_dur_ms"))
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a single narrow map + TakeOrdered
+  * (no shuffle of the corpus; each partition computes local top-k, the
+  * driver merges k·numPartitions rows).
+  *
+  * Scale path: random-hyperplane LSH — a `signBits`-bit signature per
+  * vector; query probes only matching buckets (optionally multi-probe
+  * hamming-1 neighbours), then exact-reranks the candidates. The bucket
+  * join is a broadcast of the probe set, so the 10^12-vector corpus is
+  * filtered by a pushed-down bucket predicate rather than scanned.
+  */
+object Similarity {
+
+  /** Cosine similarity between an array<double> column and a literal
+    * query vector (sequential fold — deterministic order). */
+  def cosineToQuery(vec: Column, query: Array[Double]): Column = {
+    val q = lit(query)
+    val dot = aggregate(zip_with(vec, q, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(vec, x => x * x), lit(0.0), _ + _))
+    val nb = math.sqrt(query.map(x => x * x).sum)
+    dot / (na * lit(nb))
+  }
+
+  /** Cosine between two vector columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k against one query vector. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Array[Double], k: Int): DataFrame =
+    df.select(col(idCol),
+        cosineToQuery(col(vecCol).cast("array<double>"), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic random hyperplanes (seeded) as literal columns —
+    * plan-time constants, broadcast with the plan. */
+  def hyperplanes(dim: Int, signBits: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(signBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH bucket id: sign bits of the dot products with the hyperplanes. */
+  def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(zip_with(vec, lit(p), (x, y) => x * y), lit(0.0), _ + _)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN: probe the query's bucket plus all hamming-1
+    * neighbour buckets, exact-rerank candidates, return top-k.
+    * Recall < 1 by construction; `signBits` and multi-probe radius trade
+    * recall vs candidate count. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Array[Double], k: Int, signBits: Int = 8,
+              seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(query.length, signBits, seed)
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (x, y) => x * y }.sum
+      if (d >= 0) 1L << i else 0L
+    }.reduce(_ | _)
+    val probes = qBucket +: (0 until signBits).map(i => qBucket ^ (1L << i))
+    val dv = col(vecCol).cast("array<double>")
+    df.withColumn("bucket", lshBucket(dv, planes))
+      .filter(col("bucket").isin(probes: _*)) // pushdown-friendly bucket predicate
+      .select(col(idCol), cosineToQuery(dv, query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest of `centroids`
+    * (coarse quantizer); a query scans only the `nProbe` nearest cells.
+    * Centroids here are caller-provided (e.g. KMeans or a seeded sample)
+    * — the partition-prune structure is the point: cluster column =
+    * partition key, probe = partition pruning at 10^12 scale. */
+  def ivfAssign(df: DataFrame, vecCol: String,
+                centroids: Seq[Array[Double]]): DataFrame = {
+    val dv = col(vecCol).cast("array<double>")
+    val best = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(dv, lit(c)).as("sim"), lit(i).as("cell"))
+    }
+    df.withColumn("cell", greatest(best: _*).getField("cell"))
+  }
+
+  def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,
+              query: Array[Double], centroids: Seq[Array[Double]],
+              k: Int, nProbe: Int = 4): DataFrame = {
+    def cos(c: Array[Double]): Double = {
+      val dot = c.zip(query).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(c.map(x => x * x).sum) * math.sqrt(query.map(x => x * x).sum)
+      if (n == 0) 0 else dot / n
+    }
+    val probeCells = centroids.zipWithIndex.sortBy { case (c, _) => -cos(c) }
+      .take(nProbe).map(_._2)
+    assigned.filter(col("cell").isin(probeCells: _*))
+      .select(col(idCol),
+        cosineToQuery(col(vecCol).cast("array<double>"), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. All pure Catalyst
+  * column expressions — codegen'd, no UDFs, no shuffle (narrow maps over
+  * the corpus; only downstream groupBys shuffle).
+  */
+object TextAnalysis {
+
+  // ---- token counting ----
+
+  /** Whitespace token count. */
+  def tokenCountWhitespace(text: Column): Column =
+    size(split(text, "\\s+"))
+
+  /** BPE-ish token count: word pieces + standalone punctuation — a
+    * deterministic proxy for subword tokenizers (counts `\w+` runs and
+    * non-space symbols separately). */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  // ---- language ID (n-gram/stopword heuristic) ----
+
+  /** Tiny per-language stopword banks (public common-word lists). */
+  val stopwordBanks: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "del", "las"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans")
+  )
+
+  /** Heuristic language ID: the language whose stopword bank hits the
+    * most tokens; "und" (undetermined) when nothing hits. */
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scored = stopwordBanks.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("hits"), lit(lang).as("lang"))
+    }
+    when(greatest(scored: _*).getField("hits") > 0,
+      greatest(scored: _*).getField("lang")).otherwise(lit("und"))
+  }
+
+  // ---- quality scoring ----
+
+  /** Quality metrics struct: char/token counts, mean token length,
+    * punctuation & stopword & digit ratios, plus a composite [0,1]
+    * score (longer, lower-punctuation, some-stopword text scores high —
+    * the usual pretraining-corpus heuristics). */
+  def qualityMetrics(text: Column): Column = {
+    val toks = split(text, "\\s+")
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}]", "")).cast("double")
+    val digits = length(regexp_replace(text, "[^0-9]", "")).cast("double")
+    val stops = size(filter(split(lower(text), "\\s+"),
+      t => t.isin(stopwordBanks("en"): _*))).cast("double")
+    val meanTokLen = (nChar - (nTok - 1)) / nTok
+    val punctRatio = punct / nChar
+    val stopRatio = stops / nTok
+    val digitRatio = digits / nChar
+    val score =
+      least(nTok / 100.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - least(punctRatio * 5, lit(1.0))) * 0.2 +
+      least(stopRatio * 4, lit(1.0)) * 0.2 +
+      (lit(1.0) - least(digitRatio * 5, lit(1.0))) * 0.2
+    struct(
+      nChar.cast("int").as("n_chars"),
+      nTok.cast("int").as("n_tokens"),
+      meanTokLen.as("mean_token_len"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      digitRatio.as("digit_ratio"),
+      score.as("quality_score"))
+  }
+
+  // ---- fingerprinting ----
+
+  /** Polynomial rolling-hash fingerprint over the raw characters
+    * (base-31 mod 2^31−1) — deterministic, order-sensitive: any
+    * single-character change flips it. Modular (not wrapping) so
+    * engines that trap on bigint overflow reproduce it. */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(2147483647L)))
+
+  /** Per-document fingerprint + analysis frame. */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      langId(col(textCol)).as("lang_pred"),
+      tokenCountWhitespace(col(textCol)).as("n_tokens_ws"),
+      tokenCountBpeIsh(col(textCol)).as("n_tokens_bpe"),
+      fingerprint(col(textCol)).as("fingerprint"),
+      qualityMetrics(col(textCol)).as("quality"))
+}

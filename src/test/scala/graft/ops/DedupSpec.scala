@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 30 base docs of 25 random tokens + a near-dup of each doc<10 with
+    * one token changed (jaccard ≈ 0.85+) + one exact dup of doc 0. */
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(200)(i => s"w$i")
+    val base = Seq.tabulate(30)(i =>
+      (i.toLong, Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val nearDups = base.take(10).map { case (i, t) =>
+      val toks = t.split(" "); toks(12) = "CHANGED"
+      (100L + i, toks.mkString(" "))
+    }
+    val exactDup = Seq((200L, base.head._2))
+    (base ++ nearDups ++ exactDup).toDF("doc_id", "text").cache()
+  }
+
+  test("exactByHash groups identical texts") {
+    val groups = Dedup.exactByHash(corpus, "text", "doc_id")
+    assert(groups.count() == 40) // 41 docs, one exact dup
+    val dupGroup = groups.filter(col("n_dups") === 2).collect()
+    assert(dupGroup.length == 1 && dupGroup(0).getAs[Long]("keep_id") == 0L)
+  }
+
+  test("brute-force jaccard finds exactly the planted near-dup pairs") {
+    val pairs = Dedup.nearDupJaccardBrute(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 10L).map(i => (i, 100L + i)).toSet + ((0L, 200L)) + ((100L, 200L))
+    assert(planted.subsetOf(pairs), s"missing: ${planted -- pairs}")
+    // no spurious pairs between unrelated random docs
+    assert(pairs.forall { case (a, b) => planted.contains((a, b)) },
+      s"spurious: ${pairs -- planted}")
+  }
+
+  test("minhash LSH finds the planted near-dups and only verified pairs") {
+    val brute = Dedup.nearDupJaccardBrute(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.nearDupMinhashLsh(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact-verify step makes LSH ⊆ brute; banding should catch all at j≥0.85
+    assert(lsh.subsetOf(brute), s"unverified pairs leaked: ${lsh -- brute}")
+    assert(lsh == brute, s"LSH missed: ${brute -- lsh}")
+  }
+
+  test("simhash: hamming 0 for identical, small for near-dup, large for random") {
+    val sigs = corpus.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(200L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(0L), sigs(100L)) <= 16, "near-dup hamming too large")
+    assert(hamming(sigs(5L), sigs(17L)) > 16, "random pair suspiciously close")
+  }
+
+  test("simhash blocked near-dup join finds exact dups") {
+    val out = Dedup.nearDupSimhash(corpus, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 200L)))
+  }
+
+  test("shingles handle docs shorter than n") {
+    val df = Seq((1L, "one two")).toDF("doc_id", "text")
+    val sh = df.select(Dedup.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("one two")) // degenerate shingle, no crash
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = {
+    val docs = Seq((1L, "some text payload"), (2L, "another blob"), (3L, "third"))
+      .toDF("doc_id", "text")
+    Multimodal.synthFromDocuments(docs, "doc_id", "text").cache()
+  }
+
+  test("synth media matches the declared schema (names + types)") {
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType.sql.replace(" NOT NULL", ""))).toSeq
+    assert(shape(media.schema) == shape(Multimodal.mediaSchema))
+  }
+
+  test("decodeFeatures: batch shape, dimension, determinism") {
+    val out = Multimodal.decodeFeatures(spark, media)
+      .orderBy("media_id").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getSeq[Float](r.fieldIndex("features")).length == Multimodal.featureDim)
+    }
+    // deterministic: same bytes → same features
+    val again = Multimodal.decodeFeatures(spark, media).orderBy("media_id").collect()
+    assert(out.map(_.getSeq[Float](3).toSeq).toSeq
+      == again.map(_.getSeq[Float](3).toSeq).toSeq)
+    // n_bytes round-trips the blob length
+    assert(out.map(_.getAs[Int]("n_bytes")).toSeq == Seq(17, 12, 5))
+  }
+
+  test("metadata-only stats never read the blob column (columnar pruning)") {
+    val dir = Files.createTempDirectory("graft_media").toString
+    media.write.mode("overwrite").parquet(dir)
+    val fromDisk = spark.read.parquet(dir)
+    val plan = Multimodal.metaStats(fromDisk).queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("modality") && readSchema.contains("meta"))
+    assert(!readSchema.contains("bytes"),
+      s"blob column leaked into the scan: $readSchema")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private lazy val vectors = {
+    val rnd = new scala.util.Random(11)
+    Seq.tabulate(300)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding").cache()
+  }
+  private lazy val query: Array[Double] =
+    vectors.filter(col("vec_id") === 42).select("embedding")
+      .as[Seq[Float]].head().map(_.toDouble).toArray
+
+  test("brute-force top-k: the query's own vector ranks first with cosine 1") {
+    val top = Similarity.bruteForceTopK(vectors, "vec_id", "embedding", query, 5)
+      .as[(Long, Double)].collect()
+    assert(top.length == 5)
+    assert(top.head._1 == 42L && math.abs(top.head._2 - 1.0) < 1e-9)
+    assert(top.map(_._2).sliding(2).forall(p => p(0) >= p(1)), "not sorted desc")
+  }
+
+  test("LSH top-k finds the exact match and only returns verified cosines") {
+    val top = Similarity.lshTopK(vectors, "vec_id", "embedding", query, 5, signBits = 8)
+      .as[(Long, Double)].collect()
+    assert(top.nonEmpty && top.head._1 == 42L, s"exact match missed: ${top.toSeq}")
+  }
+
+  test("IVF: cell assignment is total; probing nearest cells finds the match") {
+    val centroids = vectors.filter(col("vec_id") % 30 === 0)
+      .select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray).toSeq
+    val assigned = Similarity.ivfAssign(vectors, "embedding", centroids).cache()
+    assert(assigned.filter(col("cell").isNull || col("cell") < 0
+      || col("cell") >= centroids.size).count() == 0)
+    val top = Similarity.ivfTopK(assigned, "vec_id", "embedding", query,
+      centroids, k = 5, nProbe = 3).as[(Long, Double)].collect()
+    assert(top.head._1 == 42L, s"IVF missed exact match: ${top.toSeq}")
+  }
+
+  test("LSH bucket predicate prunes most of the corpus") {
+    val planes = Similarity.hyperplanes(dim, 8)
+    val bucketed = vectors.withColumn("bucket",
+      Similarity.lshBucket(col("embedding").cast("array<double>"), planes))
+    val sizes = bucketed.groupBy("bucket").count().as[(Long, Long)].collect()
+    assert(sizes.length > 50, s"only ${sizes.length} buckets for 300 vecs — no spread")
+  }
+}

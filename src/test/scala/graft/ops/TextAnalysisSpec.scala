@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId identifies languages by stopword profile") {
+    val df = Seq(
+      ("en", "the cat sat on the mat and it is happy"),
+      ("es", "el gato está en la casa y un perro los mira"),
+      ("de", "der hund ist nicht mit der katze und das ist gut"),
+      ("fr", "le chat est dans la maison et les chiens sont là"),
+      ("und", "xyzzy plugh quux")
+    ).toDF("expected", "text")
+    val out = df.select(col("expected"), TextAnalysis.langId(col("text")).as("got"))
+      .as[(String, String)].collect()
+    out.foreach { case (exp, got) => assert(exp == got, s"expected $exp got $got") }
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val r = Seq(Tuple1("hello, world! it's 42"))
+      .toDF("text")
+      .select(
+        TextAnalysis.tokenCountWhitespace(col("text")).as("ws"),
+        TextAnalysis.tokenCountBpeIsh(col("text")).as("bpe"))
+      .as[(Int, Int)].head()
+    assert(r._1 == 4)
+    // hello , world ! it ' s 42 → 8
+    assert(r._2 == 8)
+  }
+
+  test("quality metrics are bounded and favor clean prose") {
+    val df = Seq(
+      ("clean", "the quick brown fox jumps over the lazy dog and it is a fine day for running"),
+      ("junk", "!!! ??? ;;; 123 456 789 000 111 ,,, ...")
+    ).toDF("kind", "text")
+    val m = df.select(col("kind"), TextAnalysis.qualityMetrics(col("text")).as("q"))
+      .select("kind", "q.quality_score").as[(String, Double)].collect().toMap
+    assert(m.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(m("clean") > m("junk"))
+  }
+
+  test("fingerprint is deterministic and flips on single-char edits") {
+    val df = Seq(Tuple1("abc def"), Tuple1("abc deg"), Tuple1("abc def")).toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    assert(fps(0) == fps(2) && fps(0) != fps(1))
+    assert(fps.forall(f => f >= 0 && f < 2147483647L))
+  }
+}
