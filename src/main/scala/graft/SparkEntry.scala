@@ -182,6 +182,55 @@ object SparkEntry {
         Seq("event_type"), "cents", "sum")
         .withColumnRenamed("sum_value", "sum_cents")),
 
+    // -- processor analogs: redaction, attr-hash, sampler, transform, servicegraph --
+    "p21_redaction" -> ((s, dir) =>
+      // redaction processor: mask digit runs in user-visible text
+      // (processor/redactionprocessor/processor.go:83-144)
+      t(s, dir).filter(col("role") === "user")
+        .select(col("conv_id"), col("turn_idx"),
+          regexp_replace(col("text"), "[0-9]", "#").as("redacted"))),
+
+    "p22_attr_hash" -> ((s, dir) =>
+      // attributes processor HASH action (attraction.go SHA-256)
+      t(s, dir).filter(col("tool") =!= "")
+        .select(col("conv_id"), col("turn_idx"),
+          sha2(col("tool").cast("binary"), 256).as("tool_hash"))),
+
+    "p23_sampler_consistent" -> ((s, dir) =>
+      // probabilistic sampler: deterministic keyed verdict
+      // (probabilisticsamplerprocessor/logsprocessor.go:61-82) — same key
+      // always samples the same way; 25% target
+      events(s, dir)
+        .filter(pmod(col("event_id") * 2654435761L, lit(1000)) < 250)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))),
+
+    "p24_transform_set_where" -> ((s, dir) => {
+      // transform processor: set(attr, v) where cond ≙ conditional column
+      // (transformprocessor internal/common/logs.go:34-56)
+      val parsed = parsedT(s, dir)
+      parsed.select(col("conv_id"), col("turn_idx"),
+        when(col("parsed").getItem("level") === "ERROR", upper(col("role")))
+          .otherwise(col("role")).as("role_marked"))
+    }),
+
+    "p25_groupbyattrs" -> ((s, dir) =>
+      // groupbyattrs processor: regroup records under new key envelope
+      t(s, dir).groupBy("role", "tool")
+        .agg(countDistinct("conv_id").as("n_convs"), count(lit(1)).as("n_turns"))),
+
+    "p26_servicegraph_edges" -> ((s, dir) => {
+      // servicegraph connector: correlate request/response pairs → edges
+      // (connector/servicegraphconnector/connector.go:221-330); here:
+      // tool-call turn joined to the NEXT turn of the same conversation
+      val tr = t(s, dir)
+      val a = tr.filter(col("tool") =!= "")
+        .select(col("conv_id"), col("turn_idx"), col("tool"))
+      val b = tr.select(col("conv_id"), (col("turn_idx") - 1).as("turn_idx"),
+        col("role").as("next_role"))
+      a.join(b, Seq("conv_id", "turn_idx"))
+        .groupBy("tool", "next_role").agg(count(lit(1)).as("n_edges"))
+    }),
+
     // -- classical relational (joins/aggregation; enrich-at-scale analog) --
     "q01_lineitem_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -445,6 +494,38 @@ object SparkEntry {
     "p20_aggregate_labels" ->
       """SELECT event_type, sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
         |FROM events GROUP BY 1""".stripMargin,
+
+    "p21_redaction" -> withT(
+      """SELECT conv_id, turn_idx, regexp_replace(text, '[0-9]', '#', 'g') AS redacted
+        |FROM transcripts WHERE role = 'user'""".stripMargin),
+
+    "p22_attr_hash" -> withT(
+      """SELECT conv_id, turn_idx, sha256(tool) AS tool_hash
+        |FROM transcripts WHERE tool <> ''""".stripMargin),
+
+    "p23_sampler_consistent" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE (event_id * 2654435761) % 1000 < 250
+        |GROUP BY 1""".stripMargin,
+
+    "p24_transform_set_where" -> withT(
+      s"""SELECT conv_id, turn_idx,
+         |  CASE WHEN (NOT regexp_matches(text, '$P1')) AND regexp_matches(text, '$P2')
+         |            AND regexp_extract(text, '$P2', 1) = 'ERROR'
+         |       THEN upper(role) ELSE role END AS role_marked
+         |FROM transcripts""".stripMargin),
+
+    "p25_groupbyattrs" -> withT(
+      """SELECT role, tool, count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns
+        |FROM transcripts GROUP BY 1, 2""".stripMargin),
+
+    "p26_servicegraph_edges" -> withT(
+      """SELECT a.tool, b.role AS next_role, count(*) AS n_edges
+        |FROM transcripts a
+        |JOIN transcripts b
+        |  ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+        |WHERE a.tool <> ''
+        |GROUP BY 1, 2""".stripMargin),
 
     "q01_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

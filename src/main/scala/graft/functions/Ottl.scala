@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The OTTL editor/converter surface (reference `pkg/ottl/ottlfuncs/`,
+  * index `ottlfuncs/README.md:36-1301` in `/root/reference`) mapped to
+  * native Spark column functions — the reference's "UDF library" with no
+  * UDFs (SURVEY.md §2.7). Names follow OTTL; semantics follow the cited
+  * func_*.go implementations.
+  *
+  * Editors mutate a map-typed attributes column; converters are pure.
+  */
+object Ottl {
+
+  // ---------------- editors (func_set.go, func_delete_key.go, ...) ----------------
+
+  /** set(map[key], value) — upsert one key. */
+  def setKey(m: Column, key: String, value: Column): Column =
+    map_concat(map_filter(m, (k, _) => k =!= key), map(lit(key), value))
+
+  /** delete_key(map, key). */
+  def deleteKey(m: Column, key: String): Column =
+    map_filter(m, (k, _) => k =!= key)
+
+  /** delete_matching_keys(map, regex). */
+  def deleteMatchingKeys(m: Column, regex: String): Column =
+    map_filter(m, (k, _) => !k.rlike(regex))
+
+  /** keep_keys(map, keys). */
+  def keepKeys(m: Column, keys: Seq[String]): Column =
+    map_filter(m, (k, _) => k.isin(keys: _*))
+
+  /** keep_matching_keys(map, regex). */
+  def keepMatchingKeys(m: Column, regex: String): Column =
+    map_filter(m, (k, _) => k.rlike(regex))
+
+  /** merge_maps(target, source, strategy) — func_merge_maps.go:
+    * upsert = source wins; insert = only new keys; update = only existing. */
+  def mergeMaps(target: Column, source: Column, strategy: String): Column = strategy match {
+    case "upsert" => map_concat(map_filter(target, (k, _) => !array_contains(map_keys(source), k)), source)
+    case "insert" => map_concat(target, map_filter(source, (k, _) => !array_contains(map_keys(target), k)))
+    case "update" => map_concat(
+      map_filter(target, (k, _) => !array_contains(map_keys(source), k)),
+      map_filter(source, (k, _) => array_contains(map_keys(target), k)))
+    case other => throw new IllegalArgumentException(s"unknown merge strategy: $other")
+  }
+
+  /** limit(map, n) — keep at most n entries (entry order). */
+  def limitMap(m: Column, n: Int): Column =
+    map_from_entries(slice(map_entries(m), 1, n))
+
+  /** truncate_all(map, n) — truncate every string value to n chars. */
+  def truncateAll(m: Column, n: Int): Column =
+    transform_values(m, (_, v) => substring(v, 1, n))
+
+  /** replace_match(target, glob, replacement) — whole-value glob. */
+  def replaceMatch(c: Column, glob: String, replacement: String): Column = {
+    val re = "^" + java.util.regex.Pattern.quote(glob)
+      .replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "$"
+    when(c.rlike(re), lit(replacement)).otherwise(c)
+  }
+
+  /** replace_pattern(target, regex, replacement). */
+  def replacePattern(c: Column, regex: String, replacement: String): Column =
+    regexp_replace(c, regex, replacement)
+
+  /** replace_all_patterns over map values. */
+  def replaceAllPatterns(m: Column, regex: String, replacement: String): Column =
+    transform_values(m, (_, v) => regexp_replace(v, regex, replacement))
+
+  // ---------------- converters (pure; func_*.go) ----------------
+
+  def ottlConcat(sep: String, cols: Column*): Column = concat_ws(sep, cols: _*)
+
+  /** ConvertCase — upper/lower/snake/camel (func_convert_case.go). */
+  def convertCase(c: Column, to: String): Column = to match {
+    case "upper" => upper(c)
+    case "lower" => lower(c)
+    case "snake" => lower(regexp_replace(c, "([a-z0-9])([A-Z])", "$1_$2"))
+    case "camel" => {
+      // split on _, capitalize each part, join (func_convert_case.go camel)
+      array_join(transform(split(c, "_"), p => initcap(p)), "")
+    }
+    case other => throw new IllegalArgumentException(s"unknown case: $other")
+  }
+
+  def ottlSubstring(c: Column, start: Int, len: Int): Column = substring(c, start + 1, len)
+  def ottlSplit(c: Column, sep: String): Column = split(c, java.util.regex.Pattern.quote(sep))
+  def ottlLen(c: Column): Column = length(c)
+  def isMatch(c: Column, regex: String): Column = c.rlike(regex)
+
+  /** ExtractPatterns — named groups → map (the grok primitive,
+    * func_extract_patterns.go). One-pass via MultiPatternExtract. */
+  def extractPatterns(c: Column, regex: String, fields: Seq[String]): Column = {
+    import graft.model.PipelineConfig.PatternSpec
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(MultiPatternExtract(Bridge.expression(c),
+      Seq(PatternSpec("p", regex, fields)))).getField("fields")
+  }
+
+  def parseJson(c: Column, schemaDdl: String): Column = from_json(c, lit(schemaDdl),
+    new java.util.HashMap[String, String]())
+  def parseCsv(c: Column, schemaDdl: String): Column = from_csv(c, lit(schemaDdl),
+    new java.util.HashMap[String, String]())
+  def parseKeyValue(c: Column, pairSep: String = " ", kvSep: String = "="): Column =
+    str_to_map(c, lit(pairSep), lit(kvSep))
+  def base64Decode(c: Column): Column = unbase64(c).cast("string")
+
+  def sha1Hex(c: Column): Column = sha1(c.cast("binary"))
+  def sha256Hex(c: Column): Column = sha2(c.cast("binary"), 256)
+
+  /** FNV-1a 64-bit, bit-identical to Go's hash/fnv (func_fnv.go) — a
+    * custom codegen expression because the wrapping multiply traps under
+    * ANSI arithmetic. */
+  def fnv1a64(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(Fnv1a64(Bridge.expression(c)))
+  }
+
+  def ottlUuid(): Column = uuid()
+
+  def timeParse(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+  def truncateTime(c: Column, unit: String): Column = date_trunc(unit, c)
+  def unixSeconds(c: Column): Column = unix_seconds(c.cast("timestamp"))
+  def unixMillis(c: Column): Column = unix_millis(c.cast("timestamp"))
+  def unixMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+  def hourOf(c: Column): Column = hour(c)
+  def durationSeconds(c: Column): Column = // Duration("1h2m3s") → seconds
+    coalesce(regexp_extract(c, "(\\d+)h", 1).cast("long"), lit(0L)) * 3600 +
+    coalesce(regexp_extract(c, "(\\d+)m", 1).cast("long"), lit(0L)) * 60 +
+    coalesce(regexp_extract(c, "(\\d+(?:\\.\\d+)?)s", 1).cast("double"), lit(0.0))
+
+  def ottlLog(c: Column): Column = log(c)
+  def toInt(c: Column): Column = c.cast("bigint")
+  def toDouble(c: Column): Column = c.cast("double")
+  def toStringCol(c: Column): Column = c.cast("string")
+  def traceIdFromHex(c: Column): Column = unhex(c)
+  def spanIdFromHex(c: Column): Column = unhex(c)
+}

