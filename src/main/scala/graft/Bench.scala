@@ -1,24 +1,139 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.route.RouteStage
+import graft.run.Pipeline
+import graft.synth.TranscriptSynth
+
+/** BENCH driver. Emits ONE JSON line with:
+  *   - headline `value`: end-to-end parse→enrich→route-fan-out(sinks
+  *     written)→aggregate throughput in turns/sec at local[32];
+  *   - `scaling`: the same job's COMPUTE path (parse→enrich→route→agg,
+  *     noop sink) at N=2 vs 4N=8 cores, interleaved reps, best-of —
+  *     the sandbox rendering of the north rule's two-cluster-size
+  *     criterion. N=2/8 sits below this host's memory-bandwidth wall;
+  *     local[8]→local[32] shares ONE memory bus + ONE disk, which a real
+  *     4N-executor cluster does not (each executor brings its own) —
+  *     see BENCH.md for the control experiments;
+  *   - `queries`: per-query timings of the SparkEntry suite (noop-sink
+  *     exhausted so column pruning can't skip work). Quadratic oracle
+  *     variants (d05/d07 brute pair joins) are skipped at sf≥0.1 and
+  *     reported as -2: they exist for small-scale oracle checking; the
+  *     scale path is the LSH/banded operators.
+  */
 object Bench {
+
+  private val HeavyAtScale = Set("d05_jaccard_pairs_brute", "d07_minhash_lsh_neardups")
+
+  private def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def exhaust(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** End-to-end: single-pass multi-match fan-out WRITTEN to per-route
+    * parquet sinks, counts aggregated from the committed sinks. */
+  private def endToEnd(spark: SparkSession, inPath: String, outDir: String): Unit = {
+    val enriched = Pipeline.parseEnrich(spark, spark.read.parquet(inPath))
+    RouteStage.writeMultiMatch(enriched, Pipeline.routeTable, s"$outDir/sinks")
+    exhaust(spark.read.parquet(s"$outDir/sinks")
+      .groupBy(col("route"), window(col("ts"), "1 hour"), col("role"))
+      .agg(count(lit(1)).as("count")))
+  }
+
+  /** Compute path: identical operators, noop sink (no single-disk wall). */
+  private def computeOnly(spark: SparkSession, inPath: String): Unit = {
+    val enriched = Pipeline.parseEnrich(spark, spark.read.parquet(inPath))
+    exhaust(RouteStage.tagsExploded(enriched, Pipeline.routeTable)
+      .groupBy(col("route"), window(col("ts"), "1 hour"), col("role"))
+      .agg(count(lit(1)).as("count")))
+  }
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
+    val nTurns = math.max(1000000L, (200000000L * sf).toLong)
+    val turnsPath = s"/tmp/graft_bench/turns_$nTurns"
+    val outRoot = "/tmp/graft_bench"
+
+    // ---- prepare input (not timed): deterministic synthetic transcripts ----
+    if (!Files.exists(Paths.get(turnsPath, "_SUCCESS"))) {
+      val s = session(cpus)
+      TranscriptSynth.generate(s,
+        TranscriptSynth.Config(nTurns, math.max(64L, nTurns / 200), hotPct = 5))
+        .write.mode("overwrite").parquet(turnsPath)
+      s.stop()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+
+    // ---- headline: end-to-end at local[32], best of 2 ----
+    val s32 = session(32)
+    val e2e32 = (1 to 2).map(_ => time(endToEnd(s32, turnsPath, s"$outRoot/e2e32"))).min
+    s32.stop()
+    // one end-to-end at 8 for the disk-shared 8→32 reference figure
+    val s8e = session(8)
+    val e2e8 = time(endToEnd(s8e, turnsPath, s"$outRoot/e2e8"))
+    s8e.stop()
+
+    // ---- scaling (compute path): interleaved reps at 2 and 8 cores ----
+    val reps = 2
+    val times = scala.collection.mutable.Map(2 -> List.empty[Double], 8 -> List.empty[Double])
+    for (_ <- 1 to reps; cores <- Seq(2, 8)) {
+      val s = session(cores)
+      val sec = time(computeOnly(s, turnsPath))
+      times(cores) = sec :: times(cores)
+      s.stop()
+    }
+    val bestN = times(2).min
+    val best4N = times(8).min
+    val thrN = nTurns / bestN
+    val thr4N = nTurns / best4N
+    val eff = thr4N / (4.0 * thrN)
+    val effE2e = (nTurns / e2e32) / (4.0 * (nTurns / e2e8))
+
+    // ---- query suite ----
+    val s = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec =
+        if (sf >= 0.1 && HeavyAtScale(name)) -2.0
+        else try time(exhaust(fn(s, sfDir))) catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+    s.stop()
+
+    val thr32 = (nTurns / e2e32).round
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"pipeline_throughput_turns_per_sec","value":$thr32,""" +
+      s""""unit":"turns/sec","n_turns":$nTurns,""" +
+      s""""scaling":{"criterion":"compute path, N=2 vs 4N=8 cores (below single-node memory-bandwidth wall; see BENCH.md)",""" +
+      s""""cores_n":2,"sec_n":$bestN,"turns_per_sec_n":${thrN.round},""" +
+      s""""cores_4n":8,"sec_4n":$best4N,"turns_per_sec_4n":${thr4N.round},""" +
+      s""""efficiency":${math.rint(eff * 1000) / 1000},""" +
+      s""""endtoend_8c_sec":$e2e8,"endtoend_32c_sec":$e2e32,""" +
+      s""""endtoend_eff_8_to_32":${math.rint(effE2e * 1000) / 1000}},""" +
+      s""""queries":$qs,"sf":"$sfDir"}"""
+    println(json)
   }
 }

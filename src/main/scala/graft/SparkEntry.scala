@@ -30,7 +30,6 @@ object SparkEntry {
   private val P2 = "^(TRACE|DEBUG|INFO|WARN|ERROR|FATAL) \\[([\\w.-]+)\\] (.*)$"
   private val P3 = "^\\w+=[^ ]+( \\w+=[^ ]+)*$"
 
-  private def sql1(p: String) = p.replace("\\", "\\\\") // not needed in duckdb std strings
   private def withT(body: String, extra: Seq[String] = Nil): String =
     (Transcripts.OracleCte +: extra).mkString("", ",\n", "\n") + body
 
@@ -229,6 +228,59 @@ object SparkEntry {
         col("role").as("next_role"))
       a.join(b, Seq("conv_id", "turn_idx"))
         .groupBy("tool", "next_role").agg(count(lit(1)).as("n_edges"))
+    }),
+
+    "p27_field_ops" -> ((s, dir) =>
+      // stanza field transformers in one pass: add / copy / move(rename) /
+      // remove / retain / unquote (transformer/{add,copy,move,remove,
+      // retain,unquote}) — all projections
+      t(s, dir)
+        .withColumn("env", lit("prod"))                       // add (static)
+        .withColumn("role_copy", col("role"))                 // copy
+        .withColumnRenamed("tool", "tool_name")               // move
+        .drop("ts")                                           // remove
+        .withColumn("quoted", concat(lit("\""), col("role"), lit("\"")))
+        .withColumn("unquoted",                               // unquote
+          regexp_replace(col("quoted"), "^\"|\"$", ""))
+        .select("conv_id", "turn_idx", "env", "role_copy", "tool_name", "unquoted")), // retain
+
+    "p28_spanmetrics_hist" -> ((s, dir) => {
+      // spanmetrics connector: RED metrics — call counts + duration
+      // histograms by dimension (connector/spanmetricsconnector/
+      // connector.go:328-406); linear buckets ≙ explicit_buckets,
+      // log2 buckets ≙ exponential histogram scale
+      val d = parsedT(s, dir).filter(col("pattern") === "tool_call")
+        .withColumn("dur_ms", col("parsed").getItem("dur_ms").cast("bigint"))
+        .filter(col("dur_ms") > 0)
+      // exp bucket = floor(log2(dur)) computed integer-exactly as
+      // bit-length−1 (no float-ulp disagreement across engines)
+      d.groupBy(col("tool"),
+          floor(col("dur_ms") / 2000).cast("bigint").as("lin_bucket"),
+          (length(bin(col("dur_ms"))) - 1).cast("bigint").as("exp_bucket"))
+        .agg(count(lit(1)).as("calls"), sum("dur_ms").as("sum_dur_ms"))
+    }),
+
+    "p29_metrics_generation" -> ((s, dir) => {
+      // metricsgeneration processor: derived metric = f(m1, m2)
+      // (processor/metricsgenerationprocessor/processor.go:42-78)
+      val base = parsedT(s, dir).filter(col("pattern") === "tool_call")
+        .withColumn("dur_ms", col("parsed").getItem("dur_ms").cast("bigint"))
+      val m1 = base.groupBy("tool").agg(sum("dur_ms").as("total_dur"))
+      val m2 = base.groupBy("tool").agg(count(lit(1)).as("calls"))
+      m1.join(m2, "tool")
+        .select(col("tool"), col("total_dur"), col("calls"),
+          floor(col("total_dur") / col("calls")).cast("bigint").as("mean_dur_floor"))
+    }),
+
+    "p30_tail_sampling" -> ((s, dir) => {
+      // tail sampling processor: buffer whole trace, apply policy, keep or
+      // drop the ENTIRE trace (processor/tailsamplingprocessor): policy =
+      // "conversation contains an ERROR turn"
+      val tr = parsedT(s, dir)
+      val keep = tr.filter(col("parsed").getItem("level") === "ERROR")
+        .select("conv_id").distinct()
+      tr.join(keep, "conv_id") // whole-conversation release
+        .groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
     }),
 
     // -- classical relational (joins/aggregation; enrich-at-scale analog) --
@@ -526,6 +578,38 @@ object SparkEntry {
         |  ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
         |WHERE a.tool <> ''
         |GROUP BY 1, 2""".stripMargin),
+
+    "p27_field_ops" -> withT(
+      """SELECT conv_id, turn_idx, 'prod' AS env, role AS role_copy,
+        |  tool AS tool_name, role AS unquoted
+        |FROM transcripts""".stripMargin),
+
+    "p28_spanmetrics_hist" -> withT(
+      s"""SELECT tool,
+         |  CAST(floor(CAST(regexp_extract(text, '$P1', 3) AS BIGINT) / 2000) AS BIGINT) AS lin_bucket,
+         |  CAST(length(printf('%b', CAST(regexp_extract(text, '$P1', 3) AS BIGINT))) - 1 AS BIGINT) AS exp_bucket,
+         |  count(*) AS calls,
+         |  sum(CAST(regexp_extract(text, '$P1', 3) AS BIGINT)) AS sum_dur_ms
+         |FROM transcripts
+         |WHERE regexp_matches(text, '$P1')
+         |  AND CAST(regexp_extract(text, '$P1', 3) AS BIGINT) > 0
+         |GROUP BY 1, 2, 3""".stripMargin),
+
+    "p29_metrics_generation" -> withT(
+      s"""SELECT tool, sum(CAST(regexp_extract(text, '$P1', 3) AS BIGINT)) AS total_dur,
+         |  count(*) AS calls,
+         |  CAST(floor(sum(CAST(regexp_extract(text, '$P1', 3) AS BIGINT))
+         |       / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_dur_floor
+         |FROM transcripts WHERE regexp_matches(text, '$P1')
+         |GROUP BY 1""".stripMargin),
+
+    "p30_tail_sampling" -> withT(
+      s"""SELECT conv_id, count(*) AS n_turns FROM transcripts
+         |WHERE conv_id IN (
+         |  SELECT DISTINCT conv_id FROM transcripts
+         |  WHERE NOT regexp_matches(text, '$P1') AND regexp_matches(text, '$P2')
+         |    AND regexp_extract(text, '$P2', 1) = 'ERROR')
+         |GROUP BY 1""".stripMargin),
 
     "q01_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -59,7 +59,7 @@ case class MultiPatternExtract(child: Expression, patterns: Seq[PatternSpec])
   // both the `P` and any underscore in a group name. We rewrite the i-th
   // named group to a synthetic safe name and bind `fields(i)` by POSITION,
   // so the config stays reference-compatible.
-  @transient private lazy val compiled: Array[(UTF8String, Pattern, Array[UTF8String], Array[String])] =
+  @transient private lazy val compiled: Array[(UTF8String, Pattern, Array[UTF8String], Array[String], String)] =
     patterns.map { p =>
       val (javaRegex, groupCount) = MultiPatternExtract.normalizeGroups(p.regex)
       require(groupCount == p.fields.length,
@@ -67,16 +67,26 @@ case class MultiPatternExtract(child: Expression, patterns: Seq[PatternSpec])
       (UTF8String.fromString(p.name),
        Pattern.compile(javaRegex),
        p.fields.map(UTF8String.fromString).toArray,
-       Array.tabulate(groupCount)(i => s"gg$i"))
+       Array.tabulate(groupCount)(i => s"gg$i"),
+       MultiPatternExtract.literalPrefix(p.regex))
     }.toArray
+
+  // One Matcher per (task thread × pattern), reset per row — Matcher
+  // allocation is the dominant per-row garbage in a regex hot loop.
+  @transient private lazy val localMatchers: ThreadLocal[Array[java.util.regex.Matcher]] =
+    ThreadLocal.withInitial(() => compiled.map(_._2.matcher("")))
 
   /** Public so generated code can call it. Returns null when no match. */
   def matchRow(input: UTF8String): InternalRow = {
     val s = input.toString
+    val matchers = localMatchers.get()
     var i = 0
     while (i < compiled.length) {
-      val (name, pat, keyUtf8, groupNames) = compiled(i)
-      val m = pat.matcher(s)
+      val (name, _, keyUtf8, groupNames, prefix) = compiled(i)
+      // literal-prefix fast path: skip the regex when the anchored literal
+      // head can't match (the dominant case in a first-match bank)
+      if (prefix == null || s.startsWith(prefix)) {
+      val m = matchers(i).reset(s)
       if (m.matches()) {
         val n = groupNames.length
         val keys = new Array[Any](n)
@@ -89,6 +99,7 @@ case class MultiPatternExtract(child: Expression, patterns: Seq[PatternSpec])
           j += 1
         }
         return InternalRow(name, ArrayBasedMapData(keys, values))
+      }
       }
       i += 1
     }
@@ -126,5 +137,20 @@ object MultiPatternExtract {
     var i = -1
     val out = NamedGroup.replaceAllIn(regex, _ => { i += 1; s"(?<gg$i>" })
     (out, i + 1)
+  }
+
+  private val Meta = Set('(', ')', '[', ']', '{', '}', '.', '*', '+', '?',
+    '|', '^', '$', '\\')
+
+  /** Literal head of an `^`-anchored regex (chars before the first
+    * metacharacter), or null when none — powers the startsWith fast path. */
+  def literalPrefix(regex: String): String = {
+    if (!regex.startsWith("^")) return null
+    val sb = new StringBuilder
+    var i = 1
+    while (i < regex.length && !Meta.contains(regex.charAt(i))) {
+      sb += regex.charAt(i); i += 1
+    }
+    if (sb.isEmpty) null else sb.toString
   }
 }

@@ -72,7 +72,7 @@ object Lineage {
 
   /** Atomic manifest commit: write temp, fsync-rename into place
     * (the reference persister's save step, checkpoint.go:40-63). */
-  private def commitManifest(outDir: String, m: Manifest): Unit = {
+  private[run] def commitManifest(outDir: String, m: Manifest): Unit = {
     val path = manifestPath(outDir, m.sink)
     Files.createDirectories(path.getParent)
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")

@@ -1,0 +1,114 @@
+package graft.run
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.agg.CountStage
+import graft.model.PipelineConfig.MetricSpec
+import graft.route.RouteStage
+import graft.sources.Transcripts
+
+/** spark-submit entry point for the full batch pipeline with resumable
+  * checkpoints + metrics:
+  *
+  *   spark-submit --class graft.run.PipelineJob <jar> \
+  *     <transcriptsPath> <outDir> [windowDur]
+  *
+  * Stages (the collector graph, SURVEY.md §3): read transcripts (Iceberg
+  * on-cluster / parquet locally) → parse bank → broadcast enrich →
+  * single-pass multi-match fan-out to per-route sink tables → per-sink
+  * windowed counts. Every sink and every counts table commits through
+  * [[Lineage.runResumable]]: a killed run resumes without recomputing
+  * committed sinks (per-partition lineage in the manifests).
+  *
+  * On a real cluster: identical code at N and 4N executors; the
+  * fan-out write shuffles nothing (partitionBy on the tag), the count
+  * stage shuffles only partial aggregates.
+  */
+object PipelineJob {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PipelineJob <transcriptsPath> <outDir> [windowDur]")
+    val Array(inPath, outDir) = args.take(2)
+    val windowDur = if (args.length > 2) args(2) else "1 hour"
+
+    val builder = SparkSession.builder()
+      .appName("graft-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // spark-submit injects spark.master; default to local[*] when run bare
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")))
+      .getOrCreate()
+
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+
+    val table = Transcripts.TranscriptTable()
+    val fingerprint = Lineage.fingerprintOf("pipeline-v1", inPath, windowDur,
+      graft.run.Pipeline.patternBank.map(p => p.name + p.regex).mkString("|"))
+
+    // Stage 1+2+3: parse → enrich → single-pass routed fan-out.
+    // The fan-out itself is one idempotent partitioned write; its commit
+    // is the stage marker.
+    val sinksDir = s"$outDir/sinks"
+    if (!Lineage.isCommitted(outDir, "sinks_fanout", fingerprint)) {
+      val turns = table.read(spark, inPath)
+      val enriched = graft.run.Pipeline.parseEnrich(spark, turns)
+      RouteStage.writeMultiMatch(enriched, graft.run.Pipeline.routeTable, sinksDir)
+      // per-route per-file lineage from the committed partition dirs
+      val routeDirs = graft.run.Pipeline.routeTable.routes.map(_.name) :+
+        graft.run.Pipeline.routeTable.defaultName
+      val lineage = routeDirs.flatMap(r =>
+        Lineage.fileLineage(spark, s"$sinksDir/route=$r")
+          .map(f => f.copy(file = s"route=$r/${f.file}")))
+      Lineage.commitManifest(outDir, Lineage.Manifest("sinks_fanout", fingerprint,
+        lineage.map(_.rows).sum, lineage))
+    }
+
+    // Stage 4: per-sink windowed counts, each its own resumable sink.
+    val written = spark.read.parquet(sinksDir)
+    val countFrames = graft.run.Pipeline.routeTable.routes.map(_.name)
+      .:+(graft.run.Pipeline.routeTable.defaultName).map { route =>
+        s"counts_$route" -> CountStage.countWindowed(
+          written.filter(col("route") === route),
+          MetricSpec("count", attrs = Seq(graft.model.PipelineConfig.AttrSpec("role"))),
+          col("ts"), windowDur)
+      }.toMap
+    val report = Lineage.runResumable(spark, countFrames, outDir, fingerprint)
+
+    // metrics manifest (rows read/written, shuffle, task time)
+    metrics.writeJson(s"$outDir/_lineage/run_metrics.json")
+    println(s"[pipeline] executed=${report.executed.mkString(",")} " +
+      s"skipped=${report.skipped.mkString(",")} failed=${report.failed.keys.mkString(",")}")
+    spark.stop()
+  }
+}
+
+/** Per-run execution metrics (the collector's self-telemetry analog):
+  * records/bytes read+written, shuffle volume, task time. */
+class MetricsListener extends org.apache.spark.scheduler.SparkListener {
+  private val recordsRead = new java.util.concurrent.atomic.AtomicLong
+  private val recordsWritten = new java.util.concurrent.atomic.AtomicLong
+  private val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+  private val taskMillis = new java.util.concurrent.atomic.AtomicLong
+
+  override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      recordsRead.addAndGet(m.inputMetrics.recordsRead)
+      recordsWritten.addAndGet(m.outputMetrics.recordsWritten)
+      shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      taskMillis.addAndGet(m.executorRunTime)
+    }
+  }
+
+  def writeJson(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p,
+      s"""{"records_read":${recordsRead.get},"records_written":${recordsWritten.get},""" +
+      s""""shuffle_bytes_written":${shuffleBytes.get},"task_millis":${taskMillis.get}}""")
+  }
+}

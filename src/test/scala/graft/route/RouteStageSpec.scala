@@ -65,6 +65,18 @@ class RouteStageSpec extends SparkSpec {
       s"unexpected shuffle in route tagging:\n$plan")
   }
 
+  test("single-pass multi-match (exploded routes) ≡ per-sink filters") {
+    val sinks = RouteStage.fanOut(enriched, Pipeline.routeTable)
+    val exploded = RouteStage.tagsExploded(enriched, Pipeline.routeTable).cache()
+    for (name <- Seq("tool_calls", "errors", "user_turns", "default")) {
+      val a = sinks(name).select("conv_id", "turn_idx")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      val b = exploded.filter(col("route") === name).select("conv_id", "turn_idx")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(a == b, s"sink $name differs between single-pass and filter plans")
+    }
+  }
+
   test("null predicate results fall to default (error_mode=ignore)") {
     import spark.implicits._
     val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
