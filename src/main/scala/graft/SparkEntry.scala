@@ -283,6 +283,29 @@ object SparkEntry {
         .groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
     }),
 
+    "p31_exp_histogram" -> ((s, dir) => {
+      // spanmetrics exponential histogram via the custom typed Aggregator
+      // (one buffer per group, merged associatively — no explode+groupBy)
+      val d = parsedT(s, dir).filter(col("pattern") === "tool_call")
+        .select(col("tool"), col("parsed").getItem("dur_ms").cast("bigint").as("dur_ms"))
+      d.groupBy("tool").agg(graft.agg.ExpHistogram.of(col("dur_ms")).as("h"))
+        .select(col("tool"), posexplode(col("h.bucket_counts")).as(Seq("bucket", "cnt")))
+        .filter(col("cnt") > 0)
+    }),
+
+    "p32_jsonarray_assign_keys" -> ((s, dir) =>
+      // jsonarray parser + assign_keys transformer over a constructed
+      // JSON-array body
+      events(s, dir).select(
+        col("event_id"),
+        graft.parse.Parsers.parseJsonArrayWithHeader(
+          concat(lit("[\""), col("event_type"), lit("\", \""),
+            col("user_id").cast("string"), lit("\"]")),
+          Seq("etype", "uid")).as("m"))
+        .select(col("event_id"),
+          element_at(col("m"), "etype").as("etype"),
+          element_at(col("m"), "uid").cast("bigint").as("uid"))),
+
     // -- classical relational (joins/aggregation; enrich-at-scale analog) --
     "q01_lineitem_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -610,6 +633,18 @@ object SparkEntry {
          |  WHERE NOT regexp_matches(text, '$P1') AND regexp_matches(text, '$P2')
          |    AND regexp_extract(text, '$P2', 1) = 'ERROR')
          |GROUP BY 1""".stripMargin),
+
+    "p31_exp_histogram" -> withT(
+      s"""SELECT tool,
+         |  CAST(length(printf('%b', CAST(regexp_extract(text, '$P1', 3) AS BIGINT))) - 1 AS INT) AS bucket,
+         |  count(*) AS cnt
+         |FROM transcripts
+         |WHERE regexp_matches(text, '$P1')
+         |  AND CAST(regexp_extract(text, '$P1', 3) AS BIGINT) > 0
+         |GROUP BY 1, 2""".stripMargin),
+
+    "p32_jsonarray_assign_keys" ->
+      """SELECT event_id, event_type AS etype, user_id AS uid FROM events""",
 
     "q01_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

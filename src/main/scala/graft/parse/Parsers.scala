@@ -1,0 +1,80 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Remaining stanza parser/splitter surface (SURVEY.md §2.1-2.2) beyond
+  * the core bank in [[ParseStage]]. All pure Catalyst expressions.
+  */
+object Parsers {
+
+  /** jsonarray parser (`pkg/stanza/operator/parser/jsonarray/parser.go:
+    * 25-125` in `/root/reference`): JSON array body → typed elements;
+    * optional header names → map. */
+  def parseJsonArray(c: Column, elementType: String = "string"): Column =
+    from_json(c, lit(s"array<$elementType>"), new java.util.HashMap[String, String]())
+
+  /** jsonarray with header: zip names onto the parsed slice
+    * (the `assign_keys` composition the reference uses). */
+  def parseJsonArrayWithHeader(c: Column, headers: Seq[String]): Column =
+    map_from_arrays(
+      lit(headers.toArray),
+      slice(parseJsonArray(c), 1, headers.length))
+
+  /** assign_keys transformer (`transformer/assignkeys/transformer.go:
+    * 21-60`): zip a value list with configured key names → map. */
+  def assignKeys(values: Column, keys: Seq[String]): Column =
+    map_from_arrays(lit(keys.toArray), slice(values, 1, keys.length))
+
+  /** RFC3164 syslog parse (`parser/syslog/parser.go:132` RFC3164 branch):
+    * `<PRI>MMM dd HH:mm:ss host tag: msg` → struct(priority, facility,
+    * severity, host, tag, msg). Timestamp layout handling is the caller's
+    * (year-less RFC3164 stamps need a reference year, as in the
+    * reference's time sub-parser). */
+  private val Syslog3164 =
+    "^<(\\d{1,3})>([A-Z][a-z]{2} [ \\d]\\d \\d{2}:\\d{2}:\\d{2}) (\\S+) ([^:\\[ ]+)(?:\\[(\\d+)\\])?: (.*)$"
+
+  def parseSyslog3164(c: Column): Column = {
+    val pri = regexp_extract(c, Syslog3164, 1).cast("int")
+    struct(
+      pri.as("priority"),
+      (pri / 8).cast("int").as("facility"),
+      pmod(pri, lit(8)).cast("int").as("severity"),
+      regexp_extract(c, Syslog3164, 2).as("stamp"),
+      regexp_extract(c, Syslog3164, 3).as("host"),
+      regexp_extract(c, Syslog3164, 4).as("tag"),
+      regexp_extract(c, Syslog3164, 5).as("pid"),
+      regexp_extract(c, Syslog3164, 6).as("msg"))
+  }
+
+  /** scope parser (`parser/scope/parser.go:20`): set scope from a field. */
+  def parseScope(c: Column): Column = c.as("scope")
+
+  /** Newline split (`pkg/stanza/split/split.go:141` NewlineSplitFunc):
+    * one raw blob → one row per line, with (source, line_no) identity. */
+  def splitLines(df: DataFrame, blobCol: String, sourceCol: String): DataFrame =
+    df.select(col(sourceCol).as("source"),
+        posexplode(split(col(blobCol), "\n")).as(Seq("line_no", "line")))
+
+  /** Multiline recombine by line-start pattern (`split.go:59`
+    * LineStartSplitFunc + the recombine transformer): consecutive lines
+    * group under the last line matching `startPattern`; groups concat in
+    * order. Relational rendering: running count of starts = group id.
+    * Requires an explicit (source, line_no) order — arrival order is not
+    * a thing in a distributed engine. */
+  def recombineMultiline(lines: DataFrame, startPattern: String,
+                         sep: String = "\n"): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("line_no"))
+    lines
+      .withColumn("_start", col("line").rlike(startPattern).cast("int"))
+      .withColumn("_grp", sum(col("_start")).over(w))
+      .groupBy(col("source"), col("_grp"))
+      .agg(
+        min("line_no").as("first_line"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x.getField("line")), sep).as("entry"))
+      .drop("_grp")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.parse
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ParsersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jsonarray parse with and without header") {
+    val df = Seq(Tuple1("""["a", "b", "c"]""")).toDF("s")
+    assert(df.select(Parsers.parseJsonArray(col("s")).as("r"))
+      .as[Seq[String]].head() == Seq("a", "b", "c"))
+    val m = df.select(Parsers.parseJsonArrayWithHeader(col("s"), Seq("x", "y")).as("r"))
+      .collect().head.getMap[String, String](0).toMap
+    assert(m == Map("x" -> "a", "y" -> "b"))
+  }
+
+  test("assign_keys zips values with key names") {
+    val df = Seq(Tuple1(Seq("1", "2"))).toDF("v")
+    val m = df.select(Parsers.assignKeys(col("v"), Seq("a", "b")).as("r"))
+      .collect().head.getMap[String, String](0).toMap
+    assert(m == Map("a" -> "1", "b" -> "2"))
+  }
+
+  test("RFC3164 syslog parse extracts pri/facility/severity/host/tag/msg") {
+    val line = "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed for lonvick"
+    val r = Seq(Tuple1(line)).toDF("s")
+      .select(Parsers.parseSyslog3164(col("s")).as("p"))
+      .select("p.priority", "p.facility", "p.severity", "p.host", "p.tag", "p.pid", "p.msg")
+      .head()
+    assert(r.getInt(0) == 34 && r.getInt(1) == 4 && r.getInt(2) == 2)
+    assert(r.getString(3) == "mymachine" && r.getString(4) == "su")
+    assert(r.getString(5) == "230")
+    assert(r.getString(6) == "'su root' failed for lonvick")
+  }
+
+  test("newline split + multiline recombine by start pattern") {
+    val blob = "ERROR boom\n  at frame1\n  at frame2\nINFO ok\nERROR again\n  at frameX"
+    val lines = Parsers.splitLines(Seq(("f1", blob)).toDF("src", "blob"), "blob", "src")
+    assert(lines.count() == 6)
+    val entries = Parsers.recombineMultiline(lines, "^(ERROR|INFO|WARN)")
+      .orderBy("first_line").select("entry").as[String].collect().toSeq
+    assert(entries == Seq(
+      "ERROR boom\n  at frame1\n  at frame2",
+      "INFO ok",
+      "ERROR again\n  at frameX"))
+  }
+}
