@@ -139,7 +139,7 @@ object SparkEntry {
 
     // -- per-conversation rollup (recombine analog) + salted-skew variant --
     "p13_rollup_conversation" -> ((s, dir) => Rollup.rollup(t(s, dir))),
-    "p14_rollup_salted" -> ((s, dir) => Rollup.rollupSalted(t(s, dir), saltBuckets = 8)),
+    "p14_rollup_salted" -> ((s, dir) => Rollup.rollupSalted(t(s, dir), blockSize = 8)),
 
     // -- per-turn text round-trip invariant (north rule) --
     "p15_text_roundtrip" -> ((s, dir) =>

@@ -37,15 +37,26 @@ object Rollup {
             x => x.getField("text")),
           sep).as("full_text"))
 
-  /** Salted two-phase rollup for hot-conversation skew. */
-  def rollupSalted(turns: DataFrame, saltBuckets: Int = 16, sep: String = "\n"): DataFrame = {
-    val salted = turns.withColumn("_salt", pmod(col("turn_idx"), lit(saltBuckets)))
-    val partial = salted.groupBy(col("conv_id"), col("_salt"))
+  /** Salted two-phase rollup for hot-conversation skew. The salt is the
+    * CONTIGUOUS turn-block `turn_idx / blockSize` (not a modulo): blocks
+    * cover disjoint turn ranges, so phase 1 fully sorts+concatenates each
+    * block into one string, and phase 2 only orders the (few) block
+    * strings — the hot conversation's row-level sort work spreads over
+    * ceil(n/blockSize) reducers, and the final task touches S strings
+    * instead of n rows. */
+  def rollupSalted(turns: DataFrame, blockSize: Int = 8192, sep: String = "\n"): DataFrame = {
+    val partial = turns
+      .withColumn("_block", (col("turn_idx") / blockSize).cast("long"))
+      .groupBy(col("conv_id"), col("_block"))
       .agg(
         count(lit(1)).as("_n"),
         min("ts").as("_min_ts"),
         max("ts").as("_max_ts"),
-        array_sort(collect_list(struct(col("turn_idx"), col("text")))).as("_chunk"))
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+            x => x.getField("text")),
+          sep).as("_chunk"))
     partial.groupBy("conv_id")
       .agg(
         sum("_n").as("n_turns"),
@@ -53,8 +64,8 @@ object Rollup {
         max("_max_ts").as("last_ts"),
         array_join(
           transform(
-            array_sort(flatten(collect_list(col("_chunk")))),
-            x => x.getField("text")),
+            array_sort(collect_list(struct(col("_block"), col("_chunk")))),
+            x => x.getField("_chunk")),
           sep).as("full_text"))
   }
 }

@@ -22,6 +22,17 @@ object Calibrate {
       df.write.format("noop").mode("overwrite").save()
     for (r <- 1 to reps) {
       what match {
+        case "skew" => // hot-conv rollup: plain groupBy vs salted two-phase
+          val skewPath = "/tmp/graft_bench/turns_skew"
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(skewPath, "_SUCCESS"))) {
+            graft.synth.TranscriptSynth.generate(s,
+              graft.synth.TranscriptSynth.Config(8000000L, 40000L, hotPct = 40))
+              .write.mode("overwrite").parquet(skewPath)
+          }
+          val turns = s.read.parquet(skewPath)
+          val plainSec = time(noop(graft.agg.Rollup.rollup(turns)))
+          val saltedSec = time(noop(graft.agg.Rollup.rollupSalted(turns, 32)))
+          println(s"CALIB skew cores=$cores rep=$r plain=$plainSec salted=$saltedSec")
         case "readonly" =>
           val sec = time {
             noop(s.read.parquet("/tmp/graft_bench/turns_20000000"))

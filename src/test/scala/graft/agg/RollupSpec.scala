@@ -32,7 +32,7 @@ class RollupSpec extends SparkSpec {
     assert(hot > 2500, s"skew profile broken: hot conv has $hot of 5000")
     val plain = Rollup.rollup(turns).orderBy("conv_id")
       .select("conv_id", "n_turns", "full_text").as[(String, Long, String)].collect()
-    val salted = Rollup.rollupSalted(turns, saltBuckets = 16).orderBy("conv_id")
+    val salted = Rollup.rollupSalted(turns, blockSize = 64).orderBy("conv_id")
       .select("conv_id", "n_turns", "full_text").as[(String, Long, String)].collect()
     assert(plain.toSeq == salted.toSeq)
   }
