@@ -1,0 +1,63 @@
+package graft.run
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.route.RouteStage
+import graft.synth.TranscriptSynth
+
+/** Physical-plan quality gates (SURVEY.md §4): pushdown, pruning, codegen
+  * and shuffle-count properties the 100 TB design relies on. */
+class PlanSpec extends SparkSpec {
+
+  private lazy val turnsDir = {
+    val dir = Files.createTempDirectory("graft_plan_turns").toString
+    TranscriptSynth.generate(spark, TranscriptSynth.Config(2000, 10))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("filters and projection push into the parquet scan") {
+    val q = spark.read.parquet(turnsDir)
+      .filter(col("role") === "user" && col("turn_idx") > 5)
+      .select("conv_id", "turn_idx")
+    val plan = q.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("IsNotNull(role)") || scanLine.contains("EqualTo(role,user)"),
+      s"role filter not pushed: $scanLine")
+    assert(scanLine.contains("GreaterThan(turn_idx,5)"), s"turn_idx filter not pushed: $scanLine")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"unused text column read: $readSchema")
+  }
+
+  test("parse→enrich→route-tag→window-count plans exactly ONE shuffle") {
+    val enriched = Pipeline.parseEnrich(spark, spark.read.parquet(turnsDir))
+    val out = RouteStage.tagsExploded(enriched, Pipeline.routeTable)
+      .groupBy(col("route"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)))
+    val plan = out.queryExecution.executedPlan.toString
+    // BroadcastExchange (the enrich dim) is expected and is not a shuffle
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected exactly one shuffle (the final agg), got $shuffles:\n$plan")
+  }
+
+  test("the parse expression runs inside whole-stage codegen") {
+    val parsed = graft.parse.ParseStage(
+      spark.read.parquet(turnsDir), Pipeline.parseConfig)
+    val plan = parsed.queryExecution.executedPlan.toString
+    // the projection carrying multi_pattern_extract must be inside a
+    // WholeStageCodegen region (lines inside are prefixed *(n))
+    val line = plan.linesIterator.find(_.contains("multi_pattern_extract")).getOrElse("")
+    assert(line.contains("*("), s"parse projection fell out of codegen: $line")
+  }
+
+  test("count aggregation is partial (map-side combine before the shuffle)") {
+    val q = spark.read.parquet(turnsDir).groupBy("role").agg(count(lit(1)))
+    val plan = q.queryExecution.executedPlan.toString
+    val aggLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial_")),
+      s"no partial aggregate before shuffle:\n${aggLines.mkString("\n")}")
+  }
+}

@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -57,6 +58,57 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(out("c1").full_text == "first\nsecond") // turn_idx order despite arrival order
       assert(out("c1").n_turns == 2)
     } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped from finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val counts = StreamingPipeline.windowedCounts(
+      mem.toDF(), "10 minutes", "5 minutes", Seq("role"))
+    val q = counts.writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(turn("c1", 0, 1))
+      q.processAllAvailable()
+      mem.addData(turn("c2", 0, 40)) // watermark → 35min; window [0,10) finalized with n=1
+      q.processAllAvailable()
+      mem.addData(turn("c1", 1, 2))  // late arrival into the finalized window
+      mem.addData(turn("c3", 0, 55))
+      q.processAllAvailable()
+      val w0 = spark.table("late").filter(col("window_start") === ts(0))
+        .select("n").as[Long].collect().toSeq
+      assert(w0 == Seq(1L), s"late row leaked into finalized window: $w0")
+    } finally q.stop()
+  }
+
+  test("streaming restart from checkpoint: no duplicates, no loss") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft_restart_out").toString
+    val ckDir = Files.createTempDirectory("graft_restart_ck").toString
+
+    val mem1 = MemoryStream[Turn]
+    val q1 = mem1.toDF().writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode(OutputMode.Append).start()
+    mem1.addData(turn("c1", 0, 1, "a"), turn("c1", 1, 2, "b"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart with a NEW source feeding the same checkpoint lineage
+    val mem2 = MemoryStream[Turn]
+    mem2.addData(turn("c1", 0, 1, "a"), turn("c1", 1, 2, "b")) // replay (offsets committed → skipped)
+    mem2.addData(turn("c1", 2, 3, "c"))
+    val q2 = mem2.toDF().writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode(OutputMode.Append).start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(outDir).select("text").as[String]
+      .collect().sorted.toSeq
+    // batch 0 (a,b) exactly once + batch 1 (c): MemoryStream replays by
+    // batch id, the parquet sink's commit log dedupes re-run batches
+    assert(rows == Seq("a", "b", "c"), s"restart broke exactly-once: $rows")
   }
 
   test("routed streaming sinks deliver disjoint route partitions") {
