@@ -376,9 +376,19 @@ object SparkEntry {
           col("q.stopword_ratio").as("stopword_ratio"),
           col("q.quality_score").as("quality_score"))),
 
-    "d10_langid" -> ((s, dir) => // rows-only (heuristic argmax not worth SQL)
+    "d10_langid" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "p33_parse_uri" -> ((s, dir) => {
+      val url = concat(lit("https://svc-"), col("user_id").cast("string"),
+        lit(".example.com/api/v"), (col("event_id") % 3).cast("string"),
+        lit("?k="), get_json_object(col("props"), "$.k"))
+      events(s, dir).select(col("event_id"),
+        ParseStage.parseUriPart(url, "HOST").as("host"),
+        ParseStage.parseUriPart(url, "PATH").as("path"),
+        parse_url(url, lit("QUERY"), lit("k")).cast("bigint").as("k"))
+    }),
 
     // -- training-data ops: similarity search --
     "e01_ann_bruteforce" -> ((s, dir) => {
@@ -714,6 +724,24 @@ object SparkEntry {
         |  + (1.0 - least(length(regexp_replace(text, '[^0-9]', '', 'g'))
         |      / CAST(length(text) AS DOUBLE) * 5, 1.0)) * 0.2 AS quality_score
         |FROM documents""".stripMargin,
+
+    "d10_langid" -> {
+      val hits = TextAnalysis.stopwordBanks.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val set = words.map(w => s"'$w'").mkString(", ")
+        s"{'h': len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x IN ($set))), 'l': '$lang'}"
+      }.mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         |  CASE WHEN list_sort($hits)[-1].h > 0
+         |       THEN list_sort($hits)[-1].l ELSE 'und' END AS lang_pred
+         |FROM documents""".stripMargin
+    },
+
+    "p33_parse_uri" ->
+      """SELECT event_id,
+        |  'svc-' || CAST(user_id AS VARCHAR) || '.example.com' AS host,
+        |  '/api/v' || CAST(event_id % 3 AS VARCHAR) AS path,
+        |  CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events""".stripMargin,
 
     "e01_ann_bruteforce" ->
       """SELECT vec_id,

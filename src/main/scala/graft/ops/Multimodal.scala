@@ -88,6 +88,28 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: a real implementation decodes + rescales pixels; the
+    * stub rewrites the typed metadata and tags the blob untouched (the
+    * Spark-side contract — schema in/out, narrow map — is the real part). */
+  def resizeStub(media: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    media.withColumn("meta", struct(
+      least(col("meta.width"), lit(maxW)).as("width"),
+      least(col("meta.height"), lit(maxH)).as("height"),
+      col("meta.dur_ms").as("dur_ms"),
+      concat(col("meta.codec"), lit("+resized")).as("codec")))
+
+  /** STUB frame sampling for video rows: emits one row per sampled frame
+    * index (every `everyMs` of duration) with frame metadata — the
+    * explode-shaped plumbing a real decoder would feed. */
+  def frameSampleStub(media: DataFrame, everyMs: Int): DataFrame =
+    media.filter(col("modality") === "video")
+      .select(col("media_id"), col("meta.dur_ms").as("dur_ms"),
+        posexplode(sequence(lit(0),
+          greatest((col("meta.dur_ms") / everyMs).cast("int") - 1, lit(0))))
+          .as(Seq("frame_idx", "frame_ms_idx")))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_ms_idx") * everyMs).as("frame_at_ms"))
+
   /** Metadata-only stats — must NOT read the blob column (verified by
     * plan in tests: ReadSchema excludes `bytes`). */
   def metaStats(media: DataFrame): DataFrame =

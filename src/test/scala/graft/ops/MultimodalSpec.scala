@@ -36,6 +36,19 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("n_bytes")).toSeq == Seq(17, 12, 5))
   }
 
+  test("resize stub caps dimensions; frame sampling explodes video rows") {
+    val resized = Multimodal.resizeStub(media, 100, 100)
+      .select("meta.width", "meta.height", "meta.codec").collect()
+    assert(resized.forall(r => r.getInt(0) <= 100 && r.getInt(1) <= 100))
+    assert(resized.forall(_.getString(2).endsWith("+resized")))
+    val frames = Multimodal.frameSampleStub(media, 1000)
+    val perVideo = frames.groupBy("media_id").count().collect()
+    assert(perVideo.nonEmpty) // at least one video row in the synth corpus
+    val f = frames.orderBy("media_id", "frame_idx").limit(2)
+      .select("frame_idx", "frame_at_ms").collect()
+    assert(f(0).getInt(0) == 0 && f(0).getAs[Number]("frame_at_ms").longValue == 0L)
+  }
+
   test("metadata-only stats never read the blob column (columnar pruning)") {
     val dir = Files.createTempDirectory("graft_media").toString
     media.write.mode("overwrite").parquet(dir)
