@@ -323,6 +323,27 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100).cast("bigint")).as("sum_cents"))
     }),
 
+    "q03_topk_order_limit" -> ((s, dir) =>
+      // sort + limit (top-k): TakeOrderedAndProject — per-partition top-k,
+      // driver merges k×partitions rows, never a full sort at scale
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("spend_cents"))
+        .orderBy(col("spend_cents").desc, col("o_custkey"))
+        .limit(10)),
+
+    "q04_set_ops" -> ((s, dir) => {
+      // set operators: union / intersect / except (SURVEY §2.9)
+      val e = events(s, dir)
+      val big = e.filter(col("value") > 100).select("user_id")
+      val err = e.filter(col("event_type") === "error").select("user_id")
+      def tag(df: DataFrame, op: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      tag(big.intersect(err), "intersect")
+        .unionByName(tag(big.union(err).distinct(), "union"))
+        .unionByName(tag(big.except(err), "except"))
+    }),
+
     // -- training-data ops: documents --
     "d01_dedup_exact" -> ((s, dir) =>
       documents(s, dir)
@@ -417,6 +438,12 @@ object SparkEntry {
         "vec_id", "embedding", q, centroids, k = 10, nProbe = 4)
         .select(col("vec_id"), floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))
     }),
+
+    "e04_embedding_neardup" -> ((s, dir) =>
+      Dedup.nearDupEmbeddingBrute(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"),
+          floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))),
 
     // -- multimodal plumbing (stubbed decode; rows-only) --
     "m01_multimodal_decode" -> ((s, dir) =>
@@ -668,6 +695,24 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2""".stripMargin,
 
+    "q03_topk_order_limit" ->
+      """SELECT o_custkey, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS spend_cents
+        |FROM orders GROUP BY 1
+        |ORDER BY spend_cents DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q04_set_ops" ->
+      """SELECT 'intersect' AS op, count(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE value > 100
+        |  INTERSECT SELECT user_id FROM events WHERE event_type = 'error')
+        |UNION ALL
+        |SELECT 'union', count(*) FROM (
+        |  SELECT user_id FROM events WHERE value > 100
+        |  UNION SELECT user_id FROM events WHERE event_type = 'error')
+        |UNION ALL
+        |SELECT 'except', count(*) FROM (
+        |  SELECT user_id FROM events WHERE value > 100
+        |  EXCEPT SELECT user_id FROM events WHERE event_type = 'error')""".stripMargin,
+
     "d01_dedup_exact" ->
       "SELECT text, min(doc_id) AS first_doc, count(*) AS n FROM documents GROUP BY text",
 
@@ -742,6 +787,17 @@ object SparkEntry {
         |  '/api/v' || CAST(event_id % 3 AS VARCHAR) AS path,
         |  CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events""".stripMargin,
+
+    "e04_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(floor(10000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) AS BIGINT) AS cos_e4
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4""".stripMargin,
 
     "e01_ann_bruteforce" ->
       """SELECT vec_id,

@@ -98,6 +98,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs, brute-force (small-scale
+    * oracle path): all pairs with cosine ≥ threshold. */
+  def nearDupEmbeddingBrute(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup at scale: random-hyperplane LSH buckets
+    * (near-identical vectors share all sign bits w.h.p.), candidate join
+    * within buckets, exact-cosine verify — the same band-then-verify
+    * shape as MinHash LSH but over the embedding space. */
+  def nearDupEmbedding(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, signBits: Int = 12,
+                       dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = Similarity.hyperplanes(dim, signBits, seed)
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy("id_a", "id_b").agg(first("cosine").as("cosine"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit i of the result is the
     * sign of Σ_tokens (2·bit_i(xxhash64(token)) − 1). Token hashes are
     * computed once into an array, then 64 bit-accumulations run over

@@ -65,6 +65,25 @@ class DedupSpec extends SparkSpec {
     assert(out.contains((0L, 200L)))
   }
 
+  test("embedding near-dup: LSH finds planted near-identical vectors") {
+    val rnd = new scala.util.Random(13)
+    val base = Seq.tabulate(100)(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
+    // plant near-dups: tiny perturbation of vectors 0..4
+    val dups = (0 until 5).map { i =>
+      (500L + i, base(i)._2.map(x => x + 0.001f))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val brute = Dedup.nearDupEmbeddingBrute(df, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 5).map(i => (i.toLong, 500L + i)).toSet
+    assert(planted.subsetOf(brute), s"brute missed: ${planted -- brute}")
+    val lsh = Dedup.nearDupEmbedding(df, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute), "LSH produced unverified pairs")
+    assert(planted.subsetOf(lsh), s"LSH missed planted: ${planted -- lsh}")
+  }
+
   test("shingles handle docs shorter than n") {
     val df = Seq((1L, "one two")).toDF("doc_id", "text")
     val sh = df.select(Dedup.shingles(col("text"), 3).as("s"))
