@@ -87,7 +87,10 @@ case class MultiPatternExtract(child: Expression, patterns: Seq[PatternSpec])
       // head can't match (the dominant case in a first-match bank)
       if (prefix == null || s.startsWith(prefix)) {
       val m = matchers(i).reset(s)
-      if (m.matches()) {
+      // find(), not matches(): the reference semantics are first PARTIAL
+      // match (FindStringSubmatch — parser/regex/parser.go:53 and
+      // func_extract_patterns.go:58); anchored patterns behave identically
+      if (m.find()) {
         val n = groupNames.length
         val keys = new Array[Any](n)
         val values = new Array[Any](n)

@@ -126,10 +126,13 @@ object Ottl {
   def unixMillis(c: Column): Column = unix_millis(c.cast("timestamp"))
   def unixMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
   def hourOf(c: Column): Column = hour(c)
-  def durationSeconds(c: Column): Column = // Duration("1h2m3s") → seconds
-    coalesce(regexp_extract(c, "(\\d+)h", 1).cast("long"), lit(0L)) * 3600 +
-    coalesce(regexp_extract(c, "(\\d+)m", 1).cast("long"), lit(0L)) * 60 +
-    coalesce(regexp_extract(c, "(\\d+(?:\\.\\d+)?)s", 1).cast("double"), lit(0.0))
+  def durationSeconds(c: Column): Column = { // Duration("1h2m3s") → seconds
+    // regexp_extract yields "" on no-match; nullif keeps ANSI casts happy
+    def part(re: String) = nullif(regexp_extract(c, re, 1), lit(""))
+    coalesce(part("(\\d+)h").cast("long"), lit(0L)) * 3600 +
+    coalesce(part("(\\d+)m").cast("long"), lit(0L)) * 60 +
+    coalesce(part("(\\d+(?:\\.\\d+)?)s").cast("double"), lit(0.0))
+  }
 
   def ottlLog(c: Column): Column = log(c)
   def toInt(c: Column): Column = c.cast("bigint")
