@@ -57,13 +57,23 @@ object ParseStage {
   def parseEpochSeconds(c: Column): Column = timestamp_seconds(c.cast("long"))
   def parseEpochMillis(c: Column): Column = timestamp_millis(c.cast("long"))
 
-  /** Severity mapping (`helper/severity_builder.go:17-87`): text → enum,
-    * with the reference's built-in alias table. Compiled to one CASE
-    * chain (codegen'd) rather than a per-row map lookup. */
-  val severityAliases: Seq[(String, Int)] = Seq(
-    "trace" -> 1, "debug" -> 5, "info" -> 9, "warn" -> 13,
-    "error" -> 17, "fatal" -> 21
-  )
+  /** Severity mapping — the reference's FULL default builtin table
+    * (`helper/severity_builder.go:17-87`: otel aliases with 2/3/4
+    * sub-levels, numeric strings "1".."24", plus the default extras
+    * warningN / errN; enum values from `pkg/stanza/entry/severity.go:13-53`,
+    * Default=0 Trace=1 Debug=5 Info=9 Warn=13 Error=17 Fatal=21).
+    * Compiled to one CASE chain (codegen'd), not a per-row map lookup. */
+  val severityAliases: Seq[(String, Int)] = {
+    val bases = Seq("trace" -> 1, "debug" -> 5, "info" -> 9, "warn" -> 13,
+      "error" -> 17, "fatal" -> 21)
+    val subLevels = bases.flatMap { case (name, base) =>
+      Seq(name -> base) ++ (2 to 4).map(i => s"$name$i" -> (base + i - 1))
+    }
+    val numeric = (1 to 24).map(i => i.toString -> i)
+    val extras = Seq("warning" -> 13, "warning2" -> 14, "warning3" -> 15,
+      "warning4" -> 16, "err" -> 17, "err2" -> 18, "err3" -> 19, "err4" -> 20)
+    subLevels ++ numeric ++ extras
+  }
   def parseSeverity(c: Column): Column = {
     val lc = lower(c)
     severityAliases.foldLeft(lit(0)) { case (acc, (name, num)) =>

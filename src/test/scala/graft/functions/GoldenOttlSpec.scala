@@ -58,6 +58,18 @@ class GoldenOttlSpec extends SparkSpec {
     assert(eval1[Double](Ottl.toDouble(lit("1"))) == 1.0)
   }
 
+  test("severity default mapping matches severity_builder.go + entry/severity.go exactly") {
+    import graft.parse.ParseStage
+    val vectors = Seq(
+      "trace" -> 1, "trace4" -> 4, "debug" -> 5, "info" -> 9, "info3" -> 11,
+      "warn" -> 13, "warning" -> 13, "warning4" -> 16,
+      "error" -> 17, "err" -> 17, "err3" -> 19, "fatal" -> 21, "fatal4" -> 24,
+      "9" -> 9, "24" -> 24, "ERROR" -> 17, "unknown-text" -> 0)
+    vectors.foreach { case (txt, want) =>
+      assert(eval1[Int](ParseStage.parseSeverity(lit(txt))) == want, s"severity($txt)")
+    }
+  }
+
   test("merge_maps insert/update/upsert against the e2e map shapes (e2e_test.go:126-143)") {
     // target {flags: A}, source {bear: moose, flags: C}
     val target = map(lit("flags"), lit("A"))
