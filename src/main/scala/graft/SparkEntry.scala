@@ -411,6 +411,88 @@ object SparkEntry {
         parse_url(url, lit("QUERY"), lit("k")).cast("bigint").as("k"))
     }),
 
+    "p34_parse_csv" -> ((s, dir) => {
+      // csv parser (parser/csv/parser.go:29-107) over a constructed
+      // delimited body — from_csv with a typed schema
+      val line = concat_ws(",", col("event_type"), col("user_id").cast("string"),
+        round(col("value") * 100).cast("bigint").cast("string"))
+      events(s, dir).select(col("event_id"),
+          ParseStage.parseCsv(line, "etype string, uid bigint, cents bigint").as("c"))
+        .select(col("event_id"), col("c.etype").as("etype"),
+          col("c.uid").as("uid"), col("c.cents").as("cents"))
+    }),
+
+    "p35_syslog_rfc3164" -> ((s, dir) => {
+      // syslog parser, RFC3164 branch (parser/syslog/parser.go:132)
+      val line = concat(lit("<"), (col("event_id") % 192).cast("string"),
+        lit(">Oct 11 22:14:15 h"), col("user_id").cast("string"),
+        lit(" app["), (col("event_id") % 97).cast("string"), lit("]: "),
+        col("event_type"), lit(" user="), col("user_id").cast("string"))
+      events(s, dir).select(col("event_id"),
+          graft.parse.Parsers.parseSyslog3164(line).as("p"))
+        .select(col("event_id"), col("p.priority").as("priority"),
+          col("p.facility").as("facility"), col("p.severity").as("severity"),
+          col("p.host").as("host"), col("p.tag").as("tag"),
+          col("p.pid").as("pid"), col("p.msg").as("msg"))
+    }),
+
+    "p36_syslog_rfc5424" -> ((s, dir) => {
+      // syslog parser, RFC5424 branch (parser/syslog/parser.go:152)
+      val line = concat(lit("<"), (col("event_id") % 192).cast("string"),
+        lit(">1 2026-01-02T03:04:05Z h"), col("user_id").cast("string"),
+        lit(" app "), (col("event_id") % 97).cast("string"),
+        lit(" m"), (col("event_id") % 13).cast("string"),
+        lit(" - "), col("event_type"))
+      events(s, dir).select(col("event_id"),
+          graft.parse.Parsers.parseSyslog5424(line).as("p"))
+        .select(col("event_id"), col("p.priority").as("priority"),
+          col("p.facility").as("facility"), col("p.severity").as("severity"),
+          col("p.version").as("version"), col("p.host").as("host"),
+          col("p.app").as("app"), col("p.pid").as("pid"),
+          col("p.msgid").as("msgid"), col("p.sd").as("sd"),
+          col("p.msg").as("msg"))
+    }),
+
+    "p37_trace_scope" -> ((s, dir) => {
+      // trace parser (helper/trace.go hex decode → fixed-width binary) +
+      // scope parser (parser/scope/parser.go:20); hex round-trip and byte
+      // width checked against the oracle's independent decode
+      val h = md5(col("event_id").cast("string"))
+      events(s, dir).select(col("event_id"),
+        hex(ParseStage.parseTraceId(h)).as("trace_hex"),
+        length(ParseStage.parseTraceId(h)).cast("int").as("trace_bytes"),
+        hex(graft.functions.Ottl.spanIdFromHex(substring(h, 1, 16))).as("span_hex"),
+        graft.parse.Parsers.parseScope(col("event_type")).as("scope"))
+    }),
+
+    "p38_multiline_recombine" -> ((s, dir) => {
+      // split/multiline recombine (pkg/stanza/split/split.go:59
+      // LineStartSplitFunc + recombine): turns are the line stream, any
+      // pattern-bank head token starts a new entry
+      val lines = t(s, dir).select(col("conv_id").as("source"),
+        col("turn_idx").as("line_no"), col("text").as("line"))
+      graft.parse.Parsers.recombineMultiline(lines,
+        "^(CALL|TRACE|DEBUG|INFO|WARN|ERROR|FATAL) ")
+    }),
+
+    "p39_parse_xml" -> ((s, dir) => {
+      // OTTL ParseXML converter (ottlfuncs/func_parse_xml.go) — element
+      // text + attribute extraction by XPath
+      val x = concat(lit("<e id=\""), col("event_id").cast("string"),
+        lit("\"><t>"), col("event_type"), lit("</t></e>"))
+      events(s, dir).select(col("event_id"),
+        graft.functions.Ottl.parseXmlString(x, "/e/t").as("t"),
+        graft.functions.Ottl.parseXmlLong(x, "/e/@id").as("id"))
+    }),
+
+    "p40_flatten" -> ((s, dir) =>
+      // flatten transformer (transformer/flatten/transformer.go:27-45):
+      // promote a parsed nested struct one level up = select("s.*")
+      events(s, dir)
+        .select(col("event_id"), from_json(col("props"), lit("k bigint"),
+          new java.util.HashMap[String, String]()).as("s"))
+        .select(col("event_id"), col("s.*"))),
+
     // -- training-data ops: similarity search --
     "e01_ann_bruteforce" -> ((s, dir) => {
       val q = embeddingQuery(s, dir)
@@ -787,6 +869,78 @@ object SparkEntry {
         |  '/api/v' || CAST(event_id % 3 AS VARCHAR) AS path,
         |  CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events""".stripMargin,
+
+    "p34_parse_csv" ->
+      """SELECT event_id,
+        |  string_split(line, ',')[1] AS etype,
+        |  CAST(string_split(line, ',')[2] AS BIGINT) AS uid,
+        |  CAST(string_split(line, ',')[3] AS BIGINT) AS cents
+        |FROM (SELECT event_id,
+        |        event_type || ',' || CAST(user_id AS VARCHAR) || ','
+        |        || CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) AS line
+        |      FROM events)""".stripMargin,
+
+    "p35_syslog_rfc3164" -> {
+      val re = "^<(\\d{1,3})>([A-Z][a-z]{2} [ \\d]\\d \\d{2}:\\d{2}:\\d{2}) (\\S+) ([^:\\[ ]+)(?:\\[(\\d+)\\])?: (.*)$"
+      s"""SELECT event_id,
+         |  CAST(regexp_extract(line, '$re', 1) AS INT) AS priority,
+         |  CAST(floor(CAST(regexp_extract(line, '$re', 1) AS INT) / 8) AS INT) AS facility,
+         |  CAST(CAST(regexp_extract(line, '$re', 1) AS INT) % 8 AS INT) AS severity,
+         |  regexp_extract(line, '$re', 3) AS host,
+         |  regexp_extract(line, '$re', 4) AS tag,
+         |  regexp_extract(line, '$re', 5) AS pid,
+         |  regexp_extract(line, '$re', 6) AS msg
+         |FROM (SELECT event_id,
+         |        '<' || CAST(event_id % 192 AS VARCHAR) || '>Oct 11 22:14:15 h'
+         |        || CAST(user_id AS VARCHAR) || ' app[' || CAST(event_id % 97 AS VARCHAR)
+         |        || ']: ' || event_type || ' user=' || CAST(user_id AS VARCHAR) AS line
+         |      FROM events)""".stripMargin
+    },
+
+    "p36_syslog_rfc5424" -> {
+      val re = "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|\\[.*\\])(?: (.*))?$"
+      s"""SELECT event_id,
+         |  CAST(regexp_extract(line, '$re', 1) AS INT) AS priority,
+         |  CAST(floor(CAST(regexp_extract(line, '$re', 1) AS INT) / 8) AS INT) AS facility,
+         |  CAST(CAST(regexp_extract(line, '$re', 1) AS INT) % 8 AS INT) AS severity,
+         |  CAST(regexp_extract(line, '$re', 2) AS INT) AS version,
+         |  regexp_extract(line, '$re', 4) AS host,
+         |  regexp_extract(line, '$re', 5) AS app,
+         |  regexp_extract(line, '$re', 6) AS pid,
+         |  regexp_extract(line, '$re', 7) AS msgid,
+         |  regexp_extract(line, '$re', 8) AS sd,
+         |  regexp_extract(line, '$re', 9) AS msg
+         |FROM (SELECT event_id,
+         |        '<' || CAST(event_id % 192 AS VARCHAR) || '>1 2026-01-02T03:04:05Z h'
+         |        || CAST(user_id AS VARCHAR) || ' app ' || CAST(event_id % 97 AS VARCHAR)
+         |        || ' m' || CAST(event_id % 13 AS VARCHAR) || ' - ' || event_type AS line
+         |      FROM events)""".stripMargin
+    },
+
+    "p37_trace_scope" ->
+      """SELECT event_id,
+        |  hex(from_hex(md5(CAST(event_id AS VARCHAR)))) AS trace_hex,
+        |  CAST(octet_length(from_hex(md5(CAST(event_id AS VARCHAR)))) AS INT) AS trace_bytes,
+        |  hex(from_hex(substr(md5(CAST(event_id AS VARCHAR)), 1, 16))) AS span_hex,
+        |  event_type AS scope
+        |FROM events""".stripMargin,
+
+    "p38_multiline_recombine" -> withT(
+      """SELECT source, min(line_no) AS first_line,
+        |  string_agg(line, chr(10) ORDER BY line_no) AS entry
+        |FROM g GROUP BY source, grp""".stripMargin,
+      Seq("""g AS (
+        |  SELECT conv_id AS source, turn_idx AS line_no, text AS line,
+        |    sum(CASE WHEN regexp_matches(text, '^(CALL|TRACE|DEBUG|INFO|WARN|ERROR|FATAL) ')
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS grp
+        |  FROM transcripts)""".stripMargin)),
+
+    "p39_parse_xml" ->
+      "SELECT event_id, event_type AS t, event_id AS id FROM events",
+
+    "p40_flatten" ->
+      "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events",
 
     "e04_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -105,6 +105,13 @@ object Ottl {
     new java.util.HashMap[String, String]())
   def parseKeyValue(c: Column, pairSep: String = " ", kvSep: String = "="): Column =
     str_to_map(c, lit(pairSep), lit(kvSep))
+  /** ParseXML (func_parse_xml.go) — extract by XPath; string / attribute
+    * variants cover the converter's element+attribute access surface. */
+  def parseXmlString(c: Column, path: String): Column =
+    xpath_string(c, lit(path))
+  def parseXmlLong(c: Column, path: String): Column =
+    xpath_long(c, lit(path))
+
   def base64Decode(c: Column): Column = unbase64(c).cast("string")
 
   def sha1Hex(c: Column): Column = sha1(c.cast("binary"))

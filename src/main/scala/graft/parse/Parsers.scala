@@ -48,6 +48,30 @@ object Parsers {
       regexp_extract(c, Syslog3164, 6).as("msg"))
   }
 
+  /** RFC5424 syslog parse (`parser/syslog/parser.go:152` RFC5424 branch):
+    * `<PRI>VERSION TIMESTAMP HOSTNAME APP-NAME PROCID MSGID SD MSG` →
+    * struct(priority, facility, severity, version, stamp, host, app, pid,
+    * msgid, sd, msg). Nil fields arrive as the literal `-` per the RFC;
+    * structured data is kept raw (`[id k="v"...]` or `-`). */
+  private val Syslog5424 =
+    "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|\\[.*\\])(?: (.*))?$"
+
+  def parseSyslog5424(c: Column): Column = {
+    val pri = regexp_extract(c, Syslog5424, 1).cast("int")
+    struct(
+      pri.as("priority"),
+      (pri / 8).cast("int").as("facility"),
+      pmod(pri, lit(8)).cast("int").as("severity"),
+      regexp_extract(c, Syslog5424, 2).cast("int").as("version"),
+      regexp_extract(c, Syslog5424, 3).as("stamp"),
+      regexp_extract(c, Syslog5424, 4).as("host"),
+      regexp_extract(c, Syslog5424, 5).as("app"),
+      regexp_extract(c, Syslog5424, 6).as("pid"),
+      regexp_extract(c, Syslog5424, 7).as("msgid"),
+      regexp_extract(c, Syslog5424, 8).as("sd"),
+      regexp_extract(c, Syslog5424, 9).as("msg"))
+  }
+
   /** scope parser (`parser/scope/parser.go:20`): set scope from a field. */
   def parseScope(c: Column): Column = c.as("scope")
 

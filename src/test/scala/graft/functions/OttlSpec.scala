@@ -75,6 +75,12 @@ class OttlSpec extends SparkSpec {
     assert(eval1[String](Ottl.base64Decode(lit("aGVsbG8="))) == "hello")
   }
 
+  test("ParseXML: element text and attribute by xpath") {
+    val xml = lit("""<e id="7"><t>view</t></e>""")
+    assert(eval1[String](Ottl.parseXmlString(xml, "/e/t")) == "view")
+    assert(eval1[Long](Ottl.parseXmlLong(xml, "/e/@id")) == 7L)
+  }
+
   test("hashing: sha1 / sha256 / fnv-1a bit-exact") {
     assert(eval1[String](Ottl.sha1Hex(lit("abc")))
       == "a9993e364706816aba3e25717850c26c9cd0d89d")

@@ -35,6 +35,30 @@ class ParsersSpec extends SparkSpec {
     assert(r.getString(6) == "'su root' failed for lonvick")
   }
 
+  test("RFC5424 syslog parse extracts header fields, SD, and message") {
+    val line = "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog 1234 ID47 " +
+      "[exampleSDID@32473 iut=\"3\"] BOMAn application event log entry"
+    val r = Seq(Tuple1(line)).toDF("s")
+      .select(Parsers.parseSyslog5424(col("s")).as("p"))
+      .select("p.priority", "p.facility", "p.severity", "p.version", "p.stamp",
+        "p.host", "p.app", "p.pid", "p.msgid", "p.sd", "p.msg")
+      .head()
+    assert(r.getInt(0) == 165 && r.getInt(1) == 20 && r.getInt(2) == 5)
+    assert(r.getInt(3) == 1)
+    assert(r.getString(4) == "2003-10-11T22:14:15.003Z")
+    assert(r.getString(5) == "mymachine.example.com" && r.getString(6) == "evntslog")
+    assert(r.getString(7) == "1234" && r.getString(8) == "ID47")
+    assert(r.getString(9) == "[exampleSDID@32473 iut=\"3\"]")
+    assert(r.getString(10) == "BOMAn application event log entry")
+  }
+
+  test("RFC5424 syslog parse with nil SD and no message") {
+    val r = Seq(Tuple1("<34>1 2026-01-02T03:04:05Z h7 app 42 m3 -")).toDF("s")
+      .select(Parsers.parseSyslog5424(col("s")).as("p"))
+      .select("p.priority", "p.sd", "p.msg").head()
+    assert(r.getInt(0) == 34 && r.getString(1) == "-" && r.getString(2) == "")
+  }
+
   test("newline split + multiline recombine by start pattern") {
     val blob = "ERROR boom\n  at frame1\n  at frame2\nINFO ok\nERROR again\n  at frameX"
     val lines = Parsers.splitLines(Seq(("f1", blob)).toDF("src", "blob"), "blob", "src")
