@@ -476,13 +476,14 @@ object SparkEntry {
     }),
 
     "p39_parse_xml" -> ((s, dir) => {
-      // OTTL ParseXML converter (ottlfuncs/func_parse_xml.go) — element
-      // text + attribute extraction by XPath
+      // OTTL ParseXML converter (ottlfuncs/func_parse_xml.go) — one
+      // from_xml pass per row extracts element text + attribute together
       val x = concat(lit("<e id=\""), col("event_id").cast("string"),
         lit("\"><t>"), col("event_type"), lit("</t></e>"))
-      events(s, dir).select(col("event_id"),
-        graft.functions.Ottl.parseXmlString(x, "/e/t").as("t"),
-        graft.functions.Ottl.parseXmlLong(x, "/e/@id").as("id"))
+      events(s, dir)
+        .select(col("event_id"),
+          graft.functions.Ottl.parseXml(x, "t string, _id bigint").as("p"))
+        .select(col("event_id"), col("p.t").as("t"), col("p._id").as("id"))
     }),
 
     "p40_flatten" -> ((s, dir) =>

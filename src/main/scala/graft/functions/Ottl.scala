@@ -105,8 +105,13 @@ object Ottl {
     new java.util.HashMap[String, String]())
   def parseKeyValue(c: Column, pairSep: String = " ", kvSep: String = "="): Column =
     str_to_map(c, lit(pairSep), lit(kvSep))
-  /** ParseXML (func_parse_xml.go) — extract by XPath; string / attribute
-    * variants cover the converter's element+attribute access surface. */
+  /** ParseXML (func_parse_xml.go) — document → typed struct via the
+    * native XML parser (one StAX pass per row; attributes surface with
+    * the `_` prefix). Preferred at scale over per-path XPath, which
+    * builds a DOM per row per path. */
+  def parseXml(c: Column, schemaDdl: String): Column =
+    from_xml(c, lit(schemaDdl), new java.util.HashMap[String, String]())
+  /** XPath-style access variants of ParseXML (element / numeric). */
   def parseXmlString(c: Column, path: String): Column =
     xpath_string(c, lit(path))
   def parseXmlLong(c: Column, path: String): Column =

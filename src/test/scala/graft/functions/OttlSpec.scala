@@ -81,6 +81,13 @@ class OttlSpec extends SparkSpec {
     assert(eval1[Long](Ottl.parseXmlLong(xml, "/e/@id")) == 7L)
   }
 
+  test("ParseXML: single-pass from_xml struct (element + attribute)") {
+    val r = Seq(Tuple1("""<e id="7"><t>view</t></e>""")).toDF("s")
+      .select(Ottl.parseXml(col("s"), "t string, _id bigint").as("p"))
+      .select("p.t", "p._id").as[(String, Long)].head()
+    assert(r == (("view", 7L)))
+  }
+
   test("hashing: sha1 / sha256 / fnv-1a bit-exact") {
     assert(eval1[String](Ottl.sha1Hex(lit("abc")))
       == "a9993e364706816aba3e25717850c26c9cd0d89d")
