@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incremental batch ingest — the batch rendering of the filelog
+  * receiver's fingerprint + offset resume (`pkg/stanza/fileconsumer/
+  * internal/reader/reader.go:22-28`, `internal/checkpoint/checkpoint.go:
+  * 20-94` in `/root/reference`).
+  *
+  * The streaming mode gets this for free from Structured Streaming's
+  * file-source offsets; in batch mode each run should process only the
+  * table files that appeared since the last committed run. The unit of
+  * ingest is a whole immutable data file (parquet files never grow in
+  * place), so the fingerprint is `path|length` — the analog of the
+  * reference's head-bytes fingerprint for append-only logs.
+  *
+  * Protocol (all object-store-safe, no appends):
+  *   1. [[plan]] lists the table, subtracts the fingerprints already in
+  *      the manifest, and returns the new files.
+  *   2. The caller processes ONLY those files and writes its outputs
+  *      idempotently (overwrite-by-partition / [[graft.run.Lineage]]).
+  *   3. The caller invokes `commit()`, which atomically replaces the
+  *      manifest (write temp + rename) with old ∪ new.
+  * A crash between 2 and 3 re-processes the same new files next run —
+  * exactly-once at the sink via the idempotent write, at-least-once at
+  * the source, the same contract as the reference's checkpointing.
+  */
+object Incremental {
+
+  final case class Plan(newFiles: Seq[String], commit: () => Unit) {
+    def isEmpty: Boolean = newFiles.isEmpty
+  }
+
+  private def manifestPath(ckptDir: String) = new Path(ckptDir, "ingest_manifest.list")
+
+  /** List table data files not yet committed; `commit()` marks them done. */
+  def plan(spark: SparkSession, tablePath: String, ckptDir: String,
+           suffix: String = ".parquet"): Plan = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val current = fs.listStatus(table)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(suffix))
+      .map(f => s"${f.getPath.toUri.getPath}|${f.getLen}")
+      .toSeq.sorted
+    val mp = manifestPath(ckptDir)
+    val mfs = mp.getFileSystem(conf)
+    val seen: Set[String] =
+      if (mfs.exists(mp)) {
+        val in = mfs.open(mp)
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty).toSet
+        finally in.close()
+      } else Set.empty
+    val fresh = current.filterNot(seen)
+    Plan(fresh, () => {
+      val tmp = new Path(ckptDir, s"ingest_manifest.tmp")
+      mfs.mkdirs(new Path(ckptDir))
+      val out = mfs.create(tmp, true)
+      try out.write((seen ++ fresh).toSeq.sorted.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (mfs.exists(mp)) mfs.delete(mp, false)
+      mfs.rename(tmp, mp)
+    })
+  }
+
+  /** Read just the not-yet-committed files of a parquet table (empty
+    * DataFrame with the table's schema when nothing is new). */
+  def readNew(spark: SparkSession, tablePath: String, ckptDir: String): (DataFrame, Plan) = {
+    val p = plan(spark, tablePath, ckptDir)
+    val df =
+      if (p.isEmpty) spark.read.parquet(tablePath).limit(0)
+      else spark.read.parquet(p.newFiles.map(_.split('|')(0)): _*)
+    (df, p)
+  }
+}

@@ -1,0 +1,36 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental ingest: only new files; crash before commit re-reads them") {
+    val table = Files.createTempDirectory("inc_table").toString
+    val ckpt = Files.createTempDirectory("inc_ckpt").toString
+
+    (1 to 100).toDF("v").repartition(2).write.mode("append").parquet(table)
+    val (df1, p1) = Incremental.readNew(spark, table, ckpt)
+    assert(df1.count() == 100 && p1.newFiles.size == 2)
+
+    // crash before commit: the same files are planned again (at-least-once)
+    val (df1b, _) = Incremental.readNew(spark, table, ckpt)
+    assert(df1b.count() == 100)
+
+    p1.commit()
+    val (df2, p2) = Incremental.readNew(spark, table, ckpt)
+    assert(p2.isEmpty && df2.count() == 0)
+
+    // append a second batch: only its files are planned
+    (101 to 130).toDF("v").repartition(1).write.mode("append").parquet(table)
+    val (df3, p3) = Incremental.readNew(spark, table, ckpt)
+    assert(p3.newFiles.size == 1)
+    assert(df3.as[Int].collect().toSet == (101 to 130).toSet)
+    p3.commit()
+
+    val (_, p4) = Incremental.readNew(spark, table, ckpt)
+    assert(p4.isEmpty)
+  }
+}
