@@ -59,6 +59,20 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(5L), sigs(17L)) > 16, "random pair suspiciously close")
   }
 
+  test("simhash custom expression is bit-identical to the HOF rendering") {
+    val probes = corpus.limit(40)
+      .select(Dedup.simhash64(col("text")).as("fast"),
+        Dedup.simhash64Hof(col("text")).as("slow"))
+      .as[(Long, Long)].collect()
+    assert(probes.nonEmpty && probes.forall { case (f, h) => f == h })
+    // edge shapes: empty string, delimiters only, multi-space runs
+    val edges = Seq("", " ", "  ", "a", "a b", " a  b ").toDF("text")
+      .select(Dedup.simhash64(col("text")).as("fast"),
+        Dedup.simhash64Hof(col("text")).as("slow"))
+      .as[(Long, Long)].collect()
+    assert(edges.forall { case (f, h) => f == h })
+  }
+
   test("simhash blocked near-dup join finds exact dups") {
     val out = Dedup.nearDupSimhash(corpus, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
