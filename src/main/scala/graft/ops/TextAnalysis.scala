@@ -83,6 +83,13 @@ object TextAnalysis {
     * single-character change flips it. Modular (not wrapping) so
     * engines that trap on bigint overflow reproduce it. */
   def fingerprint(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.RollingFingerprint(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
+  /** Declarative HOF rendering of [[fingerprint]] (differential oracle
+    * for the one-pass codegen expression — bit-identical, ~50× slower). */
+  def fingerprintHof(text: Column): Column =
     aggregate(split(text, ""), lit(0L),
       (acc, ch) => pmod(acc * 31 + ascii(ch), lit(2147483647L)))
 

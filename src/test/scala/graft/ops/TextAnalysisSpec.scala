@@ -49,4 +49,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) == fps(2) && fps(0) != fps(1))
     assert(fps.forall(f => f >= 0 && f < 2147483647L))
   }
+
+  test("fingerprint custom expression is bit-identical to the HOF rendering") {
+    val df = Seq("", "a", "abc def", "über café", "emoji 🌀 tail",
+      "long " * 40).toDF("text")
+    val pairs = df.select(TextAnalysis.fingerprint(col("text")).as("fast"),
+      TextAnalysis.fingerprintHof(col("text")).as("slow"))
+      .as[(Long, Long)].collect()
+    assert(pairs.forall { case (f, h) => f == h },
+      s"mismatch: ${pairs.mkString(",")}")
+  }
 }
