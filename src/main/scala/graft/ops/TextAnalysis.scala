@@ -32,12 +32,23 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans")
   )
 
+  /** One-pass codegen count of lowered whitespace tokens in `words`
+    * ([[graft.functions.StopwordCount]]) — replaces the interpreted
+    * `size(filter(split(lower(text)), isin))` lambda in the hot paths. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.StopwordCount(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), words))
+
+  /** Declarative HOF rendering of [[stopwordCount]] (differential oracle). */
+  def stopwordCountHof(text: Column, words: Seq[String]): Column =
+    size(filter(split(lower(text), "\\s+"), t => t.isin(words: _*)))
+
   /** Heuristic language ID: the language whose stopword bank hits the
     * most tokens; "und" (undetermined) when nothing hits. */
   def langId(text: Column): Column = {
-    val toks = split(lower(text), "\\s+")
     val scored = stopwordBanks.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(size(filter(toks, t => t.isin(words: _*))).as("hits"), lit(lang).as("lang"))
+      struct(stopwordCount(text, words).as("hits"), lit(lang).as("lang"))
     }
     when(greatest(scored: _*).getField("hits") > 0,
       greatest(scored: _*).getField("lang")).otherwise(lit("und"))
@@ -55,8 +66,7 @@ object TextAnalysis {
     val nChar = length(text).cast("double")
     val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}]", "")).cast("double")
     val digits = length(regexp_replace(text, "[^0-9]", "")).cast("double")
-    val stops = size(filter(split(lower(text), "\\s+"),
-      t => t.isin(stopwordBanks("en"): _*))).cast("double")
+    val stops = stopwordCount(text, stopwordBanks("en")).cast("double")
     val meanTokLen = (nChar - (nTok - 1)) / nTok
     val punctRatio = punct / nChar
     val stopRatio = stops / nTok

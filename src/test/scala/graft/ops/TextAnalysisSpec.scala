@@ -50,6 +50,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps.forall(f => f >= 0 && f < 2147483647L))
   }
 
+  test("stopword count expression matches the HOF rendering") {
+    val en = TextAnalysis.stopwordBanks("en")
+    val df = Seq("", " ", "THE the The", "a  b\tthe\nof", "xthe thex the.",
+      "für die straße", "the " * 30).toDF("text")
+    val pairs = df.select(TextAnalysis.stopwordCount(col("text"), en).as("fast"),
+      TextAnalysis.stopwordCountHof(col("text"), en).as("slow"))
+      .as[(Int, Int)].collect()
+    assert(pairs.forall { case (f, h) => f == h }, s"mismatch: ${pairs.mkString(",")}")
+    assert(pairs(2) == ((3, 3))) // case-insensitivity really engaged
+  }
+
   test("fingerprint custom expression is bit-identical to the HOF rendering") {
     val df = Seq("", "a", "abc def", "über café", "emoji 🌀 tail",
       "long " * 40).toDF("text")
