@@ -27,7 +27,8 @@ import graft.synth.TranscriptSynth
   */
 object Bench {
 
-  private val HeavyAtScale = Set("d05_jaccard_pairs_brute", "d07_minhash_lsh_neardups")
+  private val HeavyAtScale = Set("d05_jaccard_pairs_brute", "d07_minhash_lsh_neardups",
+    "e04_embedding_neardup")
 
   private def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()
