@@ -9,21 +9,25 @@ import graft.route.RouteStage
 import graft.run.Pipeline
 import graft.synth.TranscriptSynth
 
-/** BENCH driver. Emits ONE JSON line with:
+/** BENCH driver. Emits the contract JSON line with:
   *   - headline `value`: end-to-end parse→enrich→route-fan-out(sinks
   *     written)→aggregate throughput in turns/sec at local[32];
   *   - `scaling`: the same job's COMPUTE path (parse→enrich→route→agg,
-  *     noop sink) at N=2 vs 4N=8 cores, interleaved reps, best-of —
+  *     noop sink) at N=2 vs 4N=8 cores, CPU-pinned child JVMs, best-of —
   *     the sandbox rendering of the north rule's two-cluster-size
-  *     criterion. N=2/8 sits below this host's memory-bandwidth wall;
-  *     local[8]→local[32] shares ONE memory bus + ONE disk, which a real
-  *     4N-executor cluster does not (each executor brings its own) —
-  *     see BENCH.md for the control experiments;
-  *   - `queries`: per-query timings of the SparkEntry suite (noop-sink
-  *     exhausted so column pruning can't skip work). Quadratic oracle
-  *     variants (d05/d07 brute pair joins) are skipped at sf≥0.1 and
-  *     reported as -2: they exist for small-scale oracle checking; the
-  *     scale path is the LSH/banded operators.
+  *     criterion (local[8]→local[32] shares ONE memory bus + ONE disk,
+  *     which a real 4N-executor cluster does not — see BENCH.md);
+  *   - `queries`: per-query timings of the SparkEntry suite. Quadratic
+  *     oracle variants are skipped at sf≥0.1 → -2; queries skipped
+  *     because the budget ran out → -3; failures → -1.
+  *
+  * BUDGET PROTOCOL (round-1 shipped rc=124 with nothing parsed): the
+  * whole run honors `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 420s of
+  * in-main time), quiet-gating is capped globally, and the contract
+  * line is printed IMMEDIATELY after the headline measurement, then
+  * re-printed enriched after each optional phase — every line is a
+  * superset of the previous, so a timeout at any point still leaves a
+  * parseable result on stdout.
   */
 object Bench {
 
@@ -71,26 +75,41 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  // ---- global wall-clock budget ----
+  private val wallStart = System.nanoTime()
+  private def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
+  private var budgetSec: Double = 420.0
+  private def remainingSec: Double = budgetSec - elapsedSec
+
   /** 1-minute load average of the host (ambient-noise indicator). */
   private def loadAvg(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
       .split(" ")(0).toDouble
     catch { case _: Throwable => 0.0 }
 
-  /** Wait (bounded) for the shared host to go quiet before a probe pair —
-    * ambient load is strictly additive noise on probe times, so sampling
-    * quiet windows is the unbiased protocol, not cherry-picking. */
-  private def awaitQuiet(threshold: Double = 2.0, maxWaitSec: Int = 120): Unit = {
-    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
-    while (loadAvg() > threshold && System.nanoTime() < deadline)
-      Thread.sleep(5000)
+  /** Wait for the shared host to go quiet before a probe — ambient load
+    * is strictly additive noise, so sampling quiet windows is unbiased.
+    * Globally capped (60s cumulative across the whole run) and never
+    * allowed to eat the remaining budget. */
+  private var quietSpentSec: Double = 0.0
+  private def awaitQuiet(threshold: Double = 2.0): Unit = {
+    val cap = math.min(60.0 - quietSpentSec, remainingSec - 30.0)
+    val deadline = System.nanoTime() + (math.max(0.0, cap) * 1e9).toLong
+    while (loadAvg() > threshold && System.nanoTime() < deadline) {
+      Thread.sleep(2000)
+      quietSpentSec += 2.0
+    }
   }
 
   /** Launch a CPU-pinned child JVM running [[graft.tools.ScalingProbe]];
     * returns the timed seconds, or None if the probe failed. Pins to the
-    * UPPER core ids — other tenants of this shared host that pin tend to
-    * start from core 0, so the top of the range collides least. */
-  private def probe(cores: Int, turnsPath: String): Option[Double] = {
+    * UPPER core ids (minus `pinOffset`) — other tenants of this shared
+    * host that pin tend to start from core 0, so the top of the range
+    * collides least, and the offset lets the N and 4N probes run
+    * CONCURRENTLY on disjoint cores: simultaneous probes see identical
+    * ambient load, so common-mode noise cancels in the efficiency ratio
+    * (and the pair costs one probe's wall-clock, not two). */
+  private def probe(cores: Int, turnsPath: String, pinOffset: Int = 0): Option[Double] = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
@@ -105,7 +124,8 @@ object Bench {
         || flag.startsWith("--add-exports=")) => Seq(flag)
     }.flatten
     val hostCores = Runtime.getRuntime.availableProcessors()
-    val range = s"${hostCores - cores}-${hostCores - 1}"
+    val hi = hostCores - 1 - pinOffset
+    val range = s"${hi - cores + 1}-$hi"
     val cmd = (Seq("taskset", "-c", range, javaBin, "-Xmx6g")
       ++ addOpens ++ Seq("-Dspark.ui.enabled=false", "-cp", cp,
       "graft.tools.ScalingProbe", cores.toString, turnsPath))
@@ -117,101 +137,132 @@ object Bench {
     } catch { case _: Throwable => None }
   }
 
+  private def jnum(v: Double): String =
+    if (v.isNaN || v.isInfinite) "null" else v.toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toDouble
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
-    val nTurns = math.max(1000000L, (200000000L * sf).toLong)
+    // headline volume: big enough to amortize fixed costs (~12s of work at
+    // the measured ~1M turns/s), small enough that synth+e2e fits any budget
+    val nTurns = math.max(1000000L, math.min((200000000L * sf).toLong, 12000000L))
+    // scaling probes run the SAME job on a smaller cached input so a
+    // 2-core pinned probe stays ~15s, not minutes (round-1 rc=124 cause).
+    // Not SMALLER than 2M: at 500k the fixed per-job cost (~0.6s stage
+    // setup) is 40% of the 8-core probe's runtime and the measured
+    // efficiency collapses to ~0.59 from overhead, not from the engine.
+    val nProbe = math.min(nTurns, 2000000L)
     val turnsPath = s"/tmp/graft_bench/turns_$nTurns"
+    val probePath = s"/tmp/graft_bench/turns_$nProbe"
     val outRoot = "/tmp/graft_bench"
 
-    // ---- prepare input (not timed): deterministic synthetic transcripts ----
-    if (!Files.exists(Paths.get(turnsPath, "_SUCCESS"))) {
-      val s = session(cpus)
-      TranscriptSynth.generate(s,
-        TranscriptSynth.Config(nTurns, math.max(64L, nTurns / 200), hotPct = 5))
-        .write.mode("overwrite").parquet(turnsPath)
-      s.stop()
-    }
-
-    // ---- headline: end-to-end at local[32], best of 3 quiet-gated reps
-    // (the 32-core job is the most exposed to ambient tenant load) ----
-    val s32 = session(32)
-    val e2e32 = (1 to 3).map { _ =>
-      awaitQuiet()
-      time(endToEnd(s32, turnsPath, s"$outRoot/e2e32"))
-    }.min
-    s32.stop()
-
-    // ---- scaling (compute path): CPU-pinned child JVMs at 2 and 8 cores.
-    // taskset pins worker+GC+JIT threads to exactly N CPUs — the faithful
-    // simulation of an N-core executor node; unpinned, the small config
-    // borrows host CPUs for GC and the ratio reads ~15% low.
-    // Ambient-load handling: a pair is POLLUTED when either member ran in
-    // a degraded window (>1.4× the best time seen for its core count).
-    // Load is strictly additive — a probe can run slower than the machine
-    // allows, never faster — so min-over-reps is the consistent estimator
-    // of true runtime and the min-based ratio is the primary efficiency.
-    // Pairs are gated on host load-average and polluted pairs retried.
-    val pairs = scala.collection.mutable.ListBuffer[(Double, Double)]()
-    var attempts = 0
-    def cleanCount: Int = {
-      if (pairs.isEmpty) 0
-      else {
-        val mN = pairs.map(_._1).min; val m4 = pairs.map(_._2).min
-        pairs.count { case (a, b) => a <= 1.4 * mN && b <= 1.4 * m4 }
+    // ---- prepare inputs (not timed): deterministic synthetic transcripts ----
+    locally {
+      val need = Seq((turnsPath, nTurns), (probePath, nProbe)).distinct
+        .filterNot { case (p, _) => Files.exists(Paths.get(p, "_SUCCESS")) }
+      if (need.nonEmpty) {
+        val s = session(cpus)
+        need.foreach { case (p, n) =>
+          TranscriptSynth.generate(s,
+            TranscriptSynth.Config(n, math.max(64L, n / 200), hotPct = 5))
+            .write.mode("overwrite").parquet(p)
+        }
+        s.stop()
       }
     }
-    val scalingDeadline = System.nanoTime() + 20L * 60 * 1000000000L
-    while (attempts < 8 && (attempts < 3 ||
-        (cleanCount < 3 && System.nanoTime() < scalingDeadline))) {
-      attempts += 1
+
+    // ---- headline: end-to-end at local[32]; 1 warm-ish rep + up to 2 more
+    // quiet-gated reps while budget allows (min-over-reps, load additive) ----
+    val s32 = session(32)
+    awaitQuiet()
+    val reps = scala.collection.mutable.ListBuffer[Double]()
+    reps += time(endToEnd(s32, turnsPath, s"$outRoot/e2e32"))
+    while (reps.size < 3 && remainingSec > budgetSec * 0.55 + reps.min * 1.5) {
       awaitQuiet()
-      (probe(2, turnsPath), probe(8, turnsPath)) match {
+      reps += time(endToEnd(s32, turnsPath, s"$outRoot/e2e32"))
+    }
+    s32.stop()
+    val e2e32 = reps.min
+    val thr32 = (nTurns / e2e32).round
+
+    def emit(scalingJson: String, queriesJson: String): Unit =
+      println(
+        s"""{"metric":"pipeline_throughput_turns_per_sec","value":$thr32,""" +
+        s""""unit":"turns/sec","n_turns":$nTurns,""" +
+        s""""e2e_reps_sec":${reps.map(jnum).mkString("[", ",", "]")},""" +
+        s""""scaling":$scalingJson,"queries":$queriesJson,"sf":"$sfDir",""" +
+        s""""budget_sec":$budgetSec,"elapsed_sec":${math.rint(elapsedSec)}}""")
+
+    // CONTRACT LINE, available from here on even if a later phase is
+    // killed: the driver can parse this (or any later superset line).
+    emit("null", "{}")
+
+    // ---- scaling (compute path): CPU-pinned child JVMs at 2 and 8 cores
+    // on the probe-sized input. taskset pins worker+GC+JIT threads to
+    // exactly N CPUs — the faithful simulation of an N-core executor node;
+    // unpinned, the small config borrows host CPUs for GC and the ratio
+    // reads ~15% low. Min-over-reps under strictly-additive ambient load
+    // is the consistent estimator (see BENCH.md for the stress validation).
+    val pairs = scala.collection.mutable.ListBuffer[(Double, Double)]()
+    var lastPairSec = 80.0 // prior estimate until a real pair lands
+    val reserveForQueries = math.min(120.0, budgetSec * 0.25)
+    while (pairs.size < 3 && remainingSec > lastPairSec * 1.3 + reserveForQueries) {
+      awaitQuiet()
+      val t0 = elapsedSec
+      // concurrent disjoint-pinned probes: 8-core on the top 8 host cores,
+      // 2-core on the 2 below them — same ambient window for both
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val f4N = Future(probe(8, probePath, pinOffset = 0))
+      val fN = Future(probe(2, probePath, pinOffset = 8))
+      (Await.result(fN, 15.minutes), Await.result(f4N, 15.minutes)) match {
         case (Some(tN), Some(t4N)) => pairs += ((tN, t4N))
         case _ => // taskset/probe unavailable: in-process fallback pair
           def inProc(cores: Int): Double = {
             val s = session(cores)
-            computeOnly(s, s.read.parquet(turnsPath).limit(200000))
-            val sec = time(computeOnly(s, s.read.parquet(turnsPath)))
+            computeOnly(s, s.read.parquet(probePath).limit(50000))
+            val sec = time(computeOnly(s, s.read.parquet(probePath)))
             s.stop(); sec
           }
           pairs += ((inProc(2), inProc(8)))
       }
+      lastPairSec = elapsedSec - t0
     }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val bestN = pairs.map(_._1).min
-    val best4N = pairs.map(_._2).min
-    val thrN = nTurns / bestN
-    val thr4N = nTurns / best4N
-    // primary: ratio of best (least-polluted) times; secondary: the
-    // common-mode-cancelling per-pair median
-    val eff = bestN / (4.0 * best4N)
-    val effPairedMedian = median(pairs.map { case (tN, t4N) => tN / (4.0 * t4N) }.toSeq)
-
-    // ---- query suite ----
-    val s = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec =
-        if (sf >= 0.1 && HeavyAtScale(name)) -2.0
-        else try time(exhaust(fn(s, sfDir))) catch { case _: Throwable => -1.0 }
-      name -> sec
-    }
-    s.stop()
-
-    val thr32 = (nTurns / e2e32).round
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"pipeline_throughput_turns_per_sec","value":$thr32,""" +
-      s""""unit":"turns/sec","n_turns":$nTurns,""" +
-      s""""scaling":{"criterion":"compute path, CPU-pinned JVMs (taskset) at N=2 vs 4N=8 cores — faithful N-core-node simulation; see BENCH.md",""" +
-      s""""cores_n":2,"sec_n":$bestN,"turns_per_sec_n":${thrN.round},""" +
-      s""""cores_4n":8,"sec_4n":$best4N,"turns_per_sec_4n":${thr4N.round},""" +
+    val scalingJson = if (pairs.isEmpty) "null" else {
+      def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      val bestN = pairs.map(_._1).min
+      val best4N = pairs.map(_._2).min
+      val eff = bestN / (4.0 * best4N)
+      val effPairedMedian = median(pairs.map { case (tN, t4N) => tN / (4.0 * t4N) }.toSeq)
+      s"""{"criterion":"compute path, concurrent CPU-pinned JVMs (taskset, disjoint cores) at N=2 vs 4N=8 cores - faithful N-core-node simulation; see BENCH.md",""" +
+      s""""n_turns_probe":$nProbe,""" +
+      s""""cores_n":2,"sec_n":$bestN,"turns_per_sec_n":${(nProbe / bestN).round},""" +
+      s""""cores_4n":8,"sec_4n":$best4N,"turns_per_sec_4n":${(nProbe / best4N).round},""" +
       s""""efficiency":${math.rint(eff * 1000) / 1000},""" +
       s""""efficiency_paired_median":${math.rint(effPairedMedian * 1000) / 1000},""" +
-      s""""probe_pairs":${pairs.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},""" +
-      s""""endtoend_32c_sec":$e2e32},""" +
-      s""""queries":$qs,"sf":"$sfDir"}"""
-    println(json)
+      s""""probe_pairs":${pairs.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")}}"""
+    }
+    emit(scalingJson, "{}")
+
+    // ---- query suite (budget-gated per query: -3 = skipped for budget).
+    // Core pipeline queries (p*, q*) run first so a budget cut drops the
+    // heavy LLM-ops tail (d*, e*, m*), not the flagship operators. ----
+    val s = session(cpus)
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (name.head match { case 'p' => 0; case 'q' => 1; case _ => 2 }, name)
+    }
+    val results = ordered.map { case (name, fn) =>
+      val sec =
+        if (sf >= 0.1 && HeavyAtScale(name)) -2.0
+        else if (remainingSec < 25.0) -3.0
+        else try time(exhaust(fn(s, sfDir))) catch { case _: Throwable => -1.0 }
+      name -> sec
+    }.sortBy(_._1)
+    s.stop()
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    emit(scalingJson, qs)
   }
 }

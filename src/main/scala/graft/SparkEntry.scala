@@ -494,6 +494,29 @@ object SparkEntry {
           new java.util.HashMap[String, String]()).as("s"))
         .select(col("event_id"), col("s.*"))),
 
+    // -- expression language (OTTL/EXPR strings → Column; §2.8) --
+    "p41_route_string_config" -> ((s, dir) =>
+      // identical routing to p08 but the predicates are parsed from OTTL
+      // condition STRINGS (Pipeline.routeConditionStrings → ExprLang) —
+      // the config-text path of pkg/ottl/parser.go statement compilation
+      RouteStage.tagged(Pipeline.parseEnrich(s, t(s, dir)), Pipeline.routeTableFromStrings)
+        .groupBy("route").agg(count(lit(1)).as("n"))),
+
+    "p42_expr_template" -> ((s, dir) =>
+      // stanza EXPR(...) string template (helper/expr_string.go:29-88)
+      t(s, dir).select(col("conv_id"), col("turn_idx"),
+        graft.expr.ExprLang.template(
+          "turn-EXPR(turn_idx) role=EXPR(ToUpperCase(role))",
+          Pipeline.exprResolver).as("tag"))),
+
+    "p43_count_string_conditions" -> ((s, dir) =>
+      // count connector driven by string conditions, OR-ed like the
+      // reference's ConditionSequence (parser.go:332-340)
+      t(s, dir).filter(graft.expr.ExprLang.anyOf(
+          Seq("""IsMatch(body, "^CALL ")""", """role == "user""""),
+          Pipeline.exprResolver))
+        .groupBy("role").agg(count(lit(1)).as("n"))),
+
     // -- training-data ops: similarity search --
     "e01_ann_bruteforce" -> ((s, dir) => {
       val q = embeddingQuery(s, dir)
@@ -659,9 +682,9 @@ object SparkEntry {
 
     "p16_delta_to_cumulative" ->
       """SELECT event_id, user_id,
-        |  sum(CAST(round(value*100) AS BIGINT)) OVER
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id
-        |     ROWS UNBOUNDED PRECEDING) AS cum_cents
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
         |FROM events""".stripMargin,
 
     "p17_cumulative_to_delta" ->
@@ -687,7 +710,7 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1""".stripMargin,
 
     "p20_aggregate_labels" ->
-      """SELECT event_type, sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+      """SELECT event_type, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1""".stripMargin,
 
     "p21_redaction" -> withT(
@@ -732,14 +755,14 @@ object SparkEntry {
          |  CAST(floor(CAST(regexp_extract(text, '$P1', 3) AS BIGINT) / 2000) AS BIGINT) AS lin_bucket,
          |  CAST(length(printf('%b', CAST(regexp_extract(text, '$P1', 3) AS BIGINT))) - 1 AS BIGINT) AS exp_bucket,
          |  count(*) AS calls,
-         |  sum(CAST(regexp_extract(text, '$P1', 3) AS BIGINT)) AS sum_dur_ms
+         |  CAST(sum(CAST(regexp_extract(text, '$P1', 3) AS BIGINT)) AS BIGINT) AS sum_dur_ms
          |FROM transcripts
          |WHERE regexp_matches(text, '$P1')
          |  AND CAST(regexp_extract(text, '$P1', 3) AS BIGINT) > 0
          |GROUP BY 1, 2, 3""".stripMargin),
 
     "p29_metrics_generation" -> withT(
-      s"""SELECT tool, sum(CAST(regexp_extract(text, '$P1', 3) AS BIGINT)) AS total_dur,
+      s"""SELECT tool, CAST(sum(CAST(regexp_extract(text, '$P1', 3) AS BIGINT)) AS BIGINT) AS total_dur,
          |  count(*) AS calls,
          |  CAST(floor(sum(CAST(regexp_extract(text, '$P1', 3) AS BIGINT))
          |       / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_dur_floor
@@ -768,18 +791,18 @@ object SparkEntry {
 
     "q01_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "q02_orders_customer_join" ->
       """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
-        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2""".stripMargin,
 
     "q03_topk_order_limit" ->
-      """SELECT o_custkey, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS spend_cents
+      """SELECT o_custkey, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_cents
         |FROM orders GROUP BY 1
         |ORDER BY spend_cents DESC, o_custkey LIMIT 10""".stripMargin,
 
@@ -812,7 +835,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "d04_lang_source_counts" ->
-      """SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars
+      """SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "d05_jaccard_pairs_brute" ->
@@ -942,6 +965,25 @@ object SparkEntry {
 
     "p40_flatten" ->
       "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events",
+
+    "p41_route_string_config" -> withT(
+      s"""SELECT CASE
+         |  WHEN tool <> '' AND regexp_matches(text, '$P1') THEN 'tool_calls'
+         |  WHEN NOT regexp_matches(text, '$P1') AND regexp_matches(text, '$P2')
+         |       AND regexp_extract(text, '$P2', 1) IN ('ERROR','FATAL') THEN 'errors'
+         |  WHEN role = 'user' THEN 'user_turns'
+         |  ELSE 'default' END AS route, count(*) AS n
+         |FROM transcripts GROUP BY 1""".stripMargin),
+
+    "p42_expr_template" -> withT(
+      """SELECT conv_id, turn_idx,
+        |  'turn-' || CAST(turn_idx AS VARCHAR) || ' role=' || upper(role) AS tag
+        |FROM transcripts""".stripMargin),
+
+    "p43_count_string_conditions" -> withT(
+      s"""SELECT role, count(*) AS n FROM transcripts
+         |WHERE regexp_matches(text, '^CALL ') OR role = 'user'
+         |GROUP BY 1""".stripMargin),
 
     "e04_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,394 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.Ottl
+
+/** A config-string → Catalyst `Column` compiler for the OTTL-style
+  * condition/expression language — the piece that makes pipelines
+  * definable from config text instead of recompiled Scala.
+  *
+  * Grammar (clean-room, mirroring the reference's OTTL surface:
+  * `pkg/ottl/grammar.go:14-120` boolean precedence OR < AND < NOT,
+  * `pkg/ottl/LANGUAGE.md` paths/literals/converters):
+  *
+  * {{{
+  * orExpr   := andExpr ( "or" andExpr )*
+  * andExpr  := unary   ( "and" unary )*
+  * unary    := "not" unary | cmp
+  * cmp      := sum ( ("=="|"!="|"<="|">="|"<"|">") sum )?
+  * sum      := product ( ("+"|"-") product )*
+  * product  := atom ( ("*"|"/") atom )*
+  * atom     := literal | list | path | Converter "(" args ")" | "(" orExpr ")"
+  * literal  := "..." | int | float | true | false | nil
+  * path     := ident ( "." ident )* ( "[" (string|int) "]" )*
+  * }}}
+  *
+  * Comparison semantics follow `pkg/ottl/compare.go`:
+  *   - `==`/`!=` are null-safe (`nil == nil` is true) → Spark `<=>`;
+  *   - ordering comparisons involving nil are false (`compare.go:19-21`
+  *     invalidComparison) → wrapped in `coalesce(..., false)`;
+  *   - a whole condition evaluating to null (the batch analog of an OTTL
+  *     eval error) is false, matching `error_mode: ignore` in
+  *     `ConditionSequence.Eval` (`pkg/ottl/parser.go:332-362`).
+  */
+object ExprLang {
+
+  // ---------------- AST ----------------
+
+  sealed trait Expr
+  final case class Lit(v: Any) extends Expr // String | Long | Double | Boolean | null
+  final case class PathSeg(name: String, keys: Seq[Either[String, Long]])
+  final case class Path(segs: Seq[PathSeg]) extends Expr
+  final case class Func(name: String, args: Seq[Expr]) extends Expr
+  final case class EList(items: Seq[Expr]) extends Expr
+  final case class Cmp(op: String, l: Expr, r: Expr) extends Expr
+  final case class Not(e: Expr) extends Expr
+  final case class And(l: Expr, r: Expr) extends Expr
+  final case class Or(l: Expr, r: Expr) extends Expr
+  final case class Math(op: Char, l: Expr, r: Expr) extends Expr
+
+  final case class ExprParseException(msg: String, pos: Int)
+    extends IllegalArgumentException(s"$msg at offset $pos")
+
+  // ---------------- lexer ----------------
+
+  private sealed trait Tok { def pos: Int }
+  private final case class TIdent(s: String, pos: Int) extends Tok
+  private final case class TStr(s: String, pos: Int) extends Tok
+  private final case class TInt(v: Long, pos: Int) extends Tok
+  private final case class TFloat(v: Double, pos: Int) extends Tok
+  private final case class TOp(s: String, pos: Int) extends Tok
+  private final case class TEnd(pos: Int) extends Tok
+
+  private def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"') {
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          s(j) match {
+            case '\\' if j + 1 < n =>
+              sb.append(s(j + 1) match {
+                case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+                case other => other
+              }); j += 2
+            case '"' => closed = true; j += 1
+            case ch => sb.append(ch); j += 1
+          }
+        }
+        if (!closed) throw ExprParseException("unterminated string", i)
+        out += TStr(sb.result(), i); i = j
+      } else if (c.isDigit || (c == '-' && i + 1 < n && s(i + 1).isDigit)) {
+        var j = i + 1
+        while (j < n && (s(j).isDigit || s(j) == '.')) j += 1
+        val raw = s.substring(i, j)
+        if (raw.contains('.')) out += TFloat(raw.toDouble, i)
+        else out += TInt(raw.toLong, i)
+        i = j
+      } else if (c.isLetter || c == '_') {
+        var j = i + 1
+        while (j < n && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
+        out += TIdent(s.substring(i, j), i); i = j
+      } else {
+        val two = if (i + 1 < n) s.substring(i, i + 2) else ""
+        if (Set("==", "!=", "<=", ">=").contains(two)) { out += TOp(two, i); i += 2 }
+        else if ("()[],.<>+-*/".indexOf(c) >= 0) { out += TOp(c.toString, i); i += 1 }
+        else throw ExprParseException(s"unexpected character '$c'", i)
+      }
+    }
+    out += TEnd(n)
+    out.result()
+  }
+
+  // ---------------- parser (recursive descent) ----------------
+
+  private final class P(toks: Vector[Tok]) {
+    private var i = 0
+    private def cur: Tok = toks(i)
+    private def advance(): Tok = { val t = cur; i += 1; t }
+    private def expectOp(op: String): Unit = cur match {
+      case TOp(`op`, _) => i += 1
+      case t => throw ExprParseException(s"expected '$op'", t.pos)
+    }
+    private def atOp(op: String): Boolean = cur match {
+      case TOp(`op`, _) => true; case _ => false
+    }
+    private def atKeyword(kw: String): Boolean = cur match {
+      case TIdent(`kw`, _) => true; case _ => false
+    }
+
+    def parseAll(): Expr = {
+      val e = orExpr()
+      cur match {
+        case TEnd(_) => e
+        case t => throw ExprParseException("trailing input", t.pos)
+      }
+    }
+
+    private def orExpr(): Expr = {
+      var l = andExpr()
+      while (atKeyword("or")) { advance(); l = Or(l, andExpr()) }
+      l
+    }
+    private def andExpr(): Expr = {
+      var l = unary()
+      while (atKeyword("and")) { advance(); l = And(l, unary()) }
+      l
+    }
+    private def unary(): Expr =
+      if (atKeyword("not")) { advance(); Not(unary()) } else cmp()
+
+    private def cmp(): Expr = {
+      val l = sum()
+      cur match {
+        case TOp(op, _) if Set("==", "!=", "<", "<=", ">", ">=")(op) =>
+          advance(); Cmp(op, l, sum())
+        case _ => l
+      }
+    }
+    private def sum(): Expr = {
+      var l = product()
+      while (atOp("+") || atOp("-")) {
+        val TOp(op, _) = advance(): @unchecked
+        l = Math(op.head, l, product())
+      }
+      l
+    }
+    private def product(): Expr = {
+      var l = atom()
+      while (atOp("*") || atOp("/")) {
+        val TOp(op, _) = advance(): @unchecked
+        l = Math(op.head, l, atom())
+      }
+      l
+    }
+
+    private def atom(): Expr = cur match {
+      case TStr(s, _) => advance(); Lit(s)
+      case TInt(v, _) => advance(); Lit(v)
+      case TFloat(v, _) => advance(); Lit(v)
+      case TOp("(", _) => advance(); val e = orExpr(); expectOp(")"); e
+      case TOp("[", _) =>
+        advance()
+        val items = Seq.newBuilder[Expr]
+        if (!atOp("]")) {
+          items += orExpr()
+          while (atOp(",")) { advance(); items += orExpr() }
+        }
+        expectOp("]"); EList(items.result())
+      case TIdent("true", _) => advance(); Lit(true)
+      case TIdent("false", _) => advance(); Lit(false)
+      case TIdent("nil", _) => advance(); Lit(null)
+      case TIdent(name, _) if name.head.isUpper =>
+        // Converter call — `pkg/ottl/grammar.go` requires converters to
+        // start uppercase and paths lowercase, which disambiguates here too
+        advance(); expectOp("(")
+        val args = Seq.newBuilder[Expr]
+        if (!atOp(")")) {
+          args += orExpr()
+          while (atOp(",")) { advance(); args += orExpr() }
+        }
+        expectOp(")"); Func(name, args.result())
+      case TIdent(_, _) => path()
+      case t => throw ExprParseException("expected expression", t.pos)
+    }
+
+    private def path(): Expr = {
+      def seg(): PathSeg = {
+        val name = advance() match {
+          case TIdent(s, _) => s
+          case t => throw ExprParseException("expected identifier", t.pos)
+        }
+        val keys = Seq.newBuilder[Either[String, Long]]
+        while (atOp("[")) {
+          advance()
+          advance() match {
+            case TStr(s, _) => keys += Left(s)
+            case TInt(v, _) => keys += Right(v)
+            case t => throw ExprParseException("expected string or int key", t.pos)
+          }
+          expectOp("]")
+        }
+        PathSeg(name, keys.result())
+      }
+      val segs = Seq.newBuilder[PathSeg]
+      segs += seg()
+      while (atOp(".")) { advance(); segs += seg() }
+      Path(segs.result())
+    }
+  }
+
+  def parse(s: String): Expr = new P(lex(s)).parseAll()
+
+  // ---------------- compiler: AST → Column ----------------
+
+  type Resolver = Path => Column
+
+  private def litCol(v: Any): Column = if (v == null) lit(null) else lit(v)
+
+  def compileExpr(e: Expr, resolve: Resolver): Column = e match {
+    case Lit(v) => litCol(v)
+    case p: Path => resolve(p)
+    case EList(items) => array(items.map(compileExpr(_, resolve)): _*)
+    case Cmp(op, l, r) =>
+      val (a, b) = (compileExpr(l, resolve), compileExpr(r, resolve))
+      op match {
+        case "==" => a <=> b
+        case "!=" => !(a <=> b)
+        // ordering vs nil is false, not null (compare.go invalidComparison)
+        case "<" => coalesce(a < b, lit(false))
+        case "<=" => coalesce(a <= b, lit(false))
+        case ">" => coalesce(a > b, lit(false))
+        case ">=" => coalesce(a >= b, lit(false))
+      }
+    case Not(x) => !compileExpr(x, resolve)
+    case And(l, r) => compileExpr(l, resolve) && compileExpr(r, resolve)
+    case Or(l, r) => compileExpr(l, resolve) || compileExpr(r, resolve)
+    case Math(op, l, r) =>
+      val (a, b) = (compileExpr(l, resolve), compileExpr(r, resolve))
+      op match {
+        case '+' => a + b; case '-' => a - b
+        case '*' => a * b; case '/' => a / b
+      }
+    case Func(name, args) => compileFunc(name, args, resolve)
+  }
+
+  /** Converter dispatch — OTTL names (`pkg/ottl/ottlfuncs/README.md`),
+    * bodies delegated to the existing [[graft.functions.Ottl]] surface. */
+  private def compileFunc(name: String, args: Seq[Expr], resolve: Resolver): Column = {
+    def c(i: Int): Column = compileExpr(args(i), resolve)
+    def str(i: Int): String = args(i) match {
+      case Lit(s: String) => s
+      case _ => throw new IllegalArgumentException(s"$name: argument ${i + 1} must be a string literal")
+    }
+    def int(i: Int): Int = args(i) match {
+      case Lit(v: Long) => v.toInt
+      case _ => throw new IllegalArgumentException(s"$name: argument ${i + 1} must be an int literal")
+    }
+    name match {
+      case "IsMatch" => Ottl.isMatch(c(0), str(1))
+      case "Concat" => args.head match {
+        case EList(items) => concat_ws(str(1), items.map(compileExpr(_, resolve)): _*)
+        case _ => throw new IllegalArgumentException("Concat: first argument must be a list")
+      }
+      // try_cast, not cast: an unconvertible value is an OTTL eval ERROR,
+      // which error_mode=ignore swallows — under ANSI a plain cast would
+      // throw and kill the whole batch instead of skipping the row
+      case "Int" => c(0).try_cast("bigint")
+      case "Double" => c(0).try_cast("double")
+      case "String" => Ottl.toStringCol(c(0))
+      case "Len" => Ottl.ottlLen(c(0))
+      case "Substring" => Ottl.ottlSubstring(c(0), int(1), int(2))
+      case "Split" => Ottl.ottlSplit(c(0), str(1))
+      case "ConvertCase" => Ottl.convertCase(c(0), str(1))
+      case "ToLowerCase" => lower(c(0))
+      case "ToUpperCase" => upper(c(0))
+      case "SHA1" => Ottl.sha1Hex(c(0))
+      case "SHA256" => Ottl.sha256Hex(c(0))
+      case "FNV" => Ottl.fnv1a64(c(0))
+      case "Log" => Ottl.ottlLog(c(0))
+      case "Time" => Ottl.timeParse(c(0), str(1))
+      case "TruncateTime" => Ottl.truncateTime(c(0), str(1))
+      case "UnixSeconds" => Ottl.unixSeconds(c(0))
+      case "UnixMilli" => Ottl.unixMillis(c(0))
+      case "UnixMicro" => Ottl.unixMicros(c(0))
+      case "Hour" => Ottl.hourOf(c(0))
+      case "Duration" => Ottl.durationSeconds(c(0))
+      case "ParseKeyValue" => args.size match {
+        case 1 => Ottl.parseKeyValue(c(0))
+        case _ => Ottl.parseKeyValue(c(0), str(1), str(2))
+      }
+      case other => throw new IllegalArgumentException(s"unknown converter: $other")
+    }
+  }
+
+  /** Compile an OTTL-style boolean condition. The outer `coalesce(_,
+    * false)` renders `error_mode: ignore`: a row where the condition
+    * evaluates to null (missing attr, failed cast) does not match —
+    * exactly how an errored OTTL condition is skipped in
+    * `ConditionSequence.Eval` under OR logic. */
+  def condition(s: String, resolve: Resolver): Column =
+    coalesce(compileExpr(parse(s), resolve).cast("boolean"), lit(false))
+
+  /** Compile a value expression (for set/add/transform right-hand sides). */
+  def value(s: String, resolve: Resolver): Column =
+    compileExpr(parse(s), resolve)
+
+  /** Multiple conditions OR-ed — the reference's default multi-condition
+    * combination (`connector/countconnector`, `parser.go:332-340`). */
+  def anyOf(conds: Seq[String], resolve: Resolver): Column =
+    conds.map(condition(_, resolve)).reduce(_ || _)
+
+  // ---------------- EXPR(...) string templates ----------------
+
+  /** Stanza-style string template: literal text with embedded
+    * `EXPR(expression)` segments (reference
+    * `pkg/stanza/operator/helper/expr_string.go:29-88`). Compiles to a
+    * `concat` of literal chunks and stringified sub-expressions. */
+  def template(s: String, resolve: Resolver): Column = {
+    val parts = Seq.newBuilder[Column]
+    var i = 0
+    while (i < s.length) {
+      val start = s.indexOf("EXPR(", i)
+      if (start < 0) {
+        parts += lit(s.substring(i)); i = s.length
+      } else {
+        if (start > i) parts += lit(s.substring(i, start))
+        // find the matching close paren (strings may contain parens)
+        var depth = 1
+        var j = start + 5
+        var inStr = false
+        while (j < s.length && depth > 0) {
+          s(j) match {
+            case '"' if s(j - 1) != '\\' => inStr = !inStr
+            case '(' if !inStr => depth += 1
+            case ')' if !inStr => depth -= 1
+            case _ =>
+          }
+          j += 1
+        }
+        if (depth > 0) throw ExprParseException("unterminated EXPR(", start)
+        parts += value(s.substring(start + 5, j - 1), resolve).cast("string")
+        i = j
+      }
+    }
+    concat(parts.result(): _*)
+  }
+
+  // ---------------- default transcript-context resolver ----------------
+
+  /** Path resolution over the transcripts frame (OTTL log-context style):
+    * `body` → the raw text column; `attributes["k"]` / `attributes.k` →
+    * parsed-field map lookup when `k` is a parse-bank field, else the
+    * top-level column; `resource.attributes["k"]` → top-level column;
+    * bare/dotted names → column (+ struct fields). */
+  def transcriptResolver(parsedFields: Set[String]): Resolver = {
+    case Path(Seq(PathSeg("body", Nil))) => col("text")
+    case Path(Seq(PathSeg("attributes", Seq(Left(k))))) =>
+      if (parsedFields(k)) col("parsed").getItem(k) else col(k)
+    case Path(Seq(PathSeg("attributes", Nil), PathSeg(k, Nil))) =>
+      if (parsedFields(k)) col("parsed").getItem(k) else col(k)
+    case Path(Seq(PathSeg("resource", Nil), PathSeg("attributes", Seq(Left(k))))) => col(k)
+    case Path(segs) =>
+      val base = col(segs.head.name)
+      val afterKeys = segs.head.keys.foldLeft(base) {
+        case (acc, Left(k)) => acc.getItem(k)
+        case (acc, Right(idx)) => acc.getItem(idx.toInt)
+      }
+      segs.tail.foldLeft(afterKeys) { (acc, seg) =>
+        val named = acc.getField(seg.name)
+        seg.keys.foldLeft(named) {
+          case (a, Left(k)) => a.getItem(k)
+          case (a, Right(idx)) => a.getItem(idx.toInt)
+        }
+      }
+  }
+}

@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature over a shingle array in ONE pass: element h of the
+  * result is `min over shingles s of xxhash64(s, h)`.
+  *
+  * Bit-identical to the HOF rendering
+  * `transform(sequence(0, K-1), h -> array_min(transform(sh, s ->
+  * xxhash64(s, h))))` — Spark's `xxhash64(s, h)` chains
+  * `XXH64.hashUnsafeBytes(s, seed=42)` then `XXH64.hashInt(h, ·)`, so
+  * the expensive string hash is h-independent. The HOF walks the shingle
+  * array K times through interpreted lambdas AND re-hashes every string
+  * K times; this expression hashes each string once and applies K cheap
+  * integer avalanche steps — K× less string hashing on top of the
+  * interpreted→codegen win (the SimHash fix measured that alone at ~50×).
+  *
+  * Empty shingle array → array of K nulls (array_min of empty is null),
+  * matching the HOF; null input array → null (nullIntolerant).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires array<string> or array<long>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val isString: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == StringType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  /** Public so generated code can call it. */
+  def signature(sh: ArrayData): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](numHashes))
+    val mins = Array.fill[Long](numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      // xxhash64's per-child fold: null contributes nothing (seed passes
+      // through), a string hashes its bytes — then the int h is chained
+      val base =
+        if (sh.isNullAt(i)) 42L
+        else if (isString) {
+          val s = sh.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        } else XXH64.hashLong(sh.getLong(i), 42L)
+      var h = 0
+      while (h < numHashes) {
+        val v = XXH64.hashInt(h, base)
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    signature(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refTerm = ctx.addReferenceObj("mhs", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $refTerm.signature($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Jaccard similarity of two arrays in ONE pass — replaces the double
+  * `array_intersect` evaluation in the HOF rendering
+  * `size(array_intersect(a,b)) / (size(a)+size(b)-size(array_intersect(a,b)))`
+  * (each array_intersect builds its hash map per row, and the HOF form
+  * built it twice). Works over string OR long element types (long = the
+  * hashed-shingle shuffle-slimming path). Sizes are RAW array sizes and
+  * the intersection is distinct-count, exactly like array_intersect. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) | ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && right.dataType == left.dataType ||
+        okType(left.dataType) && okType(right.dataType) &&
+          right.dataType.asInstanceOf[ArrayType].elementType ==
+          left.dataType.asInstanceOf[ArrayType].elementType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sim requires two array<string> or two array<long> inputs, " +
+      s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+
+  @transient private lazy val isString: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == StringType
+
+  private def elem(arr: ArrayData, i: Int): AnyRef =
+    if (arr.isNullAt(i)) null
+    else if (isString) arr.getUTF8String(i)
+    else java.lang.Long.valueOf(arr.getLong(i))
+
+  /** Public so generated code can call it. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val setA = new java.util.HashSet[AnyRef](na * 2)
+    var i = 0
+    while (i < na) { setA.add(elem(a, i)); i += 1 }
+    val matched = new java.util.HashSet[AnyRef](8)
+    i = 0
+    while (i < nb) {
+      val e = elem(b, i)
+      if (setA.contains(e)) matched.add(e)
+      i += 1
+    }
+    val inter = matched.size.toDouble
+    inter / (na + nb - inter)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refTerm = ctx.addReferenceObj("js", this, classOf[JaccardSim].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $refTerm.jaccard($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}

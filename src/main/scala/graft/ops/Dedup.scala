@@ -37,8 +37,19 @@ object Dedup {
   }
 
   /** MinHash signature: element h = min over shingles of xxhash64(s, h).
-    * One array expression, whole-stage codegen'd; no UDF. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int = 64): Column =
+    * One codegen pass hashing each shingle ONCE
+    * ([[graft.functions.MinHashSignature]]); the HOF rendering below is
+    * the differential oracle. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int = 64): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.MinHashSignature(
+      Bridge.expression(shinglesCol), numHashes))
+  }
+
+  /** Interpreted-HOF rendering of [[minhashSignature]] (differential
+    * oracle — bit-identical): walks the shingle array numHashes times
+    * through interpreted lambdas and re-hashes every string each pass. */
+  def minhashSignatureHof(shinglesCol: Column, numHashes: Int = 64): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), h =>
       array_min(transform(shinglesCol, s => xxhash64(s, h))))
 
@@ -52,8 +63,17 @@ object Dedup {
       xxhash64(slice(sigCol, b * lit(r) + lit(1), lit(r)), b))
   }
 
-  /** Jaccard similarity of two (distinct) shingle arrays. */
+  /** Jaccard similarity of two (distinct) shingle arrays — single pass
+    * ([[graft.functions.JaccardSim]], string or long elements). */
   def jaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.JaccardSim(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** HOF rendering of [[jaccard]] (differential oracle): evaluates
+    * array_intersect twice per row. */
+  def jaccardHof(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - size(array_intersect(a, b)))
   }
@@ -70,14 +90,19 @@ object Dedup {
   def nearDupMinhashLsh(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // verify-join payload is the HASHED shingle set (8 bytes/shingle),
+    // not the n-gram strings — Jaccard over distinct hashes equals
+    // Jaccard over distinct shingles up to xxhash64 collisions (~2^-64
+    // per pair), and the candidate shuffle shrinks ~10× at 100 TB
     val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("sh"))
+      array_distinct(transform(shingles(col(textCol), shingleSize),
+        s => xxhash64(s))).as("shh"))
     val banded = sh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("id"), col("sh"),
+      .withColumn("sig", minhashSignature(col("shh"), numHashes))
+      .select(col("id"), col("shh"),
         posexplode(bandHashes(col("sig"), numHashes, bands)).as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("shh").as("sh_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("shh").as("sh_b"))
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))

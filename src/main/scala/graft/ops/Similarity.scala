@@ -20,17 +20,23 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity between an array<double> column and a literal
-    * query vector (sequential fold — deterministic order). */
-  def cosineToQuery(vec: Column, query: Array[Double]): Column = {
-    val q = lit(query)
-    val dot = aggregate(zip_with(vec, q, (x, y) => x * y), lit(0.0), _ + _)
-    val na = sqrt(aggregate(transform(vec, x => x * x), lit(0.0), _ + _))
-    val nb = math.sqrt(query.map(x => x * x).sum)
-    dot / (na * lit(nb))
+    * query vector — one codegen pass ([[graft.functions.CosineSim]]);
+    * the HOF rendering below is the differential oracle. */
+  def cosineToQuery(vec: Column, query: Array[Double]): Column =
+    cosine(vec, lit(query))
+
+  /** Cosine between two vector columns (codegen, single pass). */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.CosineSim(
+      Bridge.expression(a), Bridge.expression(b)))
   }
 
-  /** Cosine between two vector columns. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Interpreted-HOF rendering of [[cosine]] — kept as the differential
+    * oracle for the codegen expression (bit-identical: same sequential
+    * accumulation order, same null-on-length-mismatch semantics). NOT
+    * for hot paths: the lambdas evaluate interpreted per element. */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
@@ -52,8 +58,16 @@ object Similarity {
     Seq.fill(signBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** LSH bucket id: sign bits of the dot products with the hyperplanes. */
-  def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+  /** LSH bucket id: sign bits of the dot products with the hyperplanes —
+    * one codegen pass ([[graft.functions.LshBucket64]]). */
+  def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.LshBucket64(Bridge.expression(vec), planes))
+  }
+
+  /** Interpreted-HOF rendering of [[lshBucket]] (differential oracle):
+    * `signBits` separate aggregate passes per row. */
+  def lshBucketHof(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val dot = aggregate(zip_with(vec, lit(p), (x, y) => x * y), lit(0.0), _ + _)
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.agg.CountStage
 import graft.enrich.EnrichStage
+import graft.expr.ExprLang
 import graft.model.PipelineConfig._
 import graft.parse.ParseStage
 import graft.route.RouteStage
@@ -42,6 +43,29 @@ object Pipeline {
         col("parsed").getItem("level").isin("ERROR", "FATAL")),
       RouteSpec("user_turns", col("role") === "user")
     ),
+    defaultName = "default",
+    matchOnce = false
+  )
+
+  /** The SAME route table expressed as OTTL condition STRINGS, compiled
+    * by [[ExprLang]] — the config-text path (a user defines a new
+    * pipeline without recompiling the engine, the analog of the
+    * reference's OTTL `where` clauses in
+    * `connector/routingconnector/config.go:70-82`). Must stay
+    * semantically identical to [[routeTable]]; RouteStageSpec asserts
+    * row-set equality between the two. */
+  val routeConditionStrings: Seq[(String, String)] = Seq(
+    "tool_calls" -> """tool != "" and attributes["tool_name"] != nil""",
+    "errors" -> """attributes["level"] == "ERROR" or attributes["level"] == "FATAL"""",
+    "user_turns" -> """role == "user""""
+  )
+
+  def exprResolver: ExprLang.Resolver = ExprLang.transcriptResolver(parsedFields)
+
+  def routeTableFromStrings: RouteTable = RouteTable(
+    routes = routeConditionStrings.map { case (n, c) =>
+      RouteSpec(n, ExprLang.condition(c, exprResolver))
+    },
     defaultName = "default",
     matchOnce = false
   )

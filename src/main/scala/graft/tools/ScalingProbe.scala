@@ -37,7 +37,7 @@ object ScalingProbe {
         .agg(count(lit(1)).as("count"))
         .write.format("noop").mode("overwrite").save()
     }
-    run(spark.read.parquet(turnsPath).limit(200000)) // JIT/codegen warmup
+    run(spark.read.parquet(turnsPath).limit(100000)) // JIT/codegen warmup
     val t0 = System.nanoTime()
     run(spark.read.parquet(turnsPath))
     println(s"PROBE_SEC ${(System.nanoTime() - t0) / 1e9}")

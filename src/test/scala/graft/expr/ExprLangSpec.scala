@@ -1,0 +1,98 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.run.Pipeline
+
+/** The config-string → Column compiler: golden semantics against
+  * hand-written Columns, OTTL nil rules (`pkg/ottl/compare.go`), and
+  * the EXPR(...) template flavor
+  * (`pkg/stanza/operator/helper/expr_string.go:29-88`). */
+class ExprLangSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    ("c1", 0, "user", "hello world", "", Some(42L)),
+    ("c2", 1, "assistant", "CALL tool=search args={} dur_ms=12", "search", None),
+    ("c3", 2, "tool", "ERROR [core.engine] boom", "grep", Some(7L))
+  ).toDF("conv_id", "turn_idx", "role", "text", "tool", "maybe")
+
+  private val R = ExprLang.transcriptResolver(Set("level", "tool_name"))
+
+  private def rows(cond: String): Set[String] =
+    df.filter(ExprLang.condition(cond, R)).select("conv_id").as[String].collect().toSet
+
+  test("comparisons, and/or/not, precedence (or binds loosest)") {
+    assert(rows("""role == "user"""") == Set("c1"))
+    assert(rows("""role != "user"""") == Set("c2", "c3"))
+    assert(rows("""turn_idx > 0 and role == "tool"""") == Set("c3"))
+    assert(rows("""role == "user" or turn_idx >= 2""") == Set("c1", "c3"))
+    // not binds tighter than and; and tighter than or
+    assert(rows("""not role == "user" and turn_idx < 2""") == Set("c2"))
+    assert(rows("""role == "user" or role == "tool" and turn_idx == 2""") == Set("c1", "c3"))
+    assert(rows("""(role == "user" or role == "tool") and turn_idx == 2""") == Set("c3"))
+  }
+
+  test("nil semantics follow compare.go: eq null-safe, ordering vs nil false") {
+    assert(rows("maybe == nil") == Set("c2"))
+    assert(rows("maybe != nil") == Set("c1", "c3"))
+    // ordering against nil is FALSE, not null-propagated: c2 excluded from both
+    assert(rows("maybe > 10") == Set("c1"))
+    assert(rows("maybe <= 10") == Set("c3"))
+  }
+
+  test("converters: IsMatch, Len, Int, Concat, ToUpperCase, Substring") {
+    assert(rows("""IsMatch(body, "^CALL ")""") == Set("c2"))
+    assert(rows("""Len(body) == 11""") == Set("c1"))
+    assert(rows("""Int(turn_idx) + 1 == 3""") == Set("c3"))
+    val tagged = df.select(
+      ExprLang.value("""Concat([role, tool], "-")""", R).as("tag"))
+      .as[String].collect().toSet
+    assert(tagged == Set("user-", "assistant-search", "tool-grep"))
+    assert(rows("""ToUpperCase(role) == "TOOL"""") == Set("c3"))
+    assert(rows("""Substring(body, 0, 4) == "CALL"""") == Set("c2"))
+  }
+
+  test("math precedence: product over sum, parens override") {
+    assert(rows("turn_idx * 2 + 1 == 5") == Set("c3"))
+    assert(rows("turn_idx * (2 + 1) == 6") == Set("c3"))
+    assert(rows("6 / 2 - 1 == turn_idx") == Set("c3"))
+  }
+
+  test("string-compiled route table matches the hand-written one row-for-row") {
+    val tr = graft.sources.Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    val enriched = Pipeline.parseEnrich(spark, tr)
+    val byHand = graft.route.RouteStage.tagged(enriched, Pipeline.routeTable)
+      .groupBy("route").count().as[(String, Long)].collect().toMap
+    val byString = graft.route.RouteStage.tagged(enriched, Pipeline.routeTableFromStrings)
+      .groupBy("route").count().as[(String, Long)].collect().toMap
+    assert(byHand == byString)
+    assert(byHand.keySet == Set("tool_calls", "errors", "user_turns", "default"))
+  }
+
+  test("error_mode=ignore: condition evaluating to null does not match") {
+    // Int("notanumber") is null under non-ANSI cast → condition false, no throw
+    val safe = df.filter(ExprLang.condition("""Int(role) > 0""", R))
+    assert(safe.count() == 0)
+  }
+
+  test("anyOf ORs conditions like the count connector's multi-condition list") {
+    val c = ExprLang.anyOf(Seq("""role == "user"""", """tool == "grep""""), R)
+    assert(df.filter(c).select("conv_id").as[String].collect().toSet == Set("c1", "c3"))
+  }
+
+  test("EXPR(...) templates interleave literals and stringified expressions") {
+    val tag = df.select(ExprLang.template(
+      "turn-EXPR(turn_idx) by EXPR(ToUpperCase(role))", R).as("t"))
+      .as[String].collect().toSet
+    assert(tag == Set("turn-0 by USER", "turn-1 by ASSISTANT", "turn-2 by TOOL"))
+  }
+
+  test("parse errors carry position; unknown converter rejected") {
+    intercept[ExprLang.ExprParseException](ExprLang.parse("""role == """))
+    intercept[ExprLang.ExprParseException](ExprLang.parse("""role == "unterminated"""))
+    intercept[IllegalArgumentException](
+      ExprLang.compileExpr(ExprLang.parse("""Bogus(role)"""), R))
+  }
+}

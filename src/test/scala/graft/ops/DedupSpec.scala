@@ -98,6 +98,46 @@ class DedupSpec extends SparkSpec {
     assert(planted.subsetOf(lsh), s"LSH missed planted: ${planted -- lsh}")
   }
 
+  test("minhash codegen expression is bit-identical to the HOF rendering") {
+    val sh = corpus.select(Dedup.shingles(col("text"), 3).as("sh"))
+    val diff = sh.select(
+      Dedup.minhashSignature(col("sh"), 64).as("fast"),
+      Dedup.minhashSignatureHof(col("sh"), 64).as("slow"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(diff.nonEmpty && diff.forall { case (f, h) => f == h })
+    // hashed-shingle (long) input agrees with xxhash64(elem, h) HOF
+    val shh = corpus.select(transform(Dedup.shingles(col("text"), 3),
+      s => xxhash64(s)).as("shh"))
+    val diffL = shh.select(
+      Dedup.minhashSignature(col("shh"), 16).as("fast"),
+      transform(sequence(lit(0), lit(15)), h =>
+        array_min(transform(col("shh"), e => xxhash64(e, h)))).as("slow"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(diffL.forall { case (f, h) => f == h })
+    // empty array → all-null signature like array_min(empty)
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(Dedup.minhashSignature(col("sh"), 4).as("fast"),
+        Dedup.minhashSignatureHof(col("sh"), 4).as("slow"))
+      .as[(Seq[Option[Long]], Seq[Option[Long]])].head()
+    assert(empty._1 == Seq(None, None, None, None) && empty._1 == empty._2)
+  }
+
+  test("jaccard codegen expression matches the array_intersect HOF rendering") {
+    val sh = corpus.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val pairs = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id")).limit(300)
+      .select(Dedup.jaccard(col("a.sh"), col("b.sh")).as("fast"),
+        Dedup.jaccardHof(col("a.sh"), col("b.sh")).as("slow"))
+      .as[(Double, Double)].collect()
+    assert(pairs.nonEmpty && pairs.forall { case (f, h) => f == h })
+    // duplicate elements: intersection is distinct-count, sizes raw
+    val dup = Seq((Seq("x", "x", "y"), Seq("x", "z"))).toDF("a", "b")
+      .select(Dedup.jaccard(col("a"), col("b")).as("fast"),
+        Dedup.jaccardHof(col("a"), col("b")).as("slow"))
+      .as[(Double, Double)].head()
+    assert(dup._1 == dup._2 && dup._1 == 1.0 / 4.0)
+  }
+
   test("shingles handle docs shorter than n") {
     val df = Seq((1L, "one two")).toDF("doc_id", "text")
     val sh = df.select(Dedup.shingles(col("text"), 3).as("s"))

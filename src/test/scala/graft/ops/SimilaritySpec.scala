@@ -43,6 +43,37 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head._1 == 42L, s"IVF missed exact match: ${top.toSeq}")
   }
 
+  test("cosine codegen expression is bit-identical to the HOF rendering") {
+    val dv = col("embedding").cast("array<double>")
+    val diff = vectors.select(
+      Similarity.cosine(dv, lit(query)).as("fast"),
+      Similarity.cosineHof(dv, lit(query)).as("slow"))
+      .as[(Double, Double)].collect()
+    assert(diff.nonEmpty && diff.forall { case (f, h) => f == h })
+    // length mismatch → null, like zip_with's null padding
+    val bad = Seq(Seq(1.0, 2.0)).toDF("v")
+      .select(Similarity.cosine(col("v"), lit(Array(1.0, 2.0, 3.0))).as("fast"),
+        Similarity.cosineHof(col("v"), lit(Array(1.0, 2.0, 3.0))).as("slow"))
+      .as[(Option[Double], Option[Double])].head()
+    assert(bad._1.isEmpty && bad._2.isEmpty)
+  }
+
+  test("lsh bucket codegen expression matches the per-plane HOF rendering") {
+    val planes = Similarity.hyperplanes(dim, 12)
+    val dv = col("embedding").cast("array<double>")
+    val diff = vectors.select(
+      Similarity.lshBucket(dv, planes).as("fast"),
+      Similarity.lshBucketHof(dv, planes).as("slow"))
+      .as[(Long, Long)].collect()
+    assert(diff.nonEmpty && diff.forall { case (f, h) => f == h })
+    // dimension mismatch → bucket 0 (every plane's dot is null → bit 0)
+    val bad = Seq(Seq(1.0, 2.0)).toDF("v")
+      .select(Similarity.lshBucket(col("v"), planes).as("fast"),
+        Similarity.lshBucketHof(col("v"), planes).as("slow"))
+      .as[(Long, Long)].head()
+    assert(bad._1 == 0L && bad._2 == 0L)
+  }
+
   test("LSH bucket predicate prunes most of the corpus") {
     val planes = Similarity.hyperplanes(dim, 8)
     val bucketed = vectors.withColumn("bucket",

@@ -44,6 +44,14 @@ def main(sf_dir, out_dir):
         if gc != wc:
             failed.append((name, f"schema mismatch: spark={gc} oracle={wc}"))
             continue
+        # Mirror the driver's type-sensitive hash: DuckDB sum(BIGINT) widens
+        # to HUGEINT (pandas object/float64) while Spark stays int64 — that
+        # dtype divergence failed 8 queries in round 1, so flag it here.
+        gd = [str(got[c].dtype) for c in gc]
+        wd = [str(want[c].dtype) for c in wc]
+        if gd != wd:
+            failed.append((name, f"dtype mismatch: spark={dict(zip(gc,gd))} oracle={dict(zip(wc,wd))}"))
+            continue
         g = sorted((tuple(canon(v) for v in row) for row in got[gc].itertuples(index=False, name=None)), key=sortkey)
         w = sorted((tuple(canon(v) for v in row) for row in want[wc].itertuples(index=False, name=None)), key=sortkey)
         if len(g) != len(w):
