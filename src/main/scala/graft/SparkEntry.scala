@@ -922,7 +922,8 @@ object SparkEntry {
     },
 
     "p36_syslog_rfc5424" -> {
-      val re = "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|\\[.*\\])(?: (.*))?$"
+      val re = "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) " +
+        "(-|(?:\\[[^\\]\"]*(?:\"[^\"]*\"[^\\]\"]*)*\\])+)(?: (.*))?$"
       s"""SELECT event_id,
          |  CAST(regexp_extract(line, '$re', 1) AS INT) AS priority,
          |  CAST(floor(CAST(regexp_extract(line, '$re', 1) AS INT) / 8) AS INT) AS facility,

@@ -21,6 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class StopwordCount(child: Expression, words: Seq[String])
     extends UnaryExpression {
+  // Locale.ROOT lowercase only provably agrees with Spark's
+  // UTF8String-based lower() for ASCII; a non-ASCII bank would silently
+  // break langId/quality parity, so reject it at construction
+  require(words.forall(_.forall(_ < 128)),
+    "StopwordCount word banks must be ASCII (lowercase parity with Spark's lower())")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

@@ -52,9 +52,14 @@ object Parsers {
     * `<PRI>VERSION TIMESTAMP HOSTNAME APP-NAME PROCID MSGID SD MSG` →
     * struct(priority, facility, severity, version, stamp, host, app, pid,
     * msgid, sd, msg). Nil fields arrive as the literal `-` per the RFC;
-    * structured data is kept raw (`[id k="v"...]` or `-`). */
+    * structured data is kept raw (`[id k="v"...]` or `-`).
+    * SD matching is quote-aware: one-or-more `[...]` elements whose
+    * unquoted content can't contain `]` but whose quoted param values
+    * can — a greedy `\[.*\]` would swallow message text up to the LAST
+    * `]` whenever the MSG itself contains one. */
   private val Syslog5424 =
-    "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|\\[.*\\])(?: (.*))?$"
+    "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) " +
+    "(-|(?:\\[[^\\]\"]*(?:\"[^\"]*\"[^\\]\"]*)*\\])+)(?: (.*))?$"
 
   def parseSyslog5424(c: Column): Column = {
     val pri = regexp_extract(c, Syslog5424, 1).cast("int")

@@ -50,24 +50,30 @@ object Lineage {
     "\"fingerprint\":\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1))
 
   /** Per-file row counts from the parquet footers of a committed sink —
-    * metadata-only read (no data scan). */
+    * metadata-only read (no data scan). Hadoop FS API, RECURSIVE: a
+    * local-only `java.nio.Files.list` would silently find zero files on
+    * HDFS/S3 and miss nested partitioned layouts (route=X/part-N). */
   def fileLineage(spark: SparkSession, sinkDir: String): Seq[FileLineage] = {
-    val dir = Paths.get(sinkDir)
-    if (!Files.exists(dir)) return Nil
-    val files = Files.list(dir).iterator()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Nil
+    val files = fs.listFiles(dir, true)
     val out = scala.collection.mutable.ArrayBuffer[FileLineage]()
     while (files.hasNext) {
       val f = files.next()
-      if (f.getFileName.toString.endsWith(".parquet")) {
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
         val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f.toUri),
-            spark.sparkContext.hadoopConfiguration))
-        try out += FileLineage(f.getFileName.toString, footer.getRecordCount)
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        // manifest records the sink-RELATIVE path so partitioned sinks
+        // stay identifiable and manifests stay portable across mounts
+        val qualified = fs.makeQualified(dir).toString
+        val rel = f.getPath.toString.stripPrefix(qualified).stripPrefix("/")
+        try out += FileLineage(rel, footer.getRecordCount)
         finally footer.close()
       }
     }
-    out.toSeq
+    out.sortBy(_.file).toSeq
   }
 
   /** Atomic manifest commit: write temp, fsync-rename into place

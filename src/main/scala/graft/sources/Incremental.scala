@@ -42,10 +42,20 @@ object Incremental {
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
     val fs = table.getFileSystem(conf)
-    val current = fs.listStatus(table)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(suffix))
-      .map(f => s"${f.getPath.toUri.getPath}|${f.getLen}")
-      .toSeq.sorted
+    // RECURSIVE listing (partitioned layouts like route=*/part-*.parquet
+    // are data files too) and FULL-URI fingerprints: toUri.getPath would
+    // strip scheme/authority, so s3a://bucket/x and hdfs://nn/x would
+    // collide and readNew would re-resolve them against the default FS
+    val current = {
+      val it = fs.listFiles(table, true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(suffix))
+          buf += s"${f.getPath.toString}|${f.getLen}"
+      }
+      buf.result().sorted
+    }
     val mp = manifestPath(ckptDir)
     val mfs = mp.getFileSystem(conf)
     val seen: Set[String] =
@@ -63,8 +73,12 @@ object Incremental {
       try out.write((seen ++ fresh).toSeq.sorted.mkString("\n")
         .getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      if (mfs.exists(mp)) mfs.delete(mp, false)
-      mfs.rename(tmp, mp)
+      // single overwriting rename — no delete-then-rename crash window
+      // (a crash in between would lose the manifest → full re-ingest),
+      // and the result is CHECKED: Hadoop rename signals failure by
+      // returning false, which silently left a stale manifest before
+      org.apache.hadoop.fs.FileContext.getFileContext(mp.toUri, conf)
+        .rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     })
   }
 

@@ -50,37 +50,49 @@ object StreamingPipeline {
     import turns.sparkSession.implicits._
     turns.withWatermark("ts", lateness)
       .groupByKey(_.conv_id)
-      .flatMapGroupsWithState[List[Turn], ConvSession](
+      .flatMapGroupsWithState[Vector[Turn], ConvSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (convId: String, rows: Iterator[Turn], state: GroupState[List[Turn]]) =>
+        (convId: String, rows: Iterator[Turn], state: GroupState[Vector[Turn]]) =>
           if (state.hasTimedOut) {
             val buf = state.get
             state.remove()
             emit(convId, buf)
           } else {
-            val buf = state.getOption.getOrElse(Nil) ++ rows
-            if (buf.size >= maxTurns) { // overflow flush (max_batch_size)
-              state.remove()
-              emit(convId, buf)
-            } else {
-              state.update(buf)
-              val maxTs = buf.map(_.ts.getTime).max
-              state.setTimeoutTimestamp(maxTs + gapMs)
-              Iterator.empty
+            // STRICTLY bounded state for hot conversations: append one
+            // turn at a time (Vector, O(1) amortized — a List `++` here
+            // is O(n²) across micro-batches) and flush a chunk the moment
+            // the buffer hits maxTurns, so executor state never exceeds
+            // maxTurns rows no matter how many turns a batch delivers
+            // (max_batch_size flush, transformer.go:95-227)
+            var buf = state.getOption.getOrElse(Vector.empty[Turn])
+            val out = Vector.newBuilder[ConvSession]
+            rows.foreach { t =>
+              buf = buf :+ t
+              if (buf.size >= maxTurns) {
+                out ++= emit(convId, buf)
+                buf = Vector.empty
+              }
             }
+            if (buf.isEmpty) state.remove()
+            else {
+              state.update(buf)
+              val maxTs = buf.iterator.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(maxTs + gapMs)
+            }
+            out.result().iterator
           }
       }
   }
 
-  private def emit(convId: String, buf: List[Turn]): Iterator[ConvSession] = {
+  private def emit(convId: String, buf: Vector[Turn]): Iterator[ConvSession] = {
     if (buf.isEmpty) Iterator.empty
     else {
       val sorted = buf.sortBy(_.turn_idx)
       Iterator.single(ConvSession(
         convId, sorted.size,
-        new Timestamp(sorted.map(_.ts.getTime).min),
-        new Timestamp(sorted.map(_.ts.getTime).max),
-        sorted.map(_.text).mkString("\n")))
+        new Timestamp(sorted.iterator.map(_.ts.getTime).min),
+        new Timestamp(sorted.iterator.map(_.ts.getTime).max),
+        sorted.iterator.map(_.text).mkString("\n")))
     }
   }
 

@@ -59,6 +59,23 @@ class ParsersSpec extends SparkSpec {
     assert(r.getInt(0) == 34 && r.getString(1) == "-" && r.getString(2) == "")
   }
 
+  test("RFC5424: ']' in the message and multiple SD-elements don't bleed into SD") {
+    // a greedy (-|\[.*\]) would swallow "big [5] done" up to the last ']'
+    val twoSd = "<165>1 2003-10-11T22:14:15.003Z host app 1 ID1 " +
+      "[ex@1 k=\"v]v\"][ex@2 a=\"b\"] job big [5] done"
+    val r = Seq(Tuple1(twoSd)).toDF("s")
+      .select(Parsers.parseSyslog5424(col("s")).as("p"))
+      .select("p.sd", "p.msg").head()
+    assert(r.getString(0) == "[ex@1 k=\"v]v\"][ex@2 a=\"b\"]")
+    assert(r.getString(1) == "job big [5] done")
+    val oneSd = "<34>1 2026-01-02T03:04:05Z h app 4 m [x@1 k=\"v\"] tail [brackets] here"
+    val r2 = Seq(Tuple1(oneSd)).toDF("s")
+      .select(Parsers.parseSyslog5424(col("s")).as("p"))
+      .select("p.sd", "p.msg").head()
+    assert(r2.getString(0) == "[x@1 k=\"v\"]")
+    assert(r2.getString(1) == "tail [brackets] here")
+  }
+
   test("newline split + multiline recombine by start pattern") {
     val blob = "ERROR boom\n  at frame1\n  at frame2\nINFO ok\nERROR again\n  at frameX"
     val lines = Parsers.splitLines(Seq(("f1", blob)).toDF("src", "blob"), "blob", "src")

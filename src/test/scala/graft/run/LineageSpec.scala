@@ -52,6 +52,16 @@ class LineageSpec extends SparkSpec {
     assert(m.files.nonEmpty && m.files.map(_.rows).sum == 100)
   }
 
+  test("lineage sees nested partitioned sinks (route=*/...) recursively") {
+    val out = Files.createTempDirectory("graft_lineage4").toString
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "route")
+    df.write.partitionBy("route").mode("overwrite").parquet(s"$out/s")
+    val lineage = Lineage.fileLineage(spark, s"$out/s")
+    assert(lineage.map(_.rows).sum == 3, s"got $lineage")
+    assert(lineage.forall(_.file.startsWith("route=")),
+      s"expected sink-relative nested paths, got ${lineage.map(_.file)}")
+  }
+
   test("changed fingerprint invalidates old checkpoints") {
     val out = Files.createTempDirectory("graft_lineage3").toString
     val df = Seq((1, "a")).toDF("id", "v")

@@ -33,4 +33,21 @@ class IncrementalSpec extends SparkSpec {
     val (_, p4) = Incremental.readNew(spark, table, ckpt)
     assert(p4.isEmpty)
   }
+
+  test("partitioned table layouts are listed recursively with full URIs") {
+    val table = Files.createTempDirectory("inc_part").toString
+    val ckpt = Files.createTempDirectory("inc_part_ckpt").toString
+    Seq((1, "a"), (2, "b")).toDF("v", "route")
+      .write.partitionBy("route").mode("append").parquet(table)
+    val (df1, p1) = Incremental.readNew(spark, table, ckpt)
+    assert(p1.newFiles.size == 2, s"nested files invisible: ${p1.newFiles}")
+    // fingerprints carry the full URI (scheme intact), not a bare path
+    assert(p1.newFiles.forall(_.startsWith("file:")), s"got ${p1.newFiles}")
+    assert(df1.count() == 2)
+    p1.commit()
+    assert(Incremental.readNew(spark, table, ckpt)._2.isEmpty)
+    // commit() again over an existing manifest exercises overwrite-rename
+    p1.commit()
+    assert(Incremental.readNew(spark, table, ckpt)._2.isEmpty)
+  }
 }

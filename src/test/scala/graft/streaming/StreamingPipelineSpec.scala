@@ -60,6 +60,29 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hot conversation: recombine state stays bounded via maxTurns chunk flush") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    // 1000 turns into ONE conversation with maxTurns=64: state must never
+    // hold more than 64 turns; overflow chunks emit immediately
+    val sessions = StreamingPipeline.recombine(
+      mem.toDS(), "0 seconds", gapMs = 60000, maxTurns = 64)
+    val q = sessions.writeStream.format("memory").queryName("hot")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val hot = (0 until 1000).map(i => turn("hot", i, 1, s"t$i"))
+      mem.addData(hot: _*)
+      q.processAllAvailable()
+      mem.addData(turn("zz", 0, 59, "push watermark")) // fire the tail timeout
+      q.processAllAvailable()
+      val out = spark.table("hot").as[StreamingPipeline.ConvSession]
+        .collect().filter(_.conv_id == "hot")
+      assert(out.map(_.n_turns).sum == 1000, s"lost turns: ${out.map(_.n_turns).toSeq}")
+      assert(out.forall(_.n_turns <= 64), s"chunk exceeded maxTurns: ${out.map(_.n_turns).toSeq}")
+      assert(out.length >= 1000 / 64, s"expected chunked flushes, got ${out.length}")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped from finalized windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Turn]
