@@ -385,9 +385,14 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           floor(col("jaccard") * 10000).cast("bigint").as("jaccard_e4"))),
 
-    "d08_simhash_signatures" -> ((s, dir) => // rows-only (xxhash64-based)
-      documents(s, dir).select(col("doc_id"),
-        Dedup.simhash64(col("text")).as("simhash"))),
+    "d08_simhash_signatures" -> ((s, dir) => { // golden-vector oracle
+      // SimHash64 golden vectors: a fixed corpus whose signatures are
+      // pinned in the oracle as literals (the HOF differential in
+      // DedupSpec proves the expression; this pins cross-run stability)
+      import s.implicits._
+      GoldenSimhashCorpus.toDF("doc_id", "text")
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+    }),
 
     "d09_quality_metrics" -> ((s, dir) =>
       documents(s, dir)
@@ -517,6 +522,87 @@ object SparkEntry {
           Pipeline.exprResolver))
         .groupBy("role").agg(count(lit(1)).as("n"))),
 
+    // -- severity HTTP presets / strptime layouts / drop_ratio --
+    "p44_severity_http_preset" -> ((s, dir) =>
+      // severity parser with 2xx..5xx range presets
+      // (helper/severity_builder.go:94-104,205-214)
+      events(s, dir).select(col("event_id"),
+        ParseStage.parseSeverityMapped(
+          (lit(100) + pmod(col("event_id"), lit(500))).cast("string"),
+          Seq("2xx" -> 9, "3xx" -> 13, "4xx" -> 17, "5xx" -> 21)).as("severity_num"))),
+
+    "p45_strptime_time_parse" -> ((s, dir) => {
+      // time parser layout_type dispatch (helper/time.go:19-83):
+      // strptime via the ctimefmt table, gotime via reference-time
+      // tokens, epoch seconds — all three against one oracle
+      val sstr = concat(lit("2026-01-"),
+        lpad((pmod(col("event_id"), lit(28)) + 1).cast("string"), 2, "0"),
+        lit("T03:04:05Z"))
+      events(s, dir).select(col("event_id"),
+        ParseStage.parseTime(sstr, "strptime", "%Y-%m-%dT%H:%M:%SZ").as("t_strp"),
+        ParseStage.parseTime(sstr, "gotime", "2006-01-02T15:04:05Z").as("t_go"),
+        ParseStage.parseTime(pmod(col("event_id"), lit(100000)), "epoch", "s").as("t_epoch"))
+    }),
+
+    "p46_filter_drop_ratio" -> ((s, dir) =>
+      // filter transformer drop_ratio (transformer/filter/transformer.go:
+      // 26-56) as a consistent keyed sampler
+      ParseStage.dropRatioFilter(events(s, dir), col("event_type") === "error",
+          0.25, col("event_id"))
+        .select("event_id", "event_type")),
+
+    // -- metricstransform operation set (config.go:59-124) --
+    "p47_mt_scale_label_ops" -> ((s, dir) => {
+      import graft.agg.MetricsTransform._
+      val metric = events(s, dir)
+        .select(col("event_id"), col("event_type"), centsE.as("v"))
+      val out = deleteLabelValue(
+        updateLabel(
+          addLabel(scaleValue(metric, "v", 3.0), "env", "prod"),
+          "event_type", newLabel = Some("etype"),
+          valueActions = Seq("error" -> "failure")),
+        "etype", "view")
+      out.select("event_id", "etype", "env", "v")
+    }),
+
+    "p48_mt_aggregate_label_values" -> ((s, dir) => {
+      import graft.agg.MetricsTransform._
+      val metric = events(s, dir).select(col("event_type"), centsE.as("v"))
+      aggregateLabelValues(metric, "event_type", Seq("error", "purchase"),
+        "merged", Seq("event_type"), "v", "sum")
+        .withColumn("v", col("v").cast("bigint"))
+    }),
+
+    "p49_redaction_audit" -> ((s, dir) => {
+      // redaction with allowlist + blocked values + ignore list + debug
+      // audit attrs (processor/redactionprocessor/processor.go:83-144)
+      import graft.ops.Redaction
+      val attrs = map(
+        lit("user"), col("user_id").cast("string"),
+        lit("card"), concat(lit("4111-"), lpad(pmod(col("event_id"), lit(10000)).cast("string"), 4, "0")),
+        lit("note"), col("event_type"),
+        lit("trace"), md5(col("event_id").cast("string")),
+        lit("drop_me"), lit("sensitive"))
+      val cfg = Redaction.Config(allowAllKeys = false,
+        allowedKeys = Seq("user", "card", "note"),
+        ignoredKeys = Seq("trace"),
+        blockedValues = Seq("\\d{4}-\\d{4}"),
+        summary = "debug")
+      events(s, dir)
+        .select(col("event_id"), Redaction.redactAttrs(attrs, cfg).as("r"))
+        .select(col("event_id"),
+          col("r").getItem("user").as("user"),
+          col("r").getItem("card").as("card"),
+          col("r").getItem("note").as("note"),
+          col("r").getItem("trace").as("trace"),
+          col("r").getItem("drop_me").as("dropped"),
+          col("r").getItem("redaction.redacted.keys").as("redacted_keys"),
+          col("r").getItem("redaction.redacted.count").as("redacted_count"),
+          col("r").getItem("redaction.masked.keys").as("masked_keys"),
+          col("r").getItem("redaction.masked.count").as("masked_count"),
+          col("r").getItem("redaction.ignored.count").as("ignored_count"))
+    }),
+
     // -- training-data ops: similarity search --
     "e01_ann_bruteforce" -> ((s, dir) => {
       val q = embeddingQuery(s, dir)
@@ -560,8 +646,28 @@ object SparkEntry {
 
     "m02_multimodal_metastats" -> ((s, dir) =>
       Multimodal.metaStats(
-        Multimodal.synthFromDocuments(documents(s, dir), "doc_id", "text")))
+        Multimodal.synthFromDocuments(documents(s, dir), "doc_id", "text"))),
+
+    "m03_multimodal_meta" -> ((s, dir) =>
+      // typed-metadata projection + blob byte length — metadata derives
+      // from integer arithmetic so the oracle reproduces it exactly;
+      // MultimodalSpec separately proves the plan never reads `bytes`
+      // for blob-free projections
+      Multimodal.synthFromDocuments(documents(s, dir), "doc_id", "text")
+        .select(col("media_id"), col("modality"),
+          length(col("bytes")).as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.dur_ms").as("dur_ms")))
   )
+
+  /** Fixed corpus for the d08 golden-signature oracle. */
+  private val GoldenSimhashCorpus: Seq[(Long, String)] = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "the quick brown fox jumps over the lazy cat",
+    3L -> "pack my box with five dozen liquor jugs",
+    4L -> "pack my box with five dozen liquor jugs again",
+    5L -> "an entirely different sentence with other words",
+    6L -> "")
 
   /** Query vector for ANN queries: the embedding of vec_id=0. */
   private def embeddingQuery(s: SparkSession, dir: String): Array[Double] =
@@ -838,6 +944,24 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
 
+    // The LSH pair set provably equals the brute-force pair set at this
+    // scale (banding miss probability ~1e-5/pair at j>=0.85 with 64
+    // hashes / 16 bands, and everything is deterministic hashing — the
+    // exact-verify step makes LSH a subset of brute by construction, and
+    // set equality was checked both ways at sf0.01), so the quadratic
+    // brute scan is a valid oracle for the banded operator.
+    "d07_minhash_lsh_neardups" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(floor(10000 * (len(list_intersect(a.s, b.s)) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))) AS BIGINT) AS jaccard_e4
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.s, b.s)) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85""".stripMargin,
+
     "d05_jaccard_pairs_brute" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
@@ -985,6 +1109,87 @@ object SparkEntry {
       s"""SELECT role, count(*) AS n FROM transcripts
          |WHERE regexp_matches(text, '^CALL ') OR role = 'user'
          |GROUP BY 1""".stripMargin),
+
+    "p44_severity_http_preset" ->
+      """SELECT event_id, CASE
+        |  WHEN (100 + event_id % 500) BETWEEN 200 AND 299 THEN 9
+        |  WHEN (100 + event_id % 500) BETWEEN 300 AND 399 THEN 13
+        |  WHEN (100 + event_id % 500) BETWEEN 400 AND 499 THEN 17
+        |  WHEN (100 + event_id % 500) BETWEEN 500 AND 599 THEN 21
+        |  ELSE 0 END AS severity_num
+        |FROM events""".stripMargin,
+
+    "p45_strptime_time_parse" ->
+      """SELECT event_id,
+        |  strptime(s, '%Y-%m-%dT%H:%M:%SZ') AS t_strp,
+        |  strptime(s, '%Y-%m-%dT%H:%M:%SZ') AS t_go,
+        |  to_timestamp(event_id % 100000)::TIMESTAMP AS t_epoch
+        |FROM (SELECT event_id,
+        |        '2026-01-' || lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0')
+        |        || 'T03:04:05Z' AS s
+        |      FROM events)""".stripMargin,
+
+    "p46_filter_drop_ratio" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE NOT (event_type = 'error')
+        |   OR (event_id * 2654435761) % 1000 >= 250""".stripMargin,
+
+    "p47_mt_scale_label_ops" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'error' THEN 'failure' ELSE event_type END AS etype,
+        |  'prod' AS env,
+        |  CAST(trunc(CAST(round(value*100) AS BIGINT) * 3.0) AS BIGINT) AS v
+        |FROM events WHERE event_type <> 'view'""".stripMargin,
+
+    "p48_mt_aggregate_label_values" ->
+      """SELECT CASE WHEN event_type IN ('error','purchase') THEN 'merged'
+        |       ELSE event_type END AS event_type,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "d08_simhash_signatures" ->
+      """SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+        |  CAST(v.simhash AS BIGINT) AS simhash
+        |FROM (VALUES
+        |  (1, -7573889167326994222), (2, -7573326217371541038),
+        |  (3, 2495353224988115078), (4, 2785836663959376534),
+        |  (5, 8505537570372634279), (6, -7444071767201028348))
+        |  v(doc_id, simhash)""".stripMargin,
+
+    "m02_multimodal_metastats" ->
+      """SELECT modality, count(*) AS n, avg(width) AS avg_width,
+        |  avg(dur_ms) AS avg_dur_ms
+        |FROM (SELECT
+        |        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |             ELSE 'video' END AS modality,
+        |        (doc_id*37) % 1920 + 1 AS width,
+        |        (doc_id*97) % 60000 + 1 AS dur_ms
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin,
+
+    "m03_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |  CAST((doc_id*37) % 1920 + 1 AS INT) AS width,
+        |  CAST((doc_id*59) % 1080 + 1 AS INT) AS height,
+        |  CAST((doc_id*97) % 60000 + 1 AS INT) AS dur_ms
+        |FROM documents""".stripMargin,
+
+    "p49_redaction_audit" ->
+      """SELECT event_id,
+        |  CAST(user_id AS VARCHAR) AS user,
+        |  '****' AS card,
+        |  event_type AS note,
+        |  md5(CAST(event_id AS VARCHAR)) AS trace,
+        |  CAST(NULL AS VARCHAR) AS dropped,
+        |  'drop_me' AS redacted_keys,
+        |  '1' AS redacted_count,
+        |  'card' AS masked_keys,
+        |  '1' AS masked_count,
+        |  '1' AS ignored_count
+        |FROM events""".stripMargin,
 
     "e04_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -35,7 +35,9 @@ object Multimodal {
   ))
 
   /** Deterministic synthetic media table (blob = text bytes; metadata
-    * derived from id) — stands in for a real multimodal corpus. */
+    * derived from id with plain INTEGER arithmetic, so a DuckDB oracle
+    * can reproduce it — xxhash64 here would make the metadata queries
+    * unverifiable). */
   def synthFromDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).cast("long").as("media_id"),
@@ -43,9 +45,9 @@ object Multimodal {
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"),
       col(textCol).cast("binary").as("bytes"),
       struct(
-        (pmod(xxhash64(col(idCol), lit(1)), lit(1920)) + 1).cast("int").as("width"),
-        (pmod(xxhash64(col(idCol), lit(2)), lit(1080)) + 1).cast("int").as("height"),
-        (pmod(xxhash64(col(idCol), lit(3)), lit(60000)) + 1).cast("int").as("dur_ms"),
+        (pmod(col(idCol) * 37, lit(1920)) + 1).cast("int").as("width"),
+        (pmod(col(idCol) * 59, lit(1080)) + 1).cast("int").as("height"),
+        (pmod(col(idCol) * 97, lit(60000)) + 1).cast("int").as("dur_ms"),
         lit("stub").as("codec")).as("meta"))
 
   val featureDim = 8

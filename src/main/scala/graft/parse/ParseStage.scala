@@ -54,6 +54,26 @@ object ParseStage {
   /** Timestamp parse (`pkg/stanza/operator/helper/time.go:19-83`):
     * strptime/gotime layouts map to Java patterns; epoch variants below. */
   def parseTime(c: Column, javaFormat: String): Column = to_timestamp(c, javaFormat)
+
+  /** Config-driven time parse with the reference's layout_type dispatch
+    * (`time.go:101-132`): strptime layouts translate via the ctimefmt
+    * table, gotime via the reference-time tokens, epoch via its unit
+    * sub-layouts (`time.go:83-96`). */
+  def parseTime(c: Column, layoutType: String, layout: String): Column =
+    layoutType match {
+      case "strptime" => to_timestamp(c, TimeFormats.strptimeToJava(layout))
+      case "gotime" => to_timestamp(c, TimeFormats.gotimeToJava(layout))
+      case "epoch" => layout match {
+        case "s" => parseEpochSeconds(c)
+        case "ms" => parseEpochMillis(c)
+        case "us" => timestamp_micros(c.cast("long"))
+        case "ns" => timestamp_micros((c.cast("long") / 1000).cast("long"))
+        case "s.ms" | "s.us" | "s.ns" => // fractional seconds as double
+          timestamp_micros((c.cast("double") * 1e6).cast("long"))
+        case other => throw new IllegalArgumentException(s"invalid epoch layout: $other")
+      }
+      case other => throw new IllegalArgumentException(s"unknown layout_type: $other")
+    }
   def parseEpochSeconds(c: Column): Column = timestamp_seconds(c.cast("long"))
   def parseEpochMillis(c: Column): Column = timestamp_millis(c.cast("long"))
 
@@ -79,6 +99,38 @@ object ParseStage {
     severityAliases.foldLeft(lit(0)) { case (acc, (name, num)) =>
       when(lc === name, lit(num)).otherwise(acc)
     }.as("severity_num")
+  }
+
+  /** Custom severity mapping on top of the builtin table
+    * (`severity_builder.go:94-104,205-214`): the special values
+    * `2xx`..`5xx` match every HTTP status in that range (the reference
+    * expands them to the 100 exact strings, `expandRange`; an anchored
+    * 3-digit regex matches the identical string set); other values
+    * compare lowercased. Later entries win, like map insertion order. */
+  def parseSeverityMapped(c: Column, mapping: Seq[(String, Int)]): Column = {
+    val lc = lower(c)
+    mapping.foldLeft(parseSeverity(c): Column) { case (acc, (value, num)) =>
+      value match {
+        case "2xx" | "3xx" | "4xx" | "5xx" =>
+          when(lc.rlike("^" + value.head + "[0-9][0-9]$"), lit(num)).otherwise(acc)
+        case v => when(lc === v.toLowerCase(java.util.Locale.ROOT), lit(num)).otherwise(acc)
+      }
+    }.as("severity_num")
+  }
+
+  /** filter transformer `drop_ratio`
+    * (`pkg/stanza/operator/transformer/filter/transformer.go:26-56`):
+    * rows matching `predicate` are dropped with probability `dropRatio`.
+    * The reference draws crypto-random per entry (`randInt:47`); a
+    * distributed batch engine needs the decision to be a pure function
+    * of the row (retries and speculative tasks must agree), so the draw
+    * is the same Knuth-hash consistent sampler as the probabilistic
+    * sampler: keep iff hash(key) mod 1000 >= dropRatio*1000. */
+  def dropRatioFilter(df: DataFrame, predicate: Column, dropRatio: Double,
+                      key: Column): DataFrame = {
+    val cutoff = math.round(dropRatio * 1000).toInt
+    df.filter(!coalesce(predicate, lit(false)) ||
+      pmod(key.cast("bigint") * 2654435761L, lit(1000)) >= cutoff)
   }
 
   /** JSON body parse (`parser/json/parser.go:23-39`). */
