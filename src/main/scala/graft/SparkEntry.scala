@@ -648,6 +648,28 @@ object SparkEntry {
       Multimodal.metaStats(
         Multimodal.synthFromDocuments(documents(s, dir), "doc_id", "text"))),
 
+    "p50_spanmetrics_exemplars" -> ((s, dir) => {
+      // spanmetrics exemplars: up to k (value, span_id) samples per
+      // dimension group (connector.go:367,408), flattened for the oracle
+      val spans = parsedT(s, dir).filter(col("pattern") === "tool_call")
+        .select(col("parsed").getItem("tool_name").as("tool"),
+          col("parsed").getItem("dur_ms").cast("bigint").as("dur_ms"),
+          concat(col("conv_id"), lit("#"), col("turn_idx")).as("span_id"))
+      graft.agg.SpanMetrics.callsWithExemplars(spans, Seq("tool"), "dur_ms", "span_id", 3)
+        .select(col("tool"), col("calls"), col("sum_dur").cast("bigint").as("sum_dur"),
+          posexplode(col("exemplars")).as(Seq("rank", "ex")))
+        .select(col("tool"), col("calls"), col("sum_dur"),
+          col("rank"), col("ex.value").as("ex_value"), col("ex.span_id").as("ex_span_id"))
+    }),
+
+    "p51_spanmetrics_expiration" -> ((s, dir) => {
+      // metrics_expiration (config.go:72): groups silent for longer than
+      // the expiration before the batch's max event time drop out
+      val spans = events(s, dir).select(col("user_id").as("grp"), col("ts"), col("event_id"))
+      graft.agg.SpanMetrics.withExpiration(spans, Seq("grp"), "ts", "1 day")
+        .groupBy("grp").agg(count(lit(1)).as("n"))
+    }),
+
     "m03_multimodal_meta" -> ((s, dir) =>
       // typed-metadata projection + blob byte length — metadata derives
       // from integer arithmetic so the oracle reproduces it exactly;
@@ -1155,6 +1177,36 @@ object SparkEntry {
         |  (3, 2495353224988115078), (4, 2785836663959376534),
         |  (5, 8505537570372634279), (6, -7444071767201028348))
         |  v(doc_id, simhash)""".stripMargin,
+
+    "p50_spanmetrics_exemplars" -> withT(
+      s"""SELECT a.tool, a.calls, a.sum_dur,
+         |  CAST(r.rn - 1 AS INT) AS rank, r.dur_ms AS ex_value,
+         |  r.span_id AS ex_span_id
+         |FROM agg a JOIN ranked r ON a.tool = r.tool
+         |WHERE r.rn <= 3""".stripMargin,
+      Seq(
+        s"""spans AS (
+           |  SELECT regexp_extract(text, '$P1', 1) AS tool,
+           |    CAST(regexp_extract(text, '$P1', 3) AS BIGINT) AS dur_ms,
+           |    conv_id || '#' || CAST(turn_idx AS VARCHAR) AS span_id
+           |  FROM transcripts WHERE regexp_matches(text, '$P1'))""".stripMargin,
+        """agg AS (
+          |  SELECT tool, count(*) AS calls,
+          |    CAST(sum(dur_ms) AS BIGINT) AS sum_dur
+          |  FROM spans GROUP BY 1)""".stripMargin,
+        """ranked AS (
+          |  SELECT tool, dur_ms, span_id,
+          |    row_number() OVER (PARTITION BY tool ORDER BY dur_ms DESC, span_id DESC) AS rn
+          |  FROM spans)""".stripMargin)),
+
+    "p51_spanmetrics_expiration" ->
+      """WITH g AS (SELECT user_id AS grp, ts FROM events),
+        |last AS (SELECT grp, max(ts) AS last_seen FROM g GROUP BY 1),
+        |now AS (SELECT max(ts) AS n FROM g)
+        |SELECT g.grp, count(*) AS n
+        |FROM g JOIN last USING (grp), now
+        |WHERE last.last_seen >= now.n - INTERVAL 1 DAY
+        |GROUP BY 1""".stripMargin,
 
     "m02_multimodal_metastats" ->
       """SELECT modality, count(*) AS n, avg(width) AS avg_width,

@@ -1,0 +1,112 @@
+package graft.agg
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Redaction
+import graft.parse.ParseStage
+
+/** Round-2 processor additions: metricstransform operation set,
+  * spanmetrics exemplars/expiration, redaction lists+audit, severity
+  * presets, drop_ratio. */
+class ProcessorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("metricstransform: scale truncates like Go int64(float64(v)*s)") {
+    val df = Seq((1L, "a", 7L), (2L, "b", -7L)).toDF("id", "l", "v")
+    val out = MetricsTransform.scaleValue(df, "v", 0.5)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> -3L)) // trunc toward zero, not floor
+  }
+
+  test("metricstransform: label ops compose") {
+    val df = Seq(("error", 1L), ("view", 2L), ("click", 3L)).toDF("event_type", "v")
+    val out = MetricsTransform.deleteLabelValue(
+      MetricsTransform.updateLabel(
+        MetricsTransform.addLabel(df, "env", "prod"),
+        "event_type", Some("etype"), Seq("error" -> "failure")),
+      "etype", "view")
+    assert(out.columns.toSeq == Seq("etype", "v", "env"))
+    assert(out.select("etype").as[String].collect().toSet == Set("failure", "click"))
+  }
+
+  test("metricstransform: aggregate_label_values merges then aggregates") {
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 4L)).toDF("l", "v")
+    val out = MetricsTransform.aggregateLabelValues(df, "l", Seq("a", "b"),
+      "ab", Seq("l"), "v", "sum").as[(String, Long)].collect().toMap
+    assert(out == Map("ab" -> 3L, "c" -> 4L))
+  }
+
+  test("spanmetrics exemplars: bounded top-k per group, largest durations") {
+    val spans = Seq(
+      ("t1", 10L, "s1"), ("t1", 30L, "s2"), ("t1", 20L, "s3"), ("t1", 5L, "s4"),
+      ("t2", 1L, "s5")).toDF("tool", "dur", "sid")
+    val out = SpanMetrics.callsWithExemplars(spans, Seq("tool"), "dur", "sid", 2)
+    val t1 = out.filter(col("tool") === "t1").head()
+    assert(t1.getAs[Long]("calls") == 4 && t1.getAs[Long]("sum_dur") == 65)
+    val ex = t1.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("exemplars")
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(ex == Seq((30L, "s2"), (20L, "s3"))) // top-2 by duration desc
+    val t2 = out.filter(col("tool") === "t2").head()
+    assert(t2.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("exemplars").size == 1)
+  }
+
+  test("spanmetrics expiration drops groups stale before the batch max ts") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val spans = Seq(("old", ts(1)), ("old", ts(2)), ("live", ts(1)), ("live", ts(20)))
+      .toDF("grp", "ts")
+    val kept = SpanMetrics.withExpiration(spans, Seq("grp"), "ts", "7 days")
+      .select("grp").as[String].collect().toSet
+    assert(kept == Set("live")) // "old" last seen 18 days before max
+  }
+
+  test("redaction: allowlist deletes, blocked masks, ignore passes, audit attrs") {
+    val df = Seq(1).toDF("x").select(map(
+      lit("name"), lit("alice"),
+      lit("card"), lit("4111-1111 and 4222-2222"),
+      lit("ssn"), lit("secret"),
+      lit("trace"), lit("abc-123")).as("attrs"))
+    val cfg = Redaction.Config(allowAllKeys = false,
+      allowedKeys = Seq("name", "card"), ignoredKeys = Seq("trace"),
+      blockedValues = Seq("\\d{4}-\\d{4}"), summary = "debug")
+    val m = df.select(Redaction.redactAttrs(col("attrs"), cfg).as("r"))
+      .head().getMap[String, String](0).toMap
+    assert(m("name") == "alice")
+    assert(m("card") == "**** and ****") // every match masked
+    assert(!m.contains("ssn"))
+    assert(m("trace") == "abc-123") // ignored: untouched even though it matches nothing
+    assert(m("redaction.redacted.keys") == "ssn" && m("redaction.redacted.count") == "1")
+    assert(m("redaction.masked.keys") == "card" && m("redaction.masked.count") == "1")
+    assert(m("redaction.ignored.count") == "1")
+  }
+
+  test("redaction: summary=info omits key lists; no audit when nothing changed") {
+    val df = Seq(1).toDF("x").select(map(lit("a"), lit("v")).as("attrs"))
+    val info = Redaction.Config(allowAllKeys = true, blockedValues = Seq("zzz"),
+      summary = "info")
+    val m = df.select(Redaction.redactAttrs(col("attrs"), info).as("r"))
+      .head().getMap[String, String](0).toMap
+    assert(m == Map("a" -> "v")) // nothing deleted/masked/ignored → no audit keys
+  }
+
+  test("severity HTTP presets map ranges; builtin table still falls through") {
+    val df = Seq("204", "302", "404", "503", "99", "error").toDF("s")
+    val out = df.select(ParseStage.parseSeverityMapped(col("s"),
+      Seq("2xx" -> 9, "3xx" -> 13, "4xx" -> 17, "5xx" -> 21)).as("n"))
+      .as[Int].collect().toSeq
+    assert(out == Seq(9, 13, 17, 21, 0, 17)) // "error" → builtin 17; "99" unmapped
+  }
+
+  test("drop_ratio keeps all unmatched rows and ~ratio of matched ones") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "drop" else "keep"))
+      .toDF("id", "kind")
+    val out = ParseStage.dropRatioFilter(df, col("kind") === "drop", 0.25, col("id"))
+    assert(out.filter(col("kind") === "keep").count() == 500) // unmatched untouched
+    val dropKept = out.filter(col("kind") === "drop").count()
+    assert(dropKept > 300 && dropKept < 450, s"got $dropKept of 500 (expect ~375)")
+    // determinism: same input → same verdicts
+    val again = ParseStage.dropRatioFilter(df, col("kind") === "drop", 0.25, col("id"))
+      .filter(col("kind") === "drop").count()
+    assert(again == dropKept)
+  }
+}
