@@ -523,6 +523,17 @@ object SparkEntry {
         .groupBy("role").agg(count(lit(1)).as("n"))),
 
     // -- severity HTTP presets / strptime layouts / drop_ratio --
+    "p52_ottl_statements" -> ((s, dir) =>
+      // transform processor driven ENTIRELY by config-text OTTL
+      // statements (editor + where; parser.go:120-138) — sequential
+      // statement semantics: statement 2 sees statement 1's writes
+      graft.expr.ExprLang.applyStatements(parsedT(s, dir), Seq(
+          """set(role, ToUpperCase(role)) where attributes["level"] == "ERROR"""",
+          """replace_pattern(body, "[0-9]", "#") where role == "user""""),
+        Pipeline.exprResolver,
+        graft.expr.ExprLang.transcriptTargets(Pipeline.parsedFields))
+        .select("conv_id", "turn_idx", "role", "text")),
+
     "p44_severity_http_preset" -> ((s, dir) =>
       // severity parser with 2xx..5xx range presets
       // (helper/severity_builder.go:94-104,205-214)
@@ -1131,6 +1142,17 @@ object SparkEntry {
       s"""SELECT role, count(*) AS n FROM transcripts
          |WHERE regexp_matches(text, '^CALL ') OR role = 'user'
          |GROUP BY 1""".stripMargin),
+
+    "p52_ottl_statements" -> withT(
+      s"""SELECT conv_id, turn_idx, role,
+         |  CASE WHEN role = 'user'
+         |       THEN regexp_replace(text, '[0-9]', '#', 'g') ELSE text END AS text
+         |FROM (
+         |  SELECT conv_id, turn_idx, text,
+         |    CASE WHEN NOT regexp_matches(text, '$P1') AND regexp_matches(text, '$P2')
+         |              AND regexp_extract(text, '$P2', 1) = 'ERROR'
+         |         THEN upper(role) ELSE role END AS role
+         |  FROM transcripts)""".stripMargin),
 
     "p44_severity_http_preset" ->
       """SELECT event_id, CASE

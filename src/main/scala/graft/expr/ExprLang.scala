@@ -133,6 +133,29 @@ object ExprLang {
       }
     }
 
+    /** `editor(args...) [where condition]` — the OTTL statement form
+      * (`pkg/ottl/grammar.go:14-19` parsedStatement; editors are
+      * lowercase, which is why this cannot reuse atom()'s
+      * uppercase-converter rule). */
+    def parseStatementAll(): Stmt = {
+      val name = advance() match {
+        case TIdent(s, _) if s.head.isLower => s
+        case t => throw ExprParseException("expected editor name (lowercase)", t.pos)
+      }
+      expectOp("(")
+      val args = Seq.newBuilder[Expr]
+      if (!atOp(")")) {
+        args += orExpr()
+        while (atOp(",")) { advance(); args += orExpr() }
+      }
+      expectOp(")")
+      val where = if (atKeyword("where")) { advance(); Some(orExpr()) } else None
+      cur match {
+        case TEnd(_) => Stmt(name, args.result(), where)
+        case t => throw ExprParseException("trailing input", t.pos)
+      }
+    }
+
     private def orExpr(): Expr = {
       var l = andExpr()
       while (atKeyword("or")) { advance(); l = Or(l, andExpr()) }
@@ -227,6 +250,11 @@ object ExprLang {
   }
 
   def parse(s: String): Expr = new P(lex(s)).parseAll()
+
+  /** One OTTL statement: lowercase editor + args + optional where. */
+  final case class Stmt(editor: String, args: Seq[Expr], where: Option[Expr])
+
+  def parseStatement(s: String): Stmt = new P(lex(s)).parseStatementAll()
 
   // ---------------- compiler: AST → Column ----------------
 
@@ -326,6 +354,94 @@ object ExprLang {
     * combination (`connector/countconnector`, `parser.go:332-340`). */
   def anyOf(conds: Seq[String], resolve: Resolver): Column =
     conds.map(condition(_, resolve)).reduce(_ || _)
+
+  // ---------------- statement application (editors + where) ----------------
+
+  /** Target of an editor: (physical column, optional map key). */
+  type TargetResolver = Path => (String, Option[String])
+
+  /** Transcript-context target mapping: `body` → text; `attributes["k"]`
+    * → the `parsed` map entry when k is a parse-bank field, else the
+    * top-level column k; bare `attributes` → the parsed map itself. */
+  def transcriptTargets(parsedFields: Set[String]): TargetResolver = {
+    case Path(Seq(PathSeg("body", Nil))) => ("text", None)
+    case Path(Seq(PathSeg("attributes", Seq(Left(k))))) =>
+      if (parsedFields(k)) ("parsed", Some(k)) else (k, None)
+    case Path(Seq(PathSeg("attributes", Nil))) => ("parsed", None)
+    case Path(Seq(PathSeg(name, Nil))) => (name, None)
+    case p => throw new IllegalArgumentException(s"unsupported editor target: $p")
+  }
+
+  /** Apply one config-text OTTL statement to a frame — the transform
+    * processor's statement execution (`pkg/ottl/parser.go:120-138`
+    * statement compilation; `where` null-safety = error_mode ignore).
+    * The target column is rewritten WHERE the condition holds and left
+    * unchanged elsewhere — the relational rendering of per-record
+    * statement execution. */
+  def applyStatement(df: org.apache.spark.sql.DataFrame, s: String,
+                     resolve: Resolver, targets: TargetResolver): org.apache.spark.sql.DataFrame = {
+    val st = parseStatement(s)
+    val cond = st.where
+      .map(w => coalesce(compileExpr(w, resolve).cast("boolean"), lit(false)))
+      .getOrElse(lit(true))
+    def targetPath(i: Int): Path = st.args(i) match {
+      case p: Path => p
+      case other => throw new IllegalArgumentException(
+        s"${st.editor}: argument ${i + 1} must be a path, got $other")
+    }
+    def strLit(i: Int): String = st.args(i) match {
+      case Lit(v: String) => v
+      case other => throw new IllegalArgumentException(
+        s"${st.editor}: argument ${i + 1} must be a string literal, got $other")
+    }
+    def intLit(i: Int): Int = st.args(i) match {
+      case Lit(v: Long) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"${st.editor}: argument ${i + 1} must be an int literal, got $other")
+    }
+    def strList(i: Int): Seq[String] = st.args(i) match {
+      case EList(items) => items.map {
+        case Lit(v: String) => v
+        case other => throw new IllegalArgumentException(
+          s"${st.editor}: list elements must be string literals, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"${st.editor}: argument ${i + 1} must be a list, got $other")
+    }
+    val (colName, mapKey) = targets(targetPath(0))
+    val current = col(colName)
+    // the rewritten value of the TARGET COLUMN when the condition holds
+    val edited: Column = (st.editor, mapKey) match {
+      case ("set", None) => compileExpr(st.args(1), resolve)
+      case ("set", Some(k)) =>
+        graft.functions.Ottl.setKey(current, k, compileExpr(st.args(1), resolve))
+      case ("delete_key", None) => graft.functions.Ottl.deleteKey(current, strLit(1))
+      case ("delete_matching_keys", None) =>
+        graft.functions.Ottl.deleteMatchingKeys(current, strLit(1))
+      case ("keep_keys", None) => graft.functions.Ottl.keepKeys(current, strList(1))
+      case ("keep_matching_keys", None) =>
+        graft.functions.Ottl.keepMatchingKeys(current, strLit(1))
+      case ("truncate_all", None) => graft.functions.Ottl.truncateAll(current, intLit(1))
+      case ("limit", None) => graft.functions.Ottl.limitMap(current, intLit(1))
+      case ("replace_pattern", None) =>
+        graft.functions.Ottl.replacePattern(current, strLit(1), strLit(2))
+      case ("replace_pattern", Some(k)) =>
+        graft.functions.Ottl.setKey(current, k,
+          graft.functions.Ottl.replacePattern(current.getItem(k), strLit(1), strLit(2)))
+      case ("replace_match", None) =>
+        graft.functions.Ottl.replaceMatch(current, strLit(1), strLit(2))
+      case ("replace_all_patterns", None) =>
+        graft.functions.Ottl.replaceAllPatterns(current, strLit(1), strLit(2))
+      case (other, _) => throw new IllegalArgumentException(s"unknown editor: $other")
+    }
+    df.withColumn(colName, when(cond, edited).otherwise(current))
+  }
+
+  /** Apply a statement list in order (a transform-processor statements
+    * block). */
+  def applyStatements(df: org.apache.spark.sql.DataFrame, stmts: Seq[String],
+                      resolve: Resolver, targets: TargetResolver): org.apache.spark.sql.DataFrame =
+    stmts.foldLeft(df)((acc, s) => applyStatement(acc, s, resolve, targets))
 
   // ---------------- EXPR(...) string templates ----------------
 

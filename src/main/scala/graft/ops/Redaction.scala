@@ -43,8 +43,18 @@ object Redaction {
     MaskedCount, IgnoredCount)
 
   /** Redact one attributes map; returns the new map (surviving keys,
-    * masked values, audit attributes). */
+    * masked values, audit attributes). One codegen pass
+    * ([[graft.functions.RedactAttrsExpr]]); the declarative rendering
+    * below is the differential oracle. */
   def redactAttrs(m: Column, cfg: Config): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.RedactAttrsExpr(Bridge.expression(m), cfg))
+  }
+
+  /** Declarative map_filter/transform_values rendering of
+    * [[redactAttrs]] (differential oracle — identical semantics): ~10
+    * interpreted-lambda passes over the map per row, NOT for hot paths. */
+  def redactAttrsDeclarative(m: Column, cfg: Config): Column = {
     def isIgnored(k: Column): Column =
       if (cfg.ignoredKeys.isEmpty) lit(false) else k.isin(cfg.ignoredKeys: _*)
     def isAllowed(k: Column): Column =

@@ -95,6 +95,14 @@ object ParseStage {
     subLevels ++ numeric ++ extras
   }
   def parseSeverity(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.SeverityLookup(
+      Bridge.expression(c), severityAliases)).as("severity_num")
+  }
+
+  /** CASE-chain rendering of [[parseSeverity]] (differential oracle for
+    * the hash-lookup expression): up to ~90 string comparisons per row. */
+  def parseSeverityCase(c: Column): Column = {
     val lc = lower(c)
     severityAliases.foldLeft(lit(0)) { case (acc, (name, num)) =>
       when(lc === name, lit(num)).otherwise(acc)

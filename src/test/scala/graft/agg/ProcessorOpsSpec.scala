@@ -89,6 +89,44 @@ class ProcessorOpsSpec extends SparkSpec {
     assert(m == Map("a" -> "v")) // nothing deleted/masked/ignored → no audit keys
   }
 
+  test("redaction codegen expression matches the declarative map-HOF rendering") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 200).map { i =>
+      (i, Map(
+        "name" -> s"user$i",
+        "card" -> (if (i % 3 == 0) s"4111-${1000 + i}" else "none"),
+        "ssn" -> "secret",
+        "trace" -> s"t-$i",
+        "note" -> (if (i % 5 == 0) s"pay 1234-5678 then 9999-0000" else s"n$i")))
+    }.toDF("id", "attrs")
+    for (summary <- Seq("none", "info", "debug");
+         allowAll <- Seq(true, false)) {
+      val cfg = Redaction.Config(allowAllKeys = allowAll,
+        allowedKeys = Seq("name", "card", "note"), ignoredKeys = Seq("trace"),
+        blockedValues = Seq("\\d{4}-\\d{4}"), summary = summary)
+      val both = rows.select(
+        Redaction.redactAttrs(col("attrs"), cfg).as("fast"),
+        Redaction.redactAttrsDeclarative(col("attrs"), cfg).as("slow"))
+        .collect()
+      both.foreach { r =>
+        val fast = r.getMap[String, String](0).toMap
+        val slow = r.getMap[String, String](1).toMap
+        assert(fast == slow, s"summary=$summary allowAll=$allowAll:\n$fast\n$slow")
+      }
+    }
+  }
+
+  test("severity hash-lookup expression matches the CASE-chain rendering") {
+    val inputs = (ParseStage.severityAliases.map(_._1) ++
+      Seq("TRACE", "Error3", "WARNING2", "unknown", "", "25", "0", "fatal4", "eRr"))
+      .toDF("s")
+    val diff = inputs.select(
+      ParseStage.parseSeverity(col("s")).as("fast"),
+      ParseStage.parseSeverityCase(col("s")).as("slow"))
+      .as[(Int, Int)].collect()
+    assert(diff.nonEmpty && diff.forall { case (f, h) => f == h })
+  }
+
   test("severity HTTP presets map ranges; builtin table still falls through") {
     val df = Seq("204", "302", "404", "503", "99", "error").toDF("s")
     val out = df.select(ParseStage.parseSeverityMapped(col("s"),

@@ -89,6 +89,43 @@ class ExprLangSpec extends SparkSpec {
     assert(tag == Set("turn-0 by USER", "turn-1 by ASSISTANT", "turn-2 by TOOL"))
   }
 
+  test("OTTL statements: editors with where clauses, sequential semantics") {
+    val T = ExprLang.transcriptTargets(Set("level", "tool_name"))
+    // set with where: only the matching row's target changes
+    val out1 = ExprLang.applyStatement(df,
+      """set(role, ToUpperCase(role)) where conv_id == "c1"""", R, T)
+      .select("conv_id", "role").as[(String, String)].collect().toMap
+    assert(out1 == Map("c1" -> "USER", "c2" -> "assistant", "c3" -> "tool"))
+    // replace_pattern on body
+    val out2 = ExprLang.applyStatement(df,
+      """replace_pattern(body, "[0-9]+", "#") where role == "tool"""", R, T)
+      .filter(col("conv_id") === "c3").select("text").as[String].head()
+    assert(out2 == "ERROR [core.engine] boom")
+    val out2b = ExprLang.applyStatement(df,
+      """replace_pattern(body, "o", "0")""", R, T)
+      .filter(col("conv_id") === "c1").select("text").as[String].head()
+    assert(out2b == "hell0 w0rld")
+    // sequential: statement 2 sees statement 1's write
+    val out3 = ExprLang.applyStatements(df, Seq(
+      """set(role, "merged") where conv_id == "c1"""",
+      """set(tool, "was-merged") where role == "merged""""), R, T)
+      .select("conv_id", "tool").as[(String, String)].collect().toMap
+    assert(out3("c1") == "was-merged" && out3("c2") == "search")
+    // map-entry target: set(attributes["tool_name"], ...) rewrites `parsed`
+    val withMap = df.withColumn("parsed",
+      map(lit("tool_name"), col("tool")))
+    val out4 = ExprLang.applyStatement(withMap,
+      """set(attributes["tool_name"], "X") where conv_id == "c2"""", R, T)
+      .select(col("conv_id"), col("parsed").getItem("tool_name")).as[(String, String)]
+      .collect().toMap
+    assert(out4("c2") == "X" && out4("c3") == "grep")
+    // unknown editor / non-path target rejected
+    intercept[IllegalArgumentException](
+      ExprLang.applyStatement(df, """bogus(role)""", R, T))
+    intercept[IllegalArgumentException](
+      ExprLang.applyStatement(df, """set("notapath", 1)""", R, T))
+  }
+
   test("parse errors carry position; unknown converter rejected") {
     intercept[ExprLang.ExprParseException](ExprLang.parse("""role == """))
     intercept[ExprLang.ExprParseException](ExprLang.parse("""role == "unterminated"""))
