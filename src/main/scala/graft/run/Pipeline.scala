@@ -34,8 +34,15 @@ object Pipeline {
 
   val parseConfig: ParseConfig = ParseConfig(patternBank)
 
-  /** FIXTURES.md §3 route table. Predicates reference post-parse columns. */
-  def routeTable: RouteTable = RouteTable(
+  /** FIXTURES.md §3 route table — compiled FROM THE CONFIG STRINGS below
+    * (the reference's config-driven surface); the hand-written rendering
+    * is kept as [[routeTableByHand]] and ExprLangSpec asserts row-set
+    * equality between the two. */
+  def routeTable: RouteTable = routeTableFromStrings
+
+  /** Hand-written Column rendering of the same table (differential
+    * oracle for the expression compiler). */
+  def routeTableByHand: RouteTable = RouteTable(
     routes = Seq(
       RouteSpec("tool_calls",
         col("tool") =!= "" && col("parsed").getItem("tool_name").isNotNull),
