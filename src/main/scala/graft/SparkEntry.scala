@@ -523,6 +523,19 @@ object SparkEntry {
         .groupBy("role").agg(count(lit(1)).as("n"))),
 
     // -- severity HTTP presets / strptime layouts / drop_ratio --
+    "p53_schema_translate" -> ((s, dir) => {
+      // schema processor version translation (schemaprocessor/
+      // transformer.go): upgrade 1.0.0→1.2.0 composes both revisions'
+      // renames; the downgrade leg inverts them (round-trip = identity,
+      // asserted in ProcessorOpsSpec)
+      import graft.enrich.SchemaTransform._
+      val family = Family("transcripts-demo", Seq(
+        Revision("1.1.0", Map("event_type" -> "type_name")),
+        Revision("1.2.0", Map("user_id" -> "actor_id", "type_name" -> "kind"))))
+      translate(events(s, dir).select("event_id", "event_type", "user_id"),
+        family, "1.0.0", "1.2.0")
+    }),
+
     "p52_ottl_statements" -> ((s, dir) =>
       // transform processor driven ENTIRELY by config-text OTTL
       // statements (editor + where; parser.go:120-138) — sequential
@@ -1142,6 +1155,9 @@ object SparkEntry {
       s"""SELECT role, count(*) AS n FROM transcripts
          |WHERE regexp_matches(text, '^CALL ') OR role = 'user'
          |GROUP BY 1""".stripMargin),
+
+    "p53_schema_translate" ->
+      "SELECT event_id, event_type AS kind, user_id AS actor_id FROM events",
 
     "p52_ottl_statements" -> withT(
       s"""SELECT conv_id, turn_idx, role,

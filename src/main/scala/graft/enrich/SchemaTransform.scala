@@ -1,0 +1,79 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Schema-version translation — the schema processor
+  * (`processor/schemaprocessor/transformer.go`, README "Targets
+  * Schemas" in `/root/reference`): telemetry published under one
+  * schema-family version is converted to a target version by composing
+  * the per-version `rename_attributes` sections of the family's schema
+  * file, forward for an upgrade and inverted for a downgrade.
+  *
+  * Spark-first rendering: a revision list (ascending versions, each
+  * carrying its attribute renames), applied to a frame as column
+  * renames plus `transform_keys` over map-typed attribute columns —
+  * pure projections, no shuffle, fully codegen'd.
+  */
+object SchemaTransform {
+
+  /** One schema-file revision: what changed AT this version (the
+    * renames that upgrade FROM the previous version TO this one). */
+  final case class Revision(version: String,
+                            renameAttributes: Map[String, String] = Map.empty)
+
+  /** Ordered schema family (ascending versions). */
+  final case class Family(name: String, revisions: Seq[Revision]) {
+    require(revisions.sliding(2).forall {
+      case Seq(a, b) => cmp(a.version, b.version) < 0
+      case _ => true
+    }, "revisions must be in strictly ascending version order")
+  }
+
+  /** Numeric-tuple version ordering ("1.10.0" > "1.9.0"). */
+  def versionKey(v: String): Seq[Int] = {
+    val parts = v.split("\\.").toSeq.map(_.toInt)
+    parts.padTo(3, 0)
+  }
+
+  private def cmp(a: String, b: String): Int = {
+    import scala.math.Ordering.Implicits._
+    implicitly[Ordering[Seq[Int]]].compare(versionKey(a), versionKey(b))
+  }
+
+  /** The composed key-rename chain from `fromVersion` to `toVersion`:
+    * forward renames of every revision in (from, to] for an upgrade,
+    * inverted renames of (to, from] in reverse order for a downgrade. */
+  def renameChain(family: Family, fromVersion: String, toVersion: String): Seq[(String, String)] = {
+    if (cmp(fromVersion, toVersion) == 0) Nil
+    else if (cmp(fromVersion, toVersion) < 0)
+      family.revisions
+        .filter(r => cmp(r.version, fromVersion) > 0 && cmp(r.version, toVersion) <= 0)
+        .flatMap(_.renameAttributes.toSeq)
+    else
+      family.revisions
+        .filter(r => cmp(r.version, toVersion) > 0 && cmp(r.version, fromVersion) <= 0)
+        .reverse
+        .flatMap(_.renameAttributes.toSeq.map(_.swap))
+  }
+
+  /** Translate a frame whose attributes are TOP-LEVEL COLUMNS. */
+  def translate(df: DataFrame, family: Family,
+                fromVersion: String, toVersion: String): DataFrame =
+    renameChain(family, fromVersion, toVersion).foldLeft(df) {
+      case (acc, (from, to)) =>
+        if (acc.columns.contains(from)) acc.withColumnRenamed(from, to) else acc
+    }
+
+  /** Translate a map-typed attributes COLUMN (one `transform_keys`
+    * pass over the composed chain). */
+  def translateAttrs(attrs: Column, family: Family,
+                     fromVersion: String, toVersion: String): Column = {
+    val chain = renameChain(family, fromVersion, toVersion)
+    if (chain.isEmpty) attrs
+    else transform_keys(attrs, (k, _) =>
+      chain.foldLeft(k) { case (acc, (from, to)) =>
+        when(acc === from, lit(to)).otherwise(acc)
+      })
+  }
+}

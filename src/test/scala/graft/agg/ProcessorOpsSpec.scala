@@ -135,6 +135,29 @@ class ProcessorOpsSpec extends SparkSpec {
     assert(out == Seq(9, 13, 17, 21, 0, 17)) // "error" → builtin 17; "99" unmapped
   }
 
+  test("schema translation: upgrade composes revisions, downgrade inverts, round-trips") {
+    import graft.enrich.SchemaTransform._
+    val family = Family("t", Seq(
+      Revision("1.1.0", Map("a" -> "b")),
+      Revision("1.2.0", Map("b" -> "c", "x" -> "y")),
+      Revision("1.10.0", Map("c" -> "d")))) // 1.10 > 1.2 numerically
+    val df = Seq((1, 2, 3)).toDF("a", "x", "z")
+    val up = translate(df, family, "1.0.0", "1.10.0")
+    assert(up.columns.toSeq == Seq("d", "y", "z")) // a→b→c→d, x→y, z untouched
+    val partial = translate(df, family, "1.0.0", "1.1.0")
+    assert(partial.columns.toSeq == Seq("b", "x", "z"))
+    val down = translate(up, family, "1.10.0", "1.0.0")
+    assert(down.columns.toSeq == df.columns.toSeq) // round-trip identity
+    // map-typed attributes: one transform_keys pass
+    val attrs = Seq(1).toDF("i").select(map(lit("a"), lit("v1"), lit("z"), lit("v2")).as("m"))
+    val keys = attrs.select(map_keys(
+      translateAttrs(col("m"), family, "1.0.0", "1.10.0")).as("k"))
+      .as[Seq[String]].head()
+    assert(keys.toSet == Set("d", "z"))
+    // same-version translation is a no-op
+    assert(translate(df, family, "1.1.0", "1.1.0").columns.toSeq == df.columns.toSeq)
+  }
+
   test("drop_ratio keeps all unmatched rows and ~ratio of matched ones") {
     val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "drop" else "keep"))
       .toDF("id", "kind")
