@@ -26,20 +26,25 @@ object SpanMetrics {
   def callsWithExemplars(spans: DataFrame, dims: Seq[String], durCol: String,
                          idCol: String, maxPerDataPoint: Int): DataFrame = {
     val keys = dims.map(col)
-    val agg = spans.groupBy(keys: _*)
-      .agg(count(lit(1)).as("calls"), sum(durCol).as("sum_dur"))
-    // tie-break DESC on id so selection order matches the presentation
-    // order of sort_array(desc) over struct(value, span_id)
-    val w = Window.partitionBy(keys: _*)
-      .orderBy(col(durCol).desc, col(idCol).desc)
-    val topK = spans
+    // ONE scan, ONE shuffle: calls/sum as unbounded windows over the
+    // same partitioning that ranks the exemplars (the sort is computed
+    // once), then the k exemplar rows per group carry the totals into
+    // the final collect. The alternative agg-branch + topk-branch join
+    // scans the span input twice and shuffles twice.
+    // Tie-break DESC on id so selection order matches the presentation
+    // order of sort_array(desc) over struct(value, span_id).
+    val byKey = Window.partitionBy(keys: _*)
+    val w = byKey.orderBy(col(durCol).desc, col(idCol).desc)
+    spans
       .withColumn("_rn", row_number().over(w))
+      .withColumn("calls", count(lit(1)).over(byKey))
+      .withColumn("sum_dur", sum(durCol).over(byKey))
       .filter(col("_rn") <= maxPerDataPoint)
-      .groupBy(keys: _*)
+      .groupBy((keys :+ col("calls") :+ col("sum_dur")): _*)
       .agg(sort_array(collect_list(struct(
         col(durCol).cast("bigint").as("value"), col(idCol).as("span_id"))), asc = false)
         .as("exemplars"))
-    agg.join(topK, dims)
+      .select((keys :+ col("calls") :+ col("sum_dur") :+ col("exemplars")): _*)
   }
 
   /** metrics_expiration (`config.go:72`): groups receiving no spans for
