@@ -19,7 +19,8 @@ import graft.synth.TranscriptSynth
   *     which a real 4N-executor cluster does not — see BENCH.md);
   *   - `queries`: per-query timings of the SparkEntry suite. Quadratic
   *     oracle variants are skipped at sf≥0.1 → -2; queries skipped
-  *     because the budget ran out → -3; failures → -1.
+  *     because the budget ran out → -3; failures → -1; killed by the
+  *     per-query wall cap → -4.
   *
   * BUDGET PROTOCOL (round-1 shipped rc=124 with nothing parsed): the
   * whole run honors `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 420s of
@@ -28,6 +29,16 @@ import graft.synth.TranscriptSynth
   * re-printed enriched after each optional phase — every line is a
   * superset of the previous, so a timeout at any point still leaves a
   * parseable result on stdout.
+  *
+  * OUTPUT PROTOCOL (round 2 lost its headline to this): the driver
+  * captures only the LAST ~2000 chars of stdout, and the full contract
+  * line with all ~70 query timings is ~5 KB — the round-2 artifact
+  * therefore started mid-line and parsed as null. So after every full
+  * line, a COMPACT summary line (metric, value, n_turns, scaling
+  * efficiencies, query-status counts — no per-query map, always well
+  * under the capture window) is printed LAST; the per-query map stays
+  * in the preceding full line and in the `BENCH_queries_latest.json`
+  * sidecar written to the working directory.
   */
 object Bench {
 
@@ -207,12 +218,13 @@ object Bench {
 
     // ---- headline: end-to-end at local[32]; 1 warm-ish rep + up to 2 more
     // quiet-gated reps while budget allows (min-over-reps, load additive) ----
-    // budget ledger for the later phases: ~2 scaling pairs + query suite.
-    // The queries reserve is deliberately small: the scaling criterion is
-    // part of the north rule while per-query timings are telemetry, and
-    // budget-skipped queries degrade gracefully to -3.
+    // Budget ledger for the later phases: ~2 scaling pairs + query suite.
+    // Round 2's 60 s query reserve was eaten by ONE ambient-load-polluted
+    // query (27 s for a 1 s query) and 58/70 timings shipped as -3 — the
+    // reserve is now a real share of the budget and each query carries
+    // its own wall cap so a single noise spike cannot starve the suite.
     val reserveScaling = 95.0
-    val reserveForQueries = math.min(60.0, budgetSec * 0.15)
+    val reserveForQueries = math.min(160.0, budgetSec * 0.35)
     val s32 = session(32)
     awaitQuiet()
     val reps = scala.collection.mutable.ListBuffer[Double]()
@@ -228,13 +240,28 @@ object Bench {
     val e2e32 = reps.min
     val thr32 = (nTurns / e2e32).round
 
-    def emit(scalingJson: String, queriesJson: String): Unit =
+    def emit(scalingJson: String, queriesJson: String,
+             scalingCompact: String = "null", queriesSummary: String = "null",
+             scalePoint: String = "null"): Unit = {
+      // full line first (complete data, may exceed the driver's tail
+      // window), COMPACT line last (always parseable)
       println(
         s"""{"metric":"pipeline_throughput_turns_per_sec","value":$thr32,""" +
         s""""unit":"turns/sec","n_turns":$nTurns,""" +
         s""""e2e_reps_sec":${reps.map(jnum).mkString("[", ",", "]")},""" +
-        s""""scaling":$scalingJson,"queries":$queriesJson,"sf":"$sfDir",""" +
+        s""""scaling":$scalingJson,"queries":$queriesJson,""" +
+        s""""scale_point":$scalePoint,"sf":"$sfDir",""" +
         s""""budget_sec":$budgetSec,"elapsed_sec":${math.rint(elapsedSec)}}""")
+      println(
+        s"""{"metric":"pipeline_throughput_turns_per_sec","value":$thr32,""" +
+        s""""unit":"turns/sec","n_turns":$nTurns,""" +
+        s""""e2e_reps_sec":${reps.map(jnum).mkString("[", ",", "]")},""" +
+        s""""scaling":$scalingCompact,"queries_summary":$queriesSummary,""" +
+        s""""scale_point":$scalePoint,""" +
+        s""""queries_detail":"preceding full line + BENCH_queries_latest.json",""" +
+        s""""sf":"$sfDir","budget_sec":$budgetSec,""" +
+        s""""elapsed_sec":${math.rint(elapsedSec)}}""")
+    }
 
     // CONTRACT LINE, available from here on even if a later phase is
     // killed: the driver can parse this (or any later superset line).
@@ -292,7 +319,7 @@ object Bench {
       }
       lastPairSec = elapsedSec - t0
     }
-    val scalingJson = if (pairs.isEmpty) "null" else {
+    val (scalingJson, scalingCompact) = if (pairs.isEmpty) ("null", "null") else {
       def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
       val bestN = pairs.map(_._1._1).min
       val best4N = pairs.map(_._2._1).min
@@ -317,20 +344,30 @@ object Bench {
         else eff
       val effPairedMedian = median(pairs.map { case ((tN, _), (t4N, _)) =>
         tN / (4.0 * t4N) }.toSeq)
-      s"""{"criterion":"compute path, sequential CPU-pinned JVMs (taskset) at N=2 vs 4N=8 cores - faithful N-core-node simulation; see BENCH.md",""" +
-      s""""n_turns_probe":$probeSize,""" +
-      s""""cores_n":2,"sec_n":$bestN,"fixed_n":$fixedN,"turns_per_sec_n":${(probeSize / bestN).round},""" +
-      s""""cores_4n":8,"sec_4n":$best4N,"fixed_4n":$fixed4N,"turns_per_sec_4n":${(probeSize / best4N).round},""" +
-      s""""efficiency":${math.rint(eff * 1000) / 1000},""" +
-      s""""efficiency_overhead_corrected":${math.rint(effCorr * 1000) / 1000},""" +
-      s""""efficiency_paired_median":${math.rint(effPairedMedian * 1000) / 1000},""" +
-      s""""probe_pairs":${pairs.map { case ((a, fa), (b, fb)) => s"[$a,$b,$fa,$fb]" }.mkString("[", ",", "]")}}"""
+      val compact =
+        s"""{"n_turns_probe":$probeSize,"cores_n":2,"cores_4n":8,""" +
+        s""""sec_n":${math.rint(bestN * 1000) / 1000},""" +
+        s""""sec_4n":${math.rint(best4N * 1000) / 1000},""" +
+        s""""efficiency":${math.rint(eff * 1000) / 1000},""" +
+        s""""efficiency_overhead_corrected":${math.rint(effCorr * 1000) / 1000},""" +
+        s""""efficiency_paired_median":${math.rint(effPairedMedian * 1000) / 1000}}"""
+      val full =
+        s"""{"criterion":"compute path, sequential CPU-pinned JVMs (taskset) at N=2 vs 4N=8 cores - faithful N-core-node simulation; see BENCH.md",""" +
+        s""""n_turns_probe":$probeSize,""" +
+        s""""cores_n":2,"sec_n":$bestN,"fixed_n":$fixedN,"turns_per_sec_n":${(probeSize / bestN).round},""" +
+        s""""cores_4n":8,"sec_4n":$best4N,"fixed_4n":$fixed4N,"turns_per_sec_4n":${(probeSize / best4N).round},""" +
+        s""""efficiency":${math.rint(eff * 1000) / 1000},""" +
+        s""""efficiency_overhead_corrected":${math.rint(effCorr * 1000) / 1000},""" +
+        s""""efficiency_paired_median":${math.rint(effPairedMedian * 1000) / 1000},""" +
+        s""""probe_pairs":${pairs.map { case ((a, fa), (b, fb)) => s"[$a,$b,$fa,$fb]" }.mkString("[", ",", "]")}}"""
+      (full, compact)
     }
-    emit(scalingJson, "{}")
+    emit(scalingJson, "{}", scalingCompact)
 
-    // ---- query suite (budget-gated per query: -3 = skipped for budget).
-    // Core pipeline queries (p*, q*) run first so a budget cut drops the
-    // heavy LLM-ops tail (d*, e*, m*), not the flagship operators. ----
+    // ---- query suite (budget-gated per query: -3 = skipped for budget,
+    // -4 = killed by the per-query wall cap). Core pipeline queries
+    // (p*, q*) run first so a budget cut drops the heavy LLM-ops tail
+    // (d*, e*, m*), not the flagship operators. ----
     val s = session(cpus)
     val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
       (name.head match { case 'p' => 0; case 'q' => 1; case _ => 2 }, name)
@@ -338,12 +375,93 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       val sec =
         if (sf >= 0.1 && HeavyAtScale(name)) -2.0
-        else if (remainingSec < 25.0) -3.0
-        else try time(exhaust(fn(s, sfDir))) catch { case _: Throwable => -1.0 }
+        else if (remainingSec < 15.0) -3.0
+        // per-query wall cap: an ambient-load spike turns a ~1 s query
+        // into 25+ s (observed p12: 27.4 s polluted vs 1.06 s quiet);
+        // kill it via job-group cancel and keep the rest of the suite
+        else timeCapped(s, name, exhaust(fn(s, sfDir)),
+          capSec = math.min(30.0, math.max(10.0, remainingSec - 10.0)))
       name -> sec
     }.sortBy(_._1)
     s.stop()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    emit(scalingJson, qs)
+    def statusCounts(rs: Seq[(String, Double)]): String = {
+      val timed = rs.count(_._2 >= 0)
+      val sumSec = rs.map(_._2).filter(_ >= 0).sum
+      s"""{"total":${rs.size},"timed":$timed,""" +
+      s""""timed_sum_sec":${math.rint(sumSec * 10) / 10},""" +
+      s""""skipped_scale":${rs.count(_._2 == -2.0)},""" +
+      s""""skipped_budget":${rs.count(_._2 == -3.0)},""" +
+      s""""capped":${rs.count(_._2 == -4.0)},"failed":${rs.count(_._2 == -1.0)}}"""
+    }
+    val qSummary = statusCounts(results)
+    // sidecar with the full per-query map (cwd = repo root under sbt —
+    // the driver commits it with the round)
+    try Files.write(Paths.get("BENCH_queries_latest.json"),
+      (qs + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    emit(scalingJson, qs, scalingCompact, qSummary)
+
+    // ---- optional scale point (budget-permitting): the d07 MinHash+LSH
+    // near-dup job on a 10× documents corpus — one measured >sf0.1 data
+    // point behind the 100-TB bucketing claims (banded LSH self-join must
+    // grow with the PAIR count, not quadratically with the corpus) ----
+    val scalePoint =
+      if (remainingSec < 90.0) "null"
+      else try {
+        val s2 = session(cpus)
+        val docs10x = s"$outRoot/docs10x"
+        if (!Files.exists(Paths.get(docs10x, "_SUCCESS"))) {
+          val base = s2.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          // 10 salted copies: intra-copy near-dup structure is preserved
+          // (the salt suffix is constant within a copy), cross-copy pairs
+          // are suppressed by a distinct ~25%-of-length salt tail so the
+          // candidate count grows ~linearly in copies, not quadratically
+          base.crossJoin(s2.range(10).select(col("id").as("copy")))
+            .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+              concat_ws(" ", col("text"),
+                concat(lit("salt"), col("copy")), concat(lit("pad"), col("copy")),
+                concat(lit("tag"), col("copy"), col("copy"))).as("text"))
+            .repartition(cpus)
+            .write.mode("overwrite").parquet(docs10x)
+        }
+        val nDocs = s2.read.parquet(docs10x).count()
+        awaitQuiet()
+        var pairCount = 0L
+        val sec = time {
+          pairCount = graft.ops.Dedup.nearDupMinhashLsh(
+            s2.read.parquet(docs10x), "doc_id", "text",
+            numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.85).count()
+        }
+        s2.stop()
+        s"""{"name":"d07_minhash_lsh_10x","n_docs":$nDocs,"sec":${math.rint(sec * 100) / 100},"pairs":$pairCount}"""
+      } catch { case _: Throwable => "null" }
+    emit(scalingJson, qs, scalingCompact, qSummary, scalePoint)
+  }
+
+  /** Time `f` under a wall cap; on cap, cancel the query's job group so
+    * the suite continues. -4 = capped, -1 = failed. */
+  private def timeCapped(s: SparkSession, name: String, f: => Unit,
+                         capSec: Double): Double = {
+    val done = new java.util.concurrent.CompletableFuture[Double]()
+    val t = new Thread(() => {
+      try {
+        s.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+        val sec = time(f)
+        done.complete(sec)
+      } catch { case _: Throwable => done.complete(-1.0) }
+      finally s.sparkContext.clearJobGroup()
+    })
+    t.setDaemon(true)
+    t.start()
+    try done.get((capSec * 1000).toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        s.sparkContext.cancelJobGroup(s"bench-$name")
+        t.join(10000)
+        -4.0
+      case _: Throwable => -1.0
+    }
   }
 }

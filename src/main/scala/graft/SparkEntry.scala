@@ -635,7 +635,10 @@ object SparkEntry {
         .select(col("vec_id"), floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))
     }),
 
-    "e02_ann_lsh" -> ((s, dir) => { // rows-only (probabilistic recall)
+    "e02_ann_lsh" -> ((s, dir) => {
+      // full oracle: the seeded hyperplanes are plan-time constants,
+      // rendered as literal DOUBLE[] into the SQL so DuckDB reproduces
+      // bucket assignment + hamming-1 multi-probe bit-exactly
       val q = embeddingQuery(s, dir)
       Similarity.lshTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", q,
@@ -643,9 +646,13 @@ object SparkEntry {
         .select(col("vec_id"), floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))
     }),
 
-    "e03_ann_ivf" -> ((s, dir) => { // rows-only (probe-dependent recall)
+    "e03_ann_ivf" -> ((s, dir) => {
+      // full oracle: centroid pick is DETERMINISTIC (ordered by vec_id —
+      // round 2's unordered limit(16) was why this was rows-only), so the
+      // oracle recomputes cells + probe set from the same data
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val centroids = emb.filter(col("vec_id") % 37 === 1).limit(16)
+      val centroids = emb.filter(col("vec_id") % 37 === 1)
+        .orderBy("vec_id").limit(16)
         .select("embedding").collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
       val q = embeddingQuery(s, dir)
@@ -661,7 +668,8 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))),
 
-    // -- multimodal plumbing (stubbed decode; rows-only) --
+    // -- multimodal plumbing (stubbed decode behind the real
+    // mapPartitions batch seam; stub arithmetic is modular → full oracle) --
     "m01_multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(s,
         Multimodal.synthFromDocuments(documents(s, dir), "doc_id", "text"))
@@ -720,6 +728,19 @@ object SparkEntry {
     s.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") === 0).select("embedding")
       .collect().head.getSeq[Float](0).map(_.toDouble).toArray
+
+  /** The e02 hyperplanes as a DuckDB VALUES list — the planes are
+    * plan-time constants (seeded `Random(42)`, dim 64 in the testdata),
+    * so rendering them as literals lets the oracle reproduce the LSH
+    * bucket assignment bit-exactly (`list_dot_product` accumulates
+    * left-to-right like [[graft.functions.LshBucket64]]). Scala's
+    * shortest-round-trip Double.toString parses back to the identical
+    * IEEE double in DuckDB. */
+  private def lshPlanesValues: String =
+    graft.ops.Similarity.hyperplanes(dim = 64, signBits = 8).zipWithIndex
+      .map { case (p, i) =>
+        s"($i, ${p.mkString("[", ",", "]")}::DOUBLE[])"
+      }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
     "p01_parse_tool_calls" -> withT(
@@ -1302,6 +1323,87 @@ object SparkEntry {
         |ORDER BY list_dot_product(embedding::DOUBLE[], q) /
         |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
         |     * sqrt(list_dot_product(q, q))) DESC, vec_id
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    // LSH ANN: hyperplanes are plan-time constants rendered as literals;
+    // bucket(v) = Σ 2^i [plane_i·v ≥ 0]; probe set = query bucket plus
+    // all hamming-1 neighbours; exact rerank of the candidates.
+    "e02_ann_lsh" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |planes(i, p) AS (VALUES
+         |$lshPlanesValues),
+         |qb AS (SELECT CAST(sum(CASE WHEN list_dot_product(q.qv, planes.p) >= 0
+         |                            THEN 1 << planes.i ELSE 0 END) AS BIGINT) AS qbucket
+         |       FROM planes, q),
+         |b AS (SELECT e.vec_id,
+         |        CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], planes.p) >= 0
+         |                      THEN 1 << planes.i ELSE 0 END) AS BIGINT) AS bucket
+         |      FROM embeddings e, planes GROUP BY e.vec_id),
+         |probes AS (SELECT qbucket AS pb FROM qb
+         |           UNION ALL SELECT xor(qbucket, CAST(1 << t.i AS BIGINT)) FROM qb, range(8) t(i))
+         |SELECT e.vec_id,
+         |  CAST(floor(10000 * list_dot_product(e.embedding::DOUBLE[], q.qv) /
+         |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         |     * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_e4
+         |FROM embeddings e JOIN b ON e.vec_id = b.vec_id, q
+         |WHERE b.bucket IN (SELECT pb FROM probes)
+         |ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv) /
+         |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         |     * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
+
+    // IVF ANN: centroids = embeddings with vec_id % 37 = 1 ordered by
+    // vec_id (first 16) — cell assignment ties break to the larger cell
+    // (Spark `greatest` over struct(sim, cell)), probe ties to the
+    // SMALLER cell (stable sortBy on the driver).
+    "e03_ann_ivf" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |                embedding::DOUBLE[] AS c
+        |         FROM (SELECT vec_id, embedding FROM embeddings
+        |               WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT 16)),
+        |assign AS (SELECT vec_id, cell,
+        |             row_number() OVER (PARTITION BY vec_id
+        |                                ORDER BY sim DESC, cell DESC) AS rn
+        |           FROM (SELECT e.vec_id, cent.cell,
+        |                   list_dot_product(e.embedding::DOUBLE[], cent.c) /
+        |                     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |                      * sqrt(list_dot_product(cent.c, cent.c))) AS sim
+        |                 FROM embeddings e, cent)),
+        |probe AS (SELECT cell FROM
+        |            (SELECT cent.cell,
+        |               list_dot_product(cent.c, q.qv) /
+        |                 (sqrt(list_dot_product(cent.c, cent.c))
+        |                  * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        |             FROM cent, q)
+        |          ORDER BY sim DESC, cell ASC LIMIT 4)
+        |SELECT e.vec_id,
+        |  CAST(floor(10000 * list_dot_product(e.embedding::DOUBLE[], q.qv) /
+        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |     * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_e4
+        |FROM embeddings e
+        |JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1
+        |             AND a.cell IN (SELECT cell FROM probe), q
+        |ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv) /
+        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |     * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // Stub decode features: base-31 mod 2^31−1 rolling hash over the
+    // blob bytes (pure-ASCII corpus ⇒ byte fold ≡ the d06 char fold),
+    // f0 = ((h·100003) mod 1000)/1000 as REAL (same double→float
+    // rounding path as the Scala stub).
+    "m01_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |  CAST((h * 100003) % 1000 / 1000.0 AS REAL) AS f0
+        |FROM (SELECT doc_id, text,
+        |        list_reduce(
+        |          [CAST(0 AS BIGINT)] || list_transform(string_split(text, ''),
+        |            c -> CAST(ascii(c) AS BIGINT)),
+        |          (acc, x) -> (acc*31 + x) % 2147483647) AS h
+        |      FROM documents)""".stripMargin
   )
 }

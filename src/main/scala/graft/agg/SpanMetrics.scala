@@ -18,21 +18,34 @@ object SpanMetrics {
     * (`connector.go:408`), keeping arrival-order samples. Arrival order
     * does not exist in a distributed batch engine, so the rendering
     * keeps the k LARGEST durations (the outliers an exemplar exists to
-    * surface), deterministically tie-broken by id. A windowed top-k
-    * bounds memory per group BEFORE the collect (no unbounded
-    * collect_list on hot dimensions), and the aggregate runs on the
-    * full frame alongside it.
+    * surface), deterministically tie-broken by id.
+    *
+    * ONE hash-aggregate with map-side partials: calls/sum as built-in
+    * aggregates, exemplars via the bounded [[TopKExemplars]] aggregator
+    * (O(k) state per group per partition, associative merges). The
+    * round-2 `row_number().over(Window)` rendering shuffled every span
+    * of a group to one reducer and fully sorted it — a serialization
+    * point on a hot `tool` value at 10^12 spans; it survives as
+    * [[callsWithExemplarsWindowed]], the differential oracle
+    * (SpanMetricsSpec asserts frame equality).
     */
   def callsWithExemplars(spans: DataFrame, dims: Seq[String], durCol: String,
                          idCol: String, maxPerDataPoint: Int): DataFrame = {
     val keys = dims.map(col)
-    // ONE scan, ONE shuffle: calls/sum as unbounded windows over the
-    // same partitioning that ranks the exemplars (the sort is computed
-    // once), then the k exemplar rows per group carry the totals into
-    // the final collect. The alternative agg-branch + topk-branch join
-    // scans the span input twice and shuffles twice.
-    // Tie-break DESC on id so selection order matches the presentation
-    // order of sort_array(desc) over struct(value, span_id).
+    spans.groupBy(keys: _*)
+      .agg(count(lit(1)).as("calls"),
+        sum(durCol).as("sum_dur"),
+        TopKExemplars.of(col(durCol).cast("bigint"), col(idCol),
+          maxPerDataPoint).as("exemplars"))
+  }
+
+  /** Round-2 window rendering — kept as the differential oracle for
+    * [[callsWithExemplars]]: bounds memory per group before the collect,
+    * but partitions the FULL span set by the dimension key and sorts it,
+    * which serializes hot groups at scale. */
+  def callsWithExemplarsWindowed(spans: DataFrame, dims: Seq[String], durCol: String,
+                                 idCol: String, maxPerDataPoint: Int): DataFrame = {
+    val keys = dims.map(col)
     val byKey = Window.partitionBy(keys: _*)
     val w = byKey.orderBy(col(durCol).desc, col(idCol).desc)
     spans
@@ -56,9 +69,11 @@ object SpanMetrics {
     val lastSeen = spans.groupBy(keys: _*)
       .agg(max(col(tsCol).cast("timestamp")).as("_last_seen"))
     // "now" for a batch = the max event time in the frame (the batch
-    // analog of the connector's wall clock at flush) — broadcast as a
-    // 1-row frame instead of an eager driver-side action
-    val nowDf = spans.agg(max(col(tsCol).cast("timestamp")).as("_now"))
+    // analog of the connector's wall clock at flush) — derived from the
+    // small per-group frame (max of group maxes), NOT a third scan of
+    // the span input, and broadcast as a 1-row frame instead of an
+    // eager driver-side action
+    val nowDf = lastSeen.agg(max(col("_last_seen")).as("_now"))
     lastSeen
       .crossJoin(broadcast(nowDf))
       .filter(col("_last_seen") >= col("_now") - expr(s"INTERVAL $expiration"))

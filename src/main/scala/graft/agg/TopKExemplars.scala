@@ -1,0 +1,69 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k exemplar aggregator — the scale-safe rendering of the
+  * spanmetrics connector's per-data-point exemplar cap
+  * (`connector/spanmetricsconnector/connector.go:408`,
+  * `exemplars.max_per_data_point` in `config.go:47`, `/root/reference`).
+  *
+  * Keeps the k largest (value, span_id) samples per group, ordered by
+  * (value DESC, span_id DESC). Implemented as a typed `Aggregator` (the
+  * same pattern as [[ExpHistogram]]): each map-side partial carries at
+  * most k elements, merges are associative bounded list-merges, so a hot
+  * dimension group costs O(k) state per partition instead of the
+  * round-2 `row_number().over(Window)` rendering that shuffled EVERY
+  * span of the group to one reducer and fully sorted it — the one
+  * scale-killer the round-2 audit found
+  * (`SpanMetrics.callsWithExemplarsWindowed` is kept as the
+  * differential oracle; SpanMetricsSpec asserts equality).
+  */
+object TopKExemplars {
+
+  final case class Ex(value: Long, span_id: String)
+
+  /** Descending (value, span_id) — largest first, deterministic. */
+  private def gt(a: Ex, b: Ex): Boolean =
+    a.value > b.value || (a.value == b.value &&
+      (a.span_id != null && (b.span_id == null || a.span_id > b.span_id)))
+
+  /** Merge two descending-sorted bounded lists, keep the k largest. */
+  private def mergeSorted(a: Seq[Ex], b: Seq[Ex], k: Int): Seq[Ex] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Ex]
+    var i = 0
+    var j = 0
+    while (out.length < k && (i < a.length || j < b.length)) {
+      if (j >= b.length || (i < a.length && !gt(b(j), a(i)))) {
+        out += a(i); i += 1
+      } else {
+        out += b(j); j += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Bounded buffer: descending-sorted ≤k samples. */
+  final case class Buf(items: Seq[Ex])
+
+  /** Aggregator keeping the k largest samples. */
+  def aggregator(k: Int): Aggregator[Ex, Buf, Seq[Ex]] =
+    new Aggregator[Ex, Buf, Seq[Ex]] {
+      def zero: Buf = Buf(Nil)
+      def reduce(buf: Buf, v: Ex): Buf = Buf(mergeSorted(buf.items, Seq(v), k))
+      def merge(a: Buf, b: Buf): Buf = Buf(mergeSorted(a.items, b.items, k))
+      def finish(buf: Buf): Seq[Ex] = buf.items
+      def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      def outputEncoder: Encoder[Seq[Ex]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Ex]]()
+    }
+
+  /** UDAF column: `groupBy(dims).agg(TopKExemplars.of(valueCol, idCol, k))`.
+    * (A product-encoded UDAF input binds the case-class FIELDS as
+    * separate arguments.) */
+  def of(value: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.udaf
+    val enc: Encoder[Ex] = Encoders.product[Ex]
+    udaf(aggregator(k), enc)(value, id)
+  }
+}

@@ -54,16 +54,25 @@ object Multimodal {
 
   /** STUB decode: deterministic pseudo-features from the blob bytes.
     * Real implementation would decode pixels/samples here — per
-    * partition, batched, exactly this signature. */
+    * partition, batched, exactly this signature.
+    *
+    * MODULAR (not wrapping) arithmetic throughout — the same base-31
+    * mod 2^31−1 rolling hash as [[graft.functions.RollingFingerprint]]
+    * — so a SQL oracle that traps on bigint overflow (DuckDB
+    * `list_reduce`) reproduces every feature bit-exactly; round 2's
+    * wrapping-Long variant was the engine's last unverifiable output.
+    * Feature d = ((h·(100003+17d) + 7919d) mod 1000)/1000 ∈ [0,1),
+    * computed double→float exactly like `CAST(k/1000.0 AS REAL)`. */
   def stubDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](featureDim)
-    var h = 1125899906842597L // FNV-ish seed
+    val M = 2147483647L
+    var h = 0L
     var i = 0
-    while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+    while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xffL)) % M; i += 1 }
+    val out = new Array[Float](featureDim)
     var d = 0
     while (d < featureDim) {
-      val hd = h ^ (h >>> (d + 17)) ^ (d.toLong * 0x9E3779B97F4A7C15L)
-      out(d) = ((hd % 1000L).toFloat) / 1000.0f
+      val k = (h * (100003L + 17L * d) + 7919L * d) % 1000L
+      out(d) = (k.toDouble / 1000.0).toFloat
       d += 1
     }
     out

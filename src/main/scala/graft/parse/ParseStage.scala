@@ -32,11 +32,24 @@ object ParseStage {
 
   /** Apply a parse config: adds `pattern: string`, `parsed:
     * map<string,string>` and (on_error=send) `_error: string` columns.
-    */
+    *
+    * The bank expression is wrapped in `explode(array(…))` — a
+    * one-row-per-row Generate. This is an optimizer BARRIER, not a
+    * decoration: a plain projection gets its alias inlined by
+    * `PushDownPredicates`/`CollapseProject` into every downstream
+    * filter and grouping key, so count-over-parsed plans evaluated the
+    * bank (the most expensive expression in the engine) TWICE per row
+    * (verified in round 2: two `multi_pattern_extract` occurrences in
+    * p12's optimized plan). Filters and grouping keys can reference a
+    * generator's output only as an attribute — Catalyst cannot inline
+    * through Generate — so the bank runs exactly once per row;
+    * PlanSpec gates on the occurrence count. GenerateExec participates
+    * in whole-stage codegen, and predicates on OTHER columns still push
+    * through the Generate into the scan. */
   def apply(df: DataFrame, config: ParseConfig): DataFrame = {
     val ex = extract(col(config.sourceCol), config.patterns)
     val withParsed = df
-      .withColumn("_x", ex)
+      .withColumn("_x", explode(array(ex)))
       .withColumn("pattern", col("_x.pattern"))
       .withColumn("parsed", col("_x.fields"))
       .drop("_x")

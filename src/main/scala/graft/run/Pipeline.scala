@@ -77,8 +77,17 @@ object Pipeline {
     matchOnce = false
   )
 
-  /** FIXTURES.md §4 count-connector metric definitions. */
-  val metrics: Seq[MetricSpec] = Seq(
+  /** FIXTURES.md §4 count-connector metric definitions — compiled FROM
+    * THE CONFIG STRINGS below, completing the config-text surface: the
+    * whole flagship pipeline (routes AND metrics) is now definable from
+    * strings without recompiling the engine, the analog of the
+    * reference's YAML + OTTL config
+    * (`connector/countconnector/config.go:57-76`). */
+  def metrics: Seq[MetricSpec] = metricsFromStrings
+
+  /** Hand-written Column rendering (differential oracle for the
+    * compiler; GoldenCountSpec asserts per-metric frame equality). */
+  val metricsByHand: Seq[MetricSpec] = Seq(
     MetricSpec("turn_count"),
     MetricSpec("turn_count_by_role", attrs = Seq(AttrSpec("role"))),
     MetricSpec("tool_call_count",
@@ -89,6 +98,24 @@ object Pipeline {
       // component is REQUIRED (no default): rows missing it are skipped
       attrs = Seq(AttrSpec("component")))
   )
+
+  /** The SAME metric table as OTTL condition strings + (attr, default)
+    * pairs — what a user's config file would carry. */
+  val metricConfigStrings: Seq[(String, Seq[String], Seq[(String, Option[String])])] = Seq(
+    ("turn_count", Nil, Nil),
+    ("turn_count_by_role", Nil, Seq("role" -> None)),
+    ("tool_call_count", Seq("""tool != """""),
+      Seq("tool" -> None, "cost_class" -> Some("unknown"))),
+    ("error_count_by_component", Seq("""attributes["level"] == "ERROR""""),
+      Seq("component" -> None))
+  )
+
+  def metricsFromStrings: Seq[MetricSpec] =
+    metricConfigStrings.map { case (name, conds, attrs) =>
+      MetricSpec(name,
+        conditions = conds.map(c => ExprLang.condition(c, exprResolver)),
+        attrs = attrs.map { case (k, d) => AttrSpec(k, d) })
+    }
 
   /** Attribute resolution for metric attrs: post-parse fields live in the
     * `parsed` map, enriched/base attrs are top-level columns. */

@@ -121,4 +121,22 @@ class GoldenCountSpec extends SparkSpec {
       ("foo", "notbar", "foo", "-", 2L), ("foo", "notbar", "notfoo", "-", 1L))
     assert(got == want)
   }
+
+  test("flagship metric table: string-compiled ≡ hand-written (differential)") {
+    import graft.run.Pipeline
+    import graft.synth.TranscriptSynth
+    val enriched = Pipeline.parseEnrich(spark,
+      TranscriptSynth.generate(spark, TranscriptSynth.Config(3000, 20))).cache()
+    val byHand = Pipeline.metricsByHand
+    val fromStrings = Pipeline.metricsFromStrings
+    assert(fromStrings.map(_.name) == byHand.map(_.name))
+    fromStrings.zip(byHand).foreach { case (a, b) =>
+      val fa = CountStage.count(enriched, a, Pipeline.resolveAttr(Pipeline.parsedFields))
+        .collect().map(_.toString).sorted.toSeq
+      val fb = CountStage.count(enriched, b, Pipeline.resolveAttr(Pipeline.parsedFields))
+        .collect().map(_.toString).sorted.toSeq
+      assert(fa.nonEmpty && fa == fb, s"metric ${a.name}: string path differs from hand path")
+    }
+    enriched.unpersist()
+  }
 }

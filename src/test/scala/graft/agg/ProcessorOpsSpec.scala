@@ -51,6 +51,32 @@ class ProcessorOpsSpec extends SparkSpec {
     assert(t2.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("exemplars").size == 1)
   }
 
+  test("spanmetrics exemplars: bounded aggregator ≡ window rendering (differential)") {
+    val rnd = new scala.util.Random(7)
+    val spans = (0 until 2000).map { i =>
+      (s"tool${rnd.nextInt(5)}", rnd.nextInt(40).toLong, f"s$i%04d")
+    }.toDF("tool", "dur", "sid") // duplicate durations force the tie-break path
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("tool"), col("calls"), col("sum_dur"),
+        expr("transform(exemplars, e -> concat(e.value, ':', e.span_id))").as("ex"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[scala.collection.Seq[String]](3).toList)).toSet
+    val fast = norm(SpanMetrics.callsWithExemplars(spans, Seq("tool"), "dur", "sid", 3))
+    val slow = norm(SpanMetrics.callsWithExemplarsWindowed(spans, Seq("tool"), "dur", "sid", 3))
+    assert(fast == slow)
+  }
+
+  test("spanmetrics exemplars plan: one hash aggregate, no window sort") {
+    val spans = Seq(("t", 1L, "s")).toDF("tool", "dur", "sid")
+    val plan = SpanMetrics.callsWithExemplars(spans, Seq("tool"), "dur", "sid", 3)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"window sort survived:\n$plan")
+    val physical = SpanMetrics.callsWithExemplars(spans, Seq("tool"), "dur", "sid", 3)
+      .queryExecution.executedPlan.toString
+    // partial → final aggregate pair (map-side combine), no global sort
+    assert(!physical.contains("Window"), s"window in physical plan:\n$physical")
+  }
+
   test("spanmetrics expiration drops groups stale before the batch max ts") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
     val spans = Seq(("old", ts(1)), ("old", ts(2)), ("live", ts(1)), ("live", ts(20)))

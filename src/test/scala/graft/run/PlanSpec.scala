@@ -53,6 +53,40 @@ class PlanSpec extends SparkSpec {
     assert(line.contains("*("), s"parse projection fell out of codegen: $line")
   }
 
+  test("the parse bank evaluates ONCE per row in count-over-parsed plans") {
+    // round 2: Catalyst inlined the parse projection into both the
+    // required-attr isNotNull filter and the groupBy keys → 2 evals of
+    // the most expensive expression in the engine. The Generate barrier
+    // in ParseStage.apply pins it to one.
+    val parsed = graft.parse.ParseStage(
+      spark.read.parquet(turnsDir), Pipeline.parseConfig)
+    val p12ish = graft.agg.CountStage.count(
+      parsed,
+      graft.model.PipelineConfig.MetricSpec("n",
+        attrs = Seq(graft.model.PipelineConfig.AttrSpec("component"),
+          graft.model.PipelineConfig.AttrSpec("level", Some("none")))),
+      Pipeline.resolveAttr(Pipeline.parsedFields))
+    val occurrences = "multi_pattern_extract".r
+      .findAllIn(p12ish.queryExecution.optimizedPlan.toString).size
+    assert(occurrences == 1, s"parse bank evaluated $occurrences times")
+    // filter-then-project shape (p02-like) must also stay single-eval
+    val p02ish = parsed.filter(col("pattern") === "status")
+      .select(col("parsed").getItem("level").as("level"))
+    val occ2 = "multi_pattern_extract".r
+      .findAllIn(p02ish.queryExecution.optimizedPlan.toString).size
+    assert(occ2 == 1, s"parse bank evaluated $occ2 times in filter shape")
+  }
+
+  test("predicates on non-parsed columns still push through the parse Generate") {
+    val parsed = graft.parse.ParseStage(
+      spark.read.parquet(turnsDir), Pipeline.parseConfig)
+    val q = parsed.filter(col("role") === "user").select("conv_id", "pattern")
+    val plan = q.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("EqualTo(role,user)") || scanLine.contains("IsNotNull(role)"),
+      s"role filter not pushed through Generate: $scanLine")
+  }
+
   test("count aggregation is partial (map-side combine before the shuffle)") {
     val q = spark.read.parquet(turnsDir).groupBy("role").agg(count(lit(1)))
     val plan = q.queryExecution.executedPlan.toString
