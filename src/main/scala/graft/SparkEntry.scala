@@ -702,6 +702,24 @@ object SparkEntry {
         .groupBy("grp").agg(count(lit(1)).as("n"))
     }),
 
+    "p54_ottl_duration_unix" -> ((s, dir) => {
+      // round-3 OTTL long-tail: Duration-unit family (func_hours.go …)
+      // + UnixNano/Unix (func_unix_nano.go, func_unix.go) over a
+      // deterministic duration string derived from the row
+      import graft.functions.Ottl
+      val dstr = concat(
+        pmod(col("event_id"), lit(5)).cast("string"), lit("h"),
+        pmod(col("event_id"), lit(60)).cast("string"), lit("m"),
+        pmod(col("event_id"), lit(60)).cast("string"), lit("s"))
+      events(s, dir).select(
+        col("event_id"),
+        Ottl.durationHours(dstr).as("dur_hours"),
+        Ottl.durationMillis(dstr).as("dur_ms"),
+        Ottl.durationNanos(dstr).as("dur_ns"),
+        Ottl.unixNanos(col("ts")).as("ts_nanos"),
+        Ottl.unixToTime(Ottl.unixSeconds(col("ts"))).as("ts_trunc_s"))
+    }),
+
     "m03_multimodal_meta" -> ((s, dir) =>
       // typed-metadata projection + blob byte length — metadata derives
       // from integer arithmetic so the oracle reproduces it exactly;
@@ -1388,6 +1406,15 @@ object SparkEntry {
         |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
         |     * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
         |LIMIT 10""".stripMargin,
+
+    "p54_ottl_duration_unix" ->
+      """SELECT event_id,
+        |  ((event_id%5)*3600 + (event_id%60)*60 + (event_id%60)) / 3600.0 AS dur_hours,
+        |  CAST(((event_id%5)*3600 + (event_id%60)*60 + (event_id%60)) * 1000 AS BIGINT) AS dur_ms,
+        |  CAST(((event_id%5)*3600 + (event_id%60)*60 + (event_id%60)) * 1000000000 AS BIGINT) AS dur_ns,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS ts_nanos,
+        |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_trunc_s
+        |FROM events""".stripMargin,
 
     // Stub decode features: base-31 mod 2^31−1 rolling hash over the
     // blob bytes (pure-ASCII corpus ⇒ byte fold ≡ the d06 char fold),

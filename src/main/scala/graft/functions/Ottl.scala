@@ -69,6 +69,12 @@ object Ottl {
   def replaceAllPatterns(m: Column, regex: String, replacement: String): Column =
     transform_values(m, (_, v) => regexp_replace(v, regex, replacement))
 
+  /** replace_all_matches(map, glob, replacement) — whole-value glob over
+    * every map value (func_replace_all_matches.go: values matching the
+    * glob are replaced wholesale, others untouched). */
+  def replaceAllMatches(m: Column, glob: String, replacement: String): Column =
+    transform_values(m, (_, v) => replaceMatch(v, glob, replacement))
+
   // ---------------- converters (pure; func_*.go) ----------------
 
   def ottlConcat(sep: String, cols: Column*): Column = concat_ws(sep, cols: _*)
@@ -137,6 +143,18 @@ object Ottl {
   def unixSeconds(c: Column): Column = unix_seconds(c.cast("timestamp"))
   def unixMillis(c: Column): Column = unix_millis(c.cast("timestamp"))
   def unixMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+  /** UnixNano (func_unix_nano.go) — timestamp precision is µs, so the
+    * nano rendering is exact ×1000. */
+  def unixNanos(c: Column): Column = unix_micros(c.cast("timestamp")) * 1000L
+  /** Unix(seconds[, nanoseconds]) → timestamp (func_unix.go). */
+  def unixToTime(sec: Column, nanos: Column = lit(0L)): Column =
+    timestamp_micros(sec.cast("long") * 1000000L
+      + (nanos.cast("long") / 1000L).cast("long"))
+  /** Now() (func_now.go). Wall-clock at PLAN time per Spark semantics —
+    * current_timestamp() is fixed per query (all rows agree), which is
+    * the right distributed rendering of the collector's per-batch clock;
+    * speculative retries must not disagree on "now". */
+  def now(): Column = current_timestamp()
   def hourOf(c: Column): Column = hour(c)
   def durationSeconds(c: Column): Column = { // Duration("1h2m3s") → seconds
     // regexp_extract yields "" on no-match; nullif keeps ANSI casts happy
@@ -145,6 +163,14 @@ object Ottl {
     coalesce(part("(\\d+)m").cast("long"), lit(0L)) * 60 +
     coalesce(part("(\\d+(?:\\.\\d+)?)s").cast("double"), lit(0.0))
   }
+  /** Duration-unit family (func_hours.go, func_minutes.go, …):
+    * Hours/Minutes/Seconds return float64, Milliseconds/Microseconds/
+    * Nanoseconds int64 — exactly Go `time.Duration`'s accessor types. */
+  def durationHours(c: Column): Column = durationSeconds(c) / 3600.0
+  def durationMinutes(c: Column): Column = durationSeconds(c) / 60.0
+  def durationMillis(c: Column): Column = (durationSeconds(c) * 1e3).cast("bigint")
+  def durationMicros(c: Column): Column = (durationSeconds(c) * 1e6).cast("bigint")
+  def durationNanos(c: Column): Column = (durationSeconds(c) * 1e9).cast("bigint")
 
   def ottlLog(c: Column): Column = log(c)
   def toInt(c: Column): Column = c.cast("bigint")
@@ -152,4 +178,22 @@ object Ottl {
   def toStringCol(c: Column): Column = c.cast("string")
   def traceIdFromHex(c: Column): Column = unhex(c)
   def spanIdFromHex(c: Column): Column = unhex(c)
+
+  // ---------------- dynamic-type predicates (func_is_bool.go …) ----------------
+
+  /** IsBool/IsDouble/IsInt/IsString/IsMap/IsList over VARIANT-typed
+    * columns (the Spark rendering of pcommon.Value's dynamic type):
+    * `parse_json` a raw value into a variant, then test its runtime
+    * schema. Strings stay strings — IsDouble("1.5") is false, exactly
+    * like the reference's type switch. */
+  def variantTypeName(c: Column): Column = schema_of_variant(c)
+  def isBool(c: Column): Column = schema_of_variant(c) === "BOOLEAN"
+  /** JSON fractional numbers surface as DECIMAL(p,s) in the variant
+    * schema; pcommon treats any fractional number as Double. */
+  def isDouble(c: Column): Column =
+    schema_of_variant(c) === "DOUBLE" || schema_of_variant(c).startsWith("DECIMAL")
+  def isInt(c: Column): Column = schema_of_variant(c) === "BIGINT"
+  def isString(c: Column): Column = schema_of_variant(c) === "STRING"
+  def isMap(c: Column): Column = schema_of_variant(c).startsWith("OBJECT")
+  def isList(c: Column): Column = schema_of_variant(c).startsWith("ARRAY")
 }

@@ -96,6 +96,86 @@ object StreamingPipeline {
     }
   }
 
+  /** Tail-sampling decision state: buffering until the decision fires,
+    * then the cached verdict for late turns. */
+  final case class TailState(buf: Vector[Turn], firstMs: Long,
+                             decided: Boolean, keep: Boolean)
+
+  /** Streaming tail sampling with `decision_wait` — the event-time
+    * rendering of the tail sampling processor's decision loop
+    * (`processor/tailsamplingprocessor/processor.go:129-192` in
+    * `/root/reference`): a conversation buffers for `decisionWaitMs`
+    * after its FIRST turn's event time (not extended by later turns —
+    * unlike [[recombine]]'s gap timeout), then the policy evaluates
+    * over the gathered turns and either releases the whole buffer or
+    * drops it. The verdict stays cached (the reference's decision
+    * cache) so turns arriving after the decision follow it immediately;
+    * the cache entry self-purges one more `decisionWaitMs` later.
+    *
+    * Memory bound (the reference's `num_traces` eviction): a
+    * conversation exceeding `maxBuffer` undecided turns forces its
+    * decision early on the gathered prefix. */
+  def tailSample(turns: Dataset[Turn], lateness: String, decisionWaitMs: Long,
+                 policy: Seq[Turn] => Boolean,
+                 maxBuffer: Int = 100000): Dataset[Turn] = {
+    import turns.sparkSession.implicits._
+    turns.withWatermark("ts", lateness)
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[TailState, Turn](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (convId: String, rows: Iterator[Turn], state: GroupState[TailState]) =>
+          // event-time timeouts must stay ABOVE the current watermark or
+          // GroupState throws — a late-arriving conversation's natural
+          // deadline may already be behind it
+          def aboveWatermark(wantMs: Long): Long =
+            math.max(wantMs, state.getCurrentWatermarkMs() + 1)
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (st.decided) { state.remove(); Iterator.empty } // purge cache
+            else {
+              val keep = policy(st.buf)
+              state.update(TailState(Vector.empty, st.firstMs, decided = true, keep))
+              state.setTimeoutTimestamp(aboveWatermark(st.firstMs + 2 * decisionWaitMs))
+              if (keep) st.buf.sortBy(_.turn_idx).iterator else Iterator.empty
+            }
+          } else {
+            val incoming = rows.toVector
+            state.getOption match {
+              case Some(st) if st.decided => // cached verdict: forward or drop
+                if (st.keep) incoming.sortBy(_.turn_idx).iterator else Iterator.empty
+              case prev =>
+                val firstMs = prev.map(_.firstMs)
+                  .getOrElse(incoming.iterator.map(_.ts.getTime).min)
+                var buf = prev.map(_.buf).getOrElse(Vector.empty) ++ incoming
+                val out = Vector.newBuilder[Turn]
+                var decidedEarly = false
+                var keepEarly = false
+                if (buf.size >= maxBuffer) { // forced early decision
+                  decidedEarly = true
+                  keepEarly = policy(buf)
+                  if (keepEarly) out ++= buf.sortBy(_.turn_idx)
+                  buf = Vector.empty
+                }
+                state.update(TailState(buf, firstMs, decidedEarly, keepEarly))
+                state.setTimeoutTimestamp(aboveWatermark(firstMs + decisionWaitMs))
+                out.result().iterator
+            }
+          }
+      }
+  }
+
+  // ---- turn-level policies for tailSample (internal/sampling/*.go) ----
+
+  /** Conversation contains an ERROR/FATAL status turn (status-code policy). */
+  val streamErrorPolicy: Seq[Turn] => Boolean =
+    _.exists(t => t.text.startsWith("ERROR ") || t.text.startsWith("FATAL "))
+
+  /** Latency policy: first→last event time span ≥ threshold. */
+  def streamLatencyPolicy(minMs: Long): Seq[Turn] => Boolean = { buf =>
+    buf.nonEmpty &&
+      (buf.iterator.map(_.ts.getTime).max - buf.iterator.map(_.ts.getTime).min) >= minMs
+  }
+
   /** Streaming route fan-out: one query per sink, all fed from the same
     * tagged stream; checkpointLocation per sink gives exactly-once
     * delivery (the streaming rendering of routing-connector fan-out). */

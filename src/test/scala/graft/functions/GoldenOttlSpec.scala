@@ -48,6 +48,52 @@ class GoldenOttlSpec extends SparkSpec {
     assert(eval1[Double](Ottl.durationSeconds(lit("90m")) / 3600.0) == 1.5)
   }
 
+  test("duration-unit family returns Go time.Duration accessor types (func_hours.go …)") {
+    assert(eval1[Double](Ottl.durationHours(lit("90m"))) == 1.5)
+    assert(eval1[Double](Ottl.durationMinutes(lit("90s"))) == 1.5)
+    assert(eval1[Double](Ottl.durationSeconds(lit("1h2m3s"))) == 3723.0)
+    assert(eval1[Long](Ottl.durationMillis(lit("1.5s"))) == 1500L)
+    assert(eval1[Long](Ottl.durationMicros(lit("1.5s"))) == 1500000L)
+    assert(eval1[Long](Ottl.durationNanos(lit("1.5s"))) == 1500000000L)
+  }
+
+  test("UnixNano/Unix round-trip (func_unix_nano.go, func_unix.go)") {
+    val ts = lit("1970-01-01 00:00:01.5").cast("timestamp")
+    assert(eval1[Long](Ottl.unixNanos(ts)) == 1500000000L)
+    assert(eval1[java.sql.Timestamp](Ottl.unixToTime(lit(1L)))
+      .getTime == 1000L)
+    // Unix(sec, nanos): nanos folded at µs precision
+    assert(eval1[java.sql.Timestamp](Ottl.unixToTime(lit(1L), lit(500000000L)))
+      .getTime == 1500L)
+  }
+
+  test("Now() is plan-time-fixed: all rows in a batch agree (func_now.go)") {
+    val two = Seq(1, 2).toDF("i")
+      .select(Ottl.now().as("t")).collect().map(_.getTimestamp(0)).toSeq
+    assert(two.head != null && two.head == two(1))
+  }
+
+  test("replace_all_matches: whole-value glob over map values (func_replace_all_matches_test.go)") {
+    val m = map(lit("k1"), lit("hello world"), lit("k2"), lit("goodbye"))
+    val out = Seq(Tuple1("x")).toDF("dummy")
+      .select(Ottl.replaceAllMatches(m, "hello*", "hello {universe}").as("r"))
+      .collect().head.getMap[String, String](0).toMap
+    assert(out == Map("k1" -> "hello {universe}", "k2" -> "goodbye"))
+  }
+
+  test("IsBool/IsInt/IsDouble/IsString/IsMap/IsList on variant values (func_is_bool.go …)") {
+    def v(json: String) = parse_json(lit(json))
+    assert(eval1[Boolean](Ottl.isBool(v("true"))))
+    assert(eval1[Boolean](Ottl.isInt(v("1"))))
+    assert(eval1[Boolean](Ottl.isDouble(v("1.5"))))
+    assert(eval1[Boolean](Ottl.isString(v("\"abc\""))))
+    assert(eval1[Boolean](Ottl.isMap(v("""{"a":1}"""))))
+    assert(eval1[Boolean](Ottl.isList(v("[1,2]"))))
+    // strings stay strings: IsDouble("1.5") is false like the Go type switch
+    assert(!eval1[Boolean](Ottl.isDouble(v("\"1.5\""))))
+    assert(!eval1[Boolean](Ottl.isInt(v("true"))))
+  }
+
   test("""Int coercion family: Int(1.0)=1, Int("1")=1 (e2e_test.go:344-350)""") {
     assert(eval1[Long](Ottl.toInt(lit(1.0))) == 1L)
     assert(eval1[Long](Ottl.toInt(lit("1"))) == 1L)

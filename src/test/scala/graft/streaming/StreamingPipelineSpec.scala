@@ -83,6 +83,58 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tail sampling: decision_wait releases/drops whole conversations on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    // decision fires 5 minutes (event time) after a conversation's FIRST turn
+    val kept = StreamingPipeline.tailSample(
+      mem.toDS(), "0 seconds", decisionWaitMs = 5 * 60000L,
+      StreamingPipeline.streamErrorPolicy)
+    val q = kept.writeStream.format("memory").queryName("tail")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // c_err has an ERROR turn → must be released wholesale, ordered;
+      // c_ok has none → dropped wholesale
+      mem.addData(
+        turn("c_err", 1, 2, "ERROR [db] boom"), turn("c_err", 0, 1, "INFO [db] start"),
+        turn("c_ok", 0, 1, "INFO [web] fine"), turn("c_ok", 1, 3, "INFO [web] done"))
+      q.processAllAvailable()
+      assert(spark.table("tail").isEmpty) // undecided: nothing released yet
+      mem.addData(turn("c_push", 0, 30, "watermark push")) // wm → 30min > 1+5min
+      q.processAllAvailable()
+      val out = spark.table("tail").as[Turn].collect()
+      assert(out.map(_.conv_id).toSet == Set("c_err"), s"got ${out.toSeq}")
+      assert(out.sortBy(_.turn_idx).map(_.text).toSeq ==
+        Seq("INFO [db] start", "ERROR [db] boom"))
+      // post-decision turn of a kept conversation forwards immediately
+      mem.addData(turn("c_err", 2, 31, "INFO [db] late"))
+      q.processAllAvailable()
+      assert(spark.table("tail").as[Turn].collect().count(_.conv_id == "c_err") == 3)
+      // post-decision turn of a dropped conversation stays dropped
+      mem.addData(turn("c_ok", 2, 31, "INFO [web] late"))
+      q.processAllAvailable()
+      assert(!spark.table("tail").as[Turn].collect().exists(_.conv_id == "c_ok"))
+    } finally q.stop()
+  }
+
+  test("streaming tail sampling: maxBuffer forces an early decision (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val kept = StreamingPipeline.tailSample(
+      mem.toDS(), "0 seconds", decisionWaitMs = 5 * 60000L,
+      StreamingPipeline.streamLatencyPolicy(60000L), maxBuffer = 50)
+    val q = kept.writeStream.format("memory").queryName("tailhot")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 200 turns spanning >1 minute in one undecided conversation:
+      // the 50-turn bound forces the decision without any timeout
+      mem.addData((0 until 200).map(i => turn("hot", i, 1 + i % 10, s"t$i")): _*)
+      q.processAllAvailable()
+      val got = spark.table("tailhot").as[Turn].collect()
+      assert(got.length >= 50, s"early decision did not release: ${got.length}")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped from finalized windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Turn]
