@@ -112,10 +112,38 @@ object Bench {
     }
   }
 
+  /** The n IDLEST cores right now (per-core busy fraction over a 700 ms
+    * /proc/stat delta). Round 3 found the fixed upper-core pinning
+    * colliding with a foreign pinned tenant: three consecutive bench
+    * runs had every child probe starve to zero output on cores 30-31 at
+    * 1-min load ≈ 2.5 (exactly 2-3 foreign busy cores), while identical
+    * manual commands minutes later ran fine — pin where it's quiet NOW,
+    * not where tenants "usually" aren't. */
+  private def idlestCores(n: Int): Seq[Int] = {
+    def snap(): Map[Int, (Long, Long)] =
+      scala.io.Source.fromFile("/proc/stat").getLines()
+        .filter(l => l.startsWith("cpu") && l.length > 3 && l(3).isDigit)
+        .map { l =>
+          val p = l.split("\\s+")
+          (p(0).drop(3).toInt, (p(4).toLong, p.drop(1).map(_.toLong).sum))
+        }.toMap
+    try {
+      val a = snap(); Thread.sleep(700); val b = snap()
+      b.keys.toSeq.map { c =>
+        val (i0, t0) = a.getOrElse(c, (0L, 0L))
+        val (i1, t1) = b(c)
+        val total = math.max(1L, t1 - t0)
+        (c, 1.0 - (i1 - i0).toDouble / total)
+      }.sortBy { case (c, busy) => (busy, -c) }.take(n).map(_._1).sorted
+    } catch { case _: Throwable =>
+      val hostCores = Runtime.getRuntime.availableProcessors()
+      (hostCores - n) until hostCores
+    }
+  }
+
   /** Launch a CPU-pinned child JVM running [[graft.tools.ScalingProbe]];
     * returns the timed seconds, or None if the probe failed. Pins to the
-    * UPPER core ids — other tenants of this shared host that pin tend to
-    * start from core 0, so the top of the range collides least. Probes
+    * [[idlestCores]] measured at launch. Probes
     * run SEQUENTIALLY: concurrent N and 4N probes share one memory bus,
     * and the bandwidth-hungrier 4N side loses disproportionately — a
     * structural downward bias on the ratio (measured 0.32 concurrent vs
@@ -137,8 +165,8 @@ object Bench {
       case (flag, _) if (flag.startsWith("--add-opens=")
         || flag.startsWith("--add-exports=")) => Seq(flag)
     }.flatten
-    val hostCores = Runtime.getRuntime.availableProcessors()
-    val range = s"${hostCores - cores}-${hostCores - 1}"
+    val range = idlestCores(cores).mkString(",")
+    println(s"PROBE_PIN cores=$range")
     val cmd = (Seq("taskset", "-c", range, javaBin, "-Xmx6g")
       ++ addOpens ++ Seq("-Dspark.ui.enabled=false", "-cp", cp,
       "graft.tools.ScalingProbe", cores.toString, turnsPath,
@@ -184,13 +212,14 @@ object Bench {
     // headline volume: big enough to amortize fixed costs, small enough
     // that 2-3 e2e reps + scaling + the query suite fit the budget
     val nTurns = math.max(1000000L, math.min((200000000L * sf).toLong, 8000000L))
-    // scaling probes run the SAME job on a 4M-turn input: large enough
-    // that the ~1-4 s fixed per-job cost stays a minor share (and the
-    // probe also MEASURES that fixed cost so the corrected ratio cancels
-    // it), small enough that a 2-core pass finishes under the probe's
-    // hard wall cap even on a polluted host (an 8M 2-core pass has been
-    // observed >170 s under ambient tenant load and the pair dies).
-    val nProbe = math.min(nTurns, 4000000L)
+    // scaling probes run the SAME job on the full headline input:
+    // measured ladder (quiet-ish windows, round 3) — raw efficiency
+    // 0.681 at 2M, 0.720 at 4M, 0.774 at 8M — the climb is purely the
+    // ~2-3 s fixed per-job cost shrinking as a share of the 8-core pass
+    // (70% at 2M!), so small probes structurally under-read the
+    // criterion. A polluted host falls back to the small input via the
+    // attempt-2 retry and the post-queries in-proc pair.
+    val nProbe = math.min(nTurns, 8000000L)
     // last-resort probe size: overhead-biased (fixed cost ~40-60% of a
     // pass) but completes under ANY ambient load — only used when no
     // full-size pair lands in budget, and labeled by n_turns_probe
@@ -240,6 +269,33 @@ object Bench {
     val e2e32 = reps.min
     val thr32 = (nTurns / e2e32).round
 
+    // Flush the headline's sink writeback and re-warm the probe inputs
+    // BEFORE any child probe runs: the e2e reps just wrote gigabytes to
+    // /tmp, and the kernel's dirty-page flush turned child probe reads
+    // into a crawl — round-3 diagnosis: children completed warmup, then
+    // the first full 2M rep took >50 s on a quiet host (manual runs
+    // minutes later: 4.6 s), and r3c's attempt-2 child ran fine exactly
+    // because attempt-1 had burned the writeback window. Warm cache is
+    // the steady-state assumption of the scaling methodology anyway.
+    locally {
+      try new ProcessBuilder("sync").start().waitFor(
+        60, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: Throwable => }
+      Seq(probePathOf(nProbe), probePathOf(nProbeSmall)).distinct.foreach { p =>
+        try {
+          val dir = Paths.get(p)
+          if (Files.exists(dir)) Files.list(dir).forEach { f =>
+            if (f.toString.endsWith(".parquet")) {
+              val in = Files.newInputStream(f)
+              val buf = new Array[Byte](1 << 20)
+              while (in.read(buf) > 0) {}
+              in.close()
+            }
+          }
+        } catch { case _: Throwable => }
+      }
+    }
+
     def emit(scalingJson: String, queriesJson: String,
              scalingCompact: String = "null", queriesSummary: String = "null",
              scalePoint: String = "null"): Unit = {
@@ -267,6 +323,49 @@ object Bench {
     // killed: the driver can parse this (or any later superset line).
     emit("null", "{}")
 
+    // ---- query suite FIRST (budget-gated per query: -3 = skipped for
+    // budget, -4 = killed by the per-query wall cap). Two reasons for
+    // the order: core pipeline queries (p*, q*) are the operators the
+    // round is graded on, and — measured in round 3 — the host's
+    // out-of-cgroup co-tenant activity spikes for minutes right after
+    // the headline's multi-GB sink writes (0% steal, /proc/stat near
+    // idle, loadavg 2-5, child probes 7-12× slow), so the ~90 s query
+    // phase doubles as the settle window before the pinned scaling
+    // probes. ----
+    val s = session(cpus)
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (name.head match { case 'p' => 0; case 'q' => 1; case _ => 2 }, name)
+    }
+    val results = ordered.map { case (name, fn) =>
+      val sec =
+        if (sf >= 0.1 && HeavyAtScale(name)) -2.0
+        else if (remainingSec < 15.0) -3.0
+        // per-query wall cap: an ambient-load spike turns a ~1 s query
+        // into 25+ s (observed p12: 27.4 s polluted vs 1.06 s quiet);
+        // kill it via job-group cancel and keep the rest of the suite
+        else timeCapped(s, name, exhaust(fn(s, sfDir)),
+          capSec = math.min(30.0, math.max(10.0, remainingSec - 10.0)))
+      name -> sec
+    }.sortBy(_._1)
+    s.stop()
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def statusCounts(rs: Seq[(String, Double)]): String = {
+      val timed = rs.count(_._2 >= 0)
+      val sumSec = rs.map(_._2).filter(_ >= 0).sum
+      s"""{"total":${rs.size},"timed":$timed,""" +
+      s""""timed_sum_sec":${math.rint(sumSec * 10) / 10},""" +
+      s""""skipped_scale":${rs.count(_._2 == -2.0)},""" +
+      s""""skipped_budget":${rs.count(_._2 == -3.0)},""" +
+      s""""capped":${rs.count(_._2 == -4.0)},"failed":${rs.count(_._2 == -1.0)}}"""
+    }
+    val qSummary = statusCounts(results)
+    // sidecar with the full per-query map (cwd = repo root under sbt —
+    // the driver commits it with the round)
+    try Files.write(Paths.get("BENCH_queries_latest.json"),
+      (qs + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    emit("null", qs, "null", qSummary)
+
     // ---- scaling (compute path): CPU-pinned child JVMs at 2 and 8 cores
     // on the probe-sized input. taskset pins worker+GC+JIT threads to
     // exactly N CPUs — the faithful simulation of an N-core executor node;
@@ -276,13 +375,16 @@ object Bench {
     val pairs = scala.collection.mutable.ListBuffer[((Double, Double), (Double, Double))]()
     var lastPairSec = 100.0 // prior estimate until a real pair lands
     var attempts = 0
-    // under sustained ambient load a full-size 2-core pass cannot finish
-    // inside the fail-fast cap — start from the small input directly and
-    // spend the saved time on MORE pairs (min-over-pairs fights noise
-    // better than one doomed big attempt; the label is n_turns_probe)
-    var probeSize = if (loadAvg() > 2.5) nProbeSmall else nProbe
+    // under SEVERE ambient load a full-size 2-core pass cannot finish
+    // inside the fail-fast cap — start small then. The threshold is
+    // deliberately high (this host's out-of-cgroup co-tenant floor sits
+    // at 2-3): the full-size probe is what makes the ratio honest
+    // (fixed-cost share 70% at 2M → raw 0.64; 18% at 8M → 0.77), so
+    // only a clearly saturated window forfeits it up front — a failed
+    // big attempt still falls back to the small input on attempt 2.
+    var probeSize = if (loadAvg() > 4.5) nProbeSmall else nProbe
     while (attempts < 3 && pairs.size < 2 &&
-        remainingSec > lastPairSec + reserveForQueries) {
+        remainingSec > lastPairSec + 40) {
       attempts += 1
       // after a failed full-size attempt, fall back to the small input —
       // an overhead-biased pair beats no pair on a saturated host
@@ -290,36 +392,39 @@ object Bench {
       val sizePath = probePathOf(probeSize)
       awaitQuiet()
       val t0 = elapsedSec
-      // fail fast on a polluted window (cap 100 s): a 2-core pass that
-      // can't finish in 100 s is noise-dominated anyway, and a capped
-      // first attempt must leave room for the small-input retry
-      val pN = probe(2, sizePath, repBudgetSec = 40, maxReps = 3,
-        capOverrideSec = 100.0)
+      // fail fast on a polluted window (cap 65 s ≈ 8-12× the quiet
+      // 2-core 2M pass): a pass that can't finish by then is
+      // noise-dominated anyway, and the round-3 100 s cap let ONE
+      // doomed attempt eat the whole phase's budget
+      val bigProbe = probeSize >= 8000000L
+      val pN = probe(2, sizePath, repBudgetSec = if (bigProbe) 45 else 40,
+        maxReps = 3, capOverrideSec = if (bigProbe) 95.0 else 65.0)
       val tNdur = elapsedSec - t0
       // skip the 4N side when the N side was killed by pollution (its
       // pair is lost regardless); run it when N succeeded, or when N
-      // failed instantly (child-JVM unavailable → in-proc fallback path)
-      val p4N = if ((pN.isDefined || tNdur < 10) &&
-          remainingSec > reserveForQueries + 40)
-        probe(8, sizePath, repBudgetSec = 25, maxReps = 4,
-          capOverrideSec = 100.0) else None
+      // failed instantly (child-JVM unavailable → in-proc fallback
+      // path). Budget guard is soft — the 4N probe is capped at 65 s
+      // and budget-starved queries degrade gracefully to -3, while a
+      // lost pair loses the north-rule criterion (round-3 run: a
+      // reserve-sized guard here skipped the 4N side of a GOOD pair).
+      val p4N = if ((pN.isDefined || tNdur < 10) && remainingSec > 90)
+        probe(8, sizePath, repBudgetSec = if (bigProbe) 30 else 25, maxReps = 4,
+          capOverrideSec = 65.0) else None
+      // one status line per attempt: the round-3 sf0.1 run shipped
+      // `scaling: null` with zero clues — child-probe failures must be
+      // diagnosable from the captured log
+      println(s"PROBE_STATUS attempt=$attempts size=$probeSize" +
+        s" n=${pN.map(_._1).getOrElse(-1.0)} n4=${p4N.map(_._1).getOrElse(-1.0)}" +
+        s" dur=${math.rint((elapsedSec - t0) * 10) / 10}" +
+        s" load=${loadAvg()} childTail=" +
+        probeOut.get.takeRight(160).replaceAll("[\\r\\n]", " | "))
       (pN, p4N) match {
         case (Some(tN), Some(t4N)) => pairs += ((tN, t4N))
-        case (None, None) if pairs.isEmpty && remainingSec > reserveForQueries + 120 =>
-          // taskset/child-JVM unavailable entirely: ONE in-process
-          // fallback pair (never as a budget-overrun retry path)
-          def inProc(cores: Int): Double = {
-            val s = session(cores)
-            computeOnly(s, s.read.parquet(probePath).limit(50000))
-            val sec = time(computeOnly(s, s.read.parquet(probePath)))
-            s.stop(); sec
-          }
-          pairs += (((inProc(2), 0.0), (inProc(8), 0.0)))
         case _ => // incomplete pair (capped probe / budget guard): drop it
       }
       lastPairSec = elapsedSec - t0
     }
-    val (scalingJson, scalingCompact) = if (pairs.isEmpty) ("null", "null") else {
+    def scalingJsons(): (String, String) = if (pairs.isEmpty) ("null", "null") else {
       def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
       val bestN = pairs.map(_._1._1).min
       val best4N = pairs.map(_._2._1).min
@@ -362,80 +467,73 @@ object Bench {
         s""""probe_pairs":${pairs.map { case ((a, fa), (b, fb)) => s"[$a,$b,$fa,$fb]" }.mkString("[", ",", "]")}}"""
       (full, compact)
     }
-    emit(scalingJson, "{}", scalingCompact)
-
-    // ---- query suite (budget-gated per query: -3 = skipped for budget,
-    // -4 = killed by the per-query wall cap). Core pipeline queries
-    // (p*, q*) run first so a budget cut drops the heavy LLM-ops tail
-    // (d*, e*, m*), not the flagship operators. ----
-    val s = session(cpus)
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-      (name.head match { case 'p' => 0; case 'q' => 1; case _ => 2 }, name)
-    }
-    val results = ordered.map { case (name, fn) =>
-      val sec =
-        if (sf >= 0.1 && HeavyAtScale(name)) -2.0
-        else if (remainingSec < 15.0) -3.0
-        // per-query wall cap: an ambient-load spike turns a ~1 s query
-        // into 25+ s (observed p12: 27.4 s polluted vs 1.06 s quiet);
-        // kill it via job-group cancel and keep the rest of the suite
-        else timeCapped(s, name, exhaust(fn(s, sfDir)),
-          capSec = math.min(30.0, math.max(10.0, remainingSec - 10.0)))
-      name -> sec
-    }.sortBy(_._1)
-    s.stop()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def statusCounts(rs: Seq[(String, Double)]): String = {
-      val timed = rs.count(_._2 >= 0)
-      val sumSec = rs.map(_._2).filter(_ >= 0).sum
-      s"""{"total":${rs.size},"timed":$timed,""" +
-      s""""timed_sum_sec":${math.rint(sumSec * 10) / 10},""" +
-      s""""skipped_scale":${rs.count(_._2 == -2.0)},""" +
-      s""""skipped_budget":${rs.count(_._2 == -3.0)},""" +
-      s""""capped":${rs.count(_._2 == -4.0)},"failed":${rs.count(_._2 == -1.0)}}"""
-    }
-    val qSummary = statusCounts(results)
-    // sidecar with the full per-query map (cwd = repo root under sbt —
-    // the driver commits it with the round)
-    try Files.write(Paths.get("BENCH_queries_latest.json"),
-      (qs + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => }
+    var (scalingJson, scalingCompact) = scalingJsons()
     emit(scalingJson, qs, scalingCompact, qSummary)
+
+    // ---- scaling fallback: when no child-JVM pair landed (taskset
+    // unavailable, or — round-3 sf0.1 run — sustained ambient load
+    // capping every pinned probe), ONE in-process local[N] pair on the
+    // small input. Unpinned and fixed-cost-biased, but a labeled pair
+    // (fixed=0 marks it) beats `scaling: null`. ----
+    if (pairs.isEmpty && remainingSec > 70) {
+      val fallbackPath = probePathOf(nProbeSmall)
+      def inProc(cores: Int): Double = {
+        val s2 = session(cores)
+        computeOnly(s2, s2.read.parquet(fallbackPath).limit(50000))
+        val sec = time(computeOnly(s2, s2.read.parquet(fallbackPath)))
+        s2.stop(); sec
+      }
+      try {
+        probeSize = nProbeSmall
+        pairs += (((inProc(2), 0.0), (inProc(8), 0.0)))
+        println(s"PROBE_STATUS fallback=inproc size=$nProbeSmall pair=${pairs.last}")
+        val js = scalingJsons()
+        scalingJson = js._1; scalingCompact = js._2
+        emit(scalingJson, qs, scalingCompact, qSummary)
+      } catch { case _: Throwable => }
+    }
 
     // ---- optional scale point (budget-permitting): the d07 MinHash+LSH
     // near-dup job on a 10× documents corpus — one measured >sf0.1 data
     // point behind the 100-TB bucketing claims (banded LSH self-join must
     // grow with the PAIR count, not quadratically with the corpus) ----
     val scalePoint =
-      if (remainingSec < 90.0) "null"
+      if (remainingSec < 120.0) "null"
       else try {
         val s2 = session(cpus)
-        val docs10x = s"$outRoot/docs10x"
+        val docs10x = s"$outRoot/docs10x_v2"
         if (!Files.exists(Paths.get(docs10x, "_SUCCESS"))) {
           val base = s2.read.parquet(s"$sfDir/documents.parquet")
             .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-          // 10 salted copies: intra-copy near-dup structure is preserved
-          // (the salt suffix is constant within a copy), cross-copy pairs
-          // are suppressed by a distinct ~25%-of-length salt tail so the
-          // candidate count grows ~linearly in copies, not quadratically
+          // 10 copies under a BIJECTIVE per-copy token renaming
+          // (word → word_c): 1-gram Jaccard is invariant under a token
+          // bijection, so each copy reproduces the base corpus's
+          // near-dup pair structure exactly, while cross-copy token sets
+          // are DISJOINT (zero cross-copy candidates). Pair count grows
+          // linearly in copies — the first version of this phase salted
+          // with a shared suffix, left cross-copy jaccard ≈ 1, and
+          // exploded 1.7k pairs into 17.6M (251 s, blowing the budget).
           base.crossJoin(s2.range(10).select(col("id").as("copy")))
             .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
-              concat_ws(" ", col("text"),
-                concat(lit("salt"), col("copy")), concat(lit("pad"), col("copy")),
-                concat(lit("tag"), col("copy"), col("copy"))).as("text"))
+              array_join(transform(split(col("text"), " "),
+                w => concat(w, lit("_"), col("copy"))), " ").as("text"))
             .repartition(cpus)
             .write.mode("overwrite").parquet(docs10x)
         }
         val nDocs = s2.read.parquet(docs10x).count()
         awaitQuiet()
         var pairCount = 0L
-        val sec = time {
+        // HARD wall cap — this phase must never push the run past the
+        // driver's timeout (the un-capped first version finished at
+        // elapsed 547 s of a 450 s budget)
+        val sec = timeCapped(s2, "scale_point", {
           pairCount = graft.ops.Dedup.nearDupMinhashLsh(
             s2.read.parquet(docs10x), "doc_id", "text",
             numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.85).count()
-        }
+        }, capSec = math.min(150.0, remainingSec - 30.0))
         s2.stop()
-        s"""{"name":"d07_minhash_lsh_10x","n_docs":$nDocs,"sec":${math.rint(sec * 100) / 100},"pairs":$pairCount}"""
+        if (sec < 0) "null"
+        else s"""{"name":"d07_minhash_lsh_10x","n_docs":$nDocs,"sec":${math.rint(sec * 100) / 100},"pairs":$pairCount}"""
       } catch { case _: Throwable => "null" }
     emit(scalingJson, qs, scalingCompact, qSummary, scalePoint)
   }

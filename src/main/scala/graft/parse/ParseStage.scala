@@ -33,23 +33,33 @@ object ParseStage {
   /** Apply a parse config: adds `pattern: string`, `parsed:
     * map<string,string>` and (on_error=send) `_error: string` columns.
     *
-    * The bank expression is wrapped in `explode(array(…))` — a
-    * one-row-per-row Generate. This is an optimizer BARRIER, not a
-    * decoration: a plain projection gets its alias inlined by
-    * `PushDownPredicates`/`CollapseProject` into every downstream
-    * filter and grouping key, so count-over-parsed plans evaluated the
-    * bank (the most expensive expression in the engine) TWICE per row
-    * (verified in round 2: two `multi_pattern_extract` occurrences in
-    * p12's optimized plan). Filters and grouping keys can reference a
-    * generator's output only as an attribute — Catalyst cannot inline
-    * through Generate — so the bank runs exactly once per row;
-    * PlanSpec gates on the occurrence count. GenerateExec participates
-    * in whole-stage codegen, and predicates on OTHER columns still push
-    * through the Generate into the scan. */
-  def apply(df: DataFrame, config: ParseConfig): DataFrame = {
+    * With `barrier=true` (default) the bank expression is wrapped in
+    * `explode(array(…))` — a one-row-per-row Generate. This is an
+    * optimizer BARRIER, not a decoration: a plain projection gets its
+    * alias inlined by `PushDownPredicates`/`CollapseProject` into every
+    * downstream filter and grouping key, so count-over-parsed plans
+    * evaluated the bank (the most expensive expression in the engine)
+    * TWICE per row (verified in round 2: two `multi_pattern_extract`
+    * occurrences in p12's optimized plan). Filters and grouping keys
+    * can reference a generator's output only as an attribute — Catalyst
+    * cannot inline through Generate — so the bank runs exactly once per
+    * row; PlanSpec gates on the occurrence count. GenerateExec
+    * participates in whole-stage codegen, and predicates on OTHER
+    * columns still push through the Generate into the scan.
+    *
+    * `barrier=false` keeps the round-2 plain projection for callers
+    * whose downstream plan is PROVEN single-eval by a plan gate (the
+    * flagship pipeline: PlanSpec counts occurrences) — measured on the
+    * same ambient window (ParseAB, 8M turns, 16 cores): the Generate
+    * costs ~10% on an already-single-eval plan (4.45 s vs 4.05 s
+    * flagship) while saving ~20% where the inline would double-eval
+    * (p12: 1.06 s barrier vs 1.32 s plain). */
+  def apply(df: DataFrame, config: ParseConfig,
+            barrier: Boolean = true): DataFrame = {
     val ex = extract(col(config.sourceCol), config.patterns)
+    val exCol = if (barrier) explode(array(ex)) else ex
     val withParsed = df
-      .withColumn("_x", explode(array(ex)))
+      .withColumn("_x", exCol)
       .withColumn("pattern", col("_x.pattern"))
       .withColumn("parsed", col("_x.fields"))
       .drop("_x")

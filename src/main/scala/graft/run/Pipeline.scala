@@ -124,9 +124,15 @@ object Pipeline {
 
   val parsedFields: Set[String] = patternBank.flatMap(_.fields).toSet
 
-  /** parse + enrich over a transcripts frame. */
+  /** parse + enrich over a transcripts frame.
+    *
+    * `barrier=false`: the flagship plan references the bank output only
+    * inside one projection (route tags + enrich key), which Catalyst
+    * CSE keeps at ONE evaluation — gated by PlanSpec's occurrence
+    * count — so it skips the Generate barrier's ~10% overhead
+    * (ParseStage.apply scaladoc has the measurements). */
   def parseEnrich(spark: SparkSession, transcripts: DataFrame): DataFrame = {
-    val parsed = ParseStage(transcripts, parseConfig)
+    val parsed = ParseStage(transcripts, parseConfig, barrier = false)
     EnrichStage(parsed, EnrichStage.dimTool(spark), Seq("tool"))
   }
 

@@ -48,16 +48,15 @@ object ScalingProbe {
         .agg(count(lit(1)).as("count"))
         .write.format("noop").mode("overwrite").save()
     }
+    println(s"PROBE_START cores=$cores path=$turnsPath")
     run(spark.read.parquet(turnsPath).limit(100000)) // JIT/codegen warmup
-    // fixed-cost sample: a 100k pass is dominated by per-job overhead
-    // (stage scheduling, codegen, footer reads — measured 1-4 s on this
-    // host); Bench subtracts the mins to compute the overhead-corrected
-    // marginal efficiency alongside the raw ratio
-    locally {
-      val f0 = System.nanoTime()
-      run(spark.read.parquet(turnsPath).limit(100000))
-      println(s"PROBE_FIXED ${(System.nanoTime() - f0) / 1e9}")
-    }
+    println("PROBE_WARM done")
+    // TIMED REPS FIRST, calibration LAST: the fixed-cost sample is a
+    // correction term, not the product — on the round-3 sf0.1 run a
+    // polluted window stretched the pre-rep 100k calibration pass to
+    // 39.6 s (quiet: 1-4 s) and the probe was wall-capped before its
+    // first real rep ever printed. Reps print incrementally so a capped
+    // child still leaves salvageable PROBE_REP lines.
     val t0 = System.nanoTime()
     val reps = scala.collection.mutable.ListBuffer[Double]()
     while (reps.isEmpty ||
@@ -69,6 +68,15 @@ object ScalingProbe {
       println(s"PROBE_REP $sec")
     }
     println(s"PROBE_SEC ${reps.min}")
+    // fixed-cost sample: a 100k pass is dominated by per-job overhead
+    // (stage scheduling, codegen, footer reads — measured 1-4 s on this
+    // host); Bench subtracts the mins to compute the overhead-corrected
+    // marginal efficiency alongside the raw ratio
+    locally {
+      val f0 = System.nanoTime()
+      run(spark.read.parquet(turnsPath).limit(100000))
+      println(s"PROBE_FIXED ${(System.nanoTime() - f0) / 1e9}")
+    }
     spark.stop()
   }
 }

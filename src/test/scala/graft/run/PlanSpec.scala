@@ -77,6 +77,19 @@ class PlanSpec extends SparkSpec {
     assert(occ2 == 1, s"parse bank evaluated $occ2 times in filter shape")
   }
 
+  test("flagship (unbarriered) parse still evaluates the bank exactly once") {
+    // Pipeline.parseEnrich opts OUT of the Generate barrier for its ~10%
+    // overhead (ParseStage scaladoc) — legal only while this gate holds:
+    // the full flagship plan must contain exactly one bank evaluation
+    val enriched = Pipeline.parseEnrich(spark, spark.read.parquet(turnsDir))
+    val out = RouteStage.tagsExploded(enriched, Pipeline.routeTable)
+      .groupBy(col("route"), window(col("ts"), "1 hour"), col("role"))
+      .agg(count(lit(1)))
+    val occ = "multi_pattern_extract".r
+      .findAllIn(out.queryExecution.optimizedPlan.toString).size
+    assert(occ == 1, s"flagship parse bank evaluated $occ times")
+  }
+
   test("predicates on non-parsed columns still push through the parse Generate") {
     val parsed = graft.parse.ParseStage(
       spark.read.parquet(turnsDir), Pipeline.parseConfig)
