@@ -42,8 +42,11 @@ import graft.synth.TranscriptSynth
   */
 object Bench {
 
+  // d11 rides on the d07 LSH pair list, which is quadratic on the
+  // pathologically self-similar synthetic corpus at sf≥0.1 (same reason
+  // d07 itself is skipped; the 10× scale point measures the LSH path)
   private val HeavyAtScale = Set("d05_jaccard_pairs_brute", "d07_minhash_lsh_neardups",
-    "e04_embedding_neardup")
+    "e04_embedding_neardup", "d11_dedup_groups")
 
   private def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()

@@ -385,6 +385,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           floor(col("jaccard") * 10000).cast("bigint").as("jaccard_e4"))),
 
+    "d11_dedup_groups" -> ((s, dir) => {
+      // near-dup GROUP formation: connected components over the LSH
+      // pair list + canonical survivor and group size — the actionable
+      // dedup output (delete all but min id per component)
+      val pairs = Dedup.nearDupMinhashLsh(documents(s, dir), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.85)
+      val groups = Dedup.dedupGroups(pairs)
+      groups.join(Dedup.dedupGroupSummary(groups),
+          groups("group") === col("keep_id"))
+        .select(col("id").cast("bigint").as("doc_id"),
+          col("group").cast("bigint").as("group_id"),
+          col("n_members"))
+    }),
+
     "d08_simhash_signatures" -> ((s, dir) => { // golden-vector oracle
       // SimHash64 golden vectors: a fixed corpus whose signatures are
       // pinned in the oracle as literals (the HOF differential in
@@ -1046,6 +1060,32 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.s, b.s)) /
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85""".stripMargin,
+
+    // Connected components in SQL: the recursive CTE enumerates every
+    // (node, reachable-node) pair of the dup graph, min per node = the
+    // component id; LSH ≡ brute pair set is the d07-established fact.
+    "d11_dedup_groups" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+        |),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s)) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85
+        |),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r(n, m) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, r.m FROM e JOIN r ON e.dst = r.n
+        |),
+        |g AS (SELECT n AS doc_id, min(m) AS group_id FROM r GROUP BY n)
+        |SELECT g.doc_id, g.group_id, c.n_members
+        |FROM g JOIN (SELECT group_id, count(*) AS n_members
+        |             FROM g GROUP BY 1) c USING (group_id)""".stripMargin,
 
     "d05_jaccard_pairs_brute" ->
       """WITH sh AS (

@@ -185,6 +185,69 @@ object Dedup {
       })
   }
 
+  /** Dedup GROUP formation: connected components over a near-dup pair
+    * list — the step that turns pairwise similarity output (d07/d08/e04)
+    * into deletable duplicate clusters with one canonical survivor.
+    *
+    * Algorithm: iterative min-label propagation. Every node starts
+    * labeled with itself; each round joins labels across edges (both
+    * directions) and takes the min; convergence when no label changes.
+    * Rounds needed = graph diameter — near-dup components are
+    * quasi-cliques by construction (members pairwise similar), so 2-3
+    * rounds suffice in practice; `maxRounds` bounds pathological
+    * chains. Scale notes: each round is one shuffle on the node id;
+    * `localCheckpoint` truncates the growing lineage so round k does
+    * not replay rounds 1..k-1 (the classic iterative-algorithm trap);
+    * the alternating large-star/small-star formulation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") is the drop-in
+    * upgrade if diameters were ever large — for near-dup graphs it
+    * buys nothing over propagation.
+    *
+    * Returns (id, group) — group = min member id of the component.
+    */
+  def dedupGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                  maxRounds: Int = 12): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("group", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (round < maxRounds && changed > 0) {
+      round += 1
+      // candidate label per node = min over its own label and every
+      // neighbour's label (one shuffle: groupBy node id)
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("group"))
+      val next = labels.select("id", "group").union(viaEdges)
+        .groupBy("id").agg(min("group").as("group"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("group", "prev"), "id")
+        .filter(col("group") < col("prev")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** Per-group summary: canonical survivor (min id) + group size. NO
+    * member list — at 10^12 docs a single exact-dup group can hold
+    * millions of ids and an unbounded collect_list is exactly the
+    * hot-group trap this engine avoids elsewhere; the delete set is the
+    * row-per-member frame from [[dedupDeleteList]] instead. */
+  def dedupGroupSummary(groups: DataFrame): DataFrame =
+    groups.groupBy("group")
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("group").as("keep_id"), col("n_members"))
+
+  /** The rows to DELETE: every group member except the survivor. */
+  def dedupDeleteList(groups: DataFrame): DataFrame =
+    groups.filter(col("id") =!= col("group"))
+      .select(col("id").as("delete_id"), col("group").as("keep_id"))
+
   /** SimHash near-dup pairs: hamming distance ≤ maxHamming. Scale path:
     * block on the top `blockBits` bits so only same-block pairs compare
     * (near-dups agree on most bits, so high-bit blocking has high

@@ -144,4 +144,24 @@ class DedupSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(sh == Seq("one two")) // degenerate shingle, no crash
   }
+
+  test("dedup groups: connected components, survivor, delete list") {
+    // components: {1,2,3,4} (path — needs >1 propagation round),
+    // {5,6}, {8,9,10}; 20..26 chain exercises diameter-6 convergence
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (8L, 9L), (9L, 10L))
+      ++ (20L until 26L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val groups = Dedup.dedupGroups(pairs)
+    val m = groups.as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(m(_) == 1L))
+    assert(m(5L) == 5L && m(6L) == 5L)
+    assert(Seq(8L, 9L, 10L).forall(m(_) == 8L))
+    assert((20L to 26L).forall(m(_) == 20L))
+    val summary = Dedup.dedupGroupSummary(groups)
+      .as[(Long, Long)].collect().toMap
+    assert(summary == Map(1L -> 4L, 5L -> 2L, 8L -> 3L, 20L -> 7L))
+    val deletes = Dedup.dedupDeleteList(groups).as[(Long, Long)].collect().toSet
+    assert(!deletes.exists { case (del, _) => Set(1L, 5L, 8L, 20L)(del) })
+    assert(deletes.size == m.size - 4) // everything but the 4 survivors
+  }
 }
