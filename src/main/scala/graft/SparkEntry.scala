@@ -734,6 +734,32 @@ object SparkEntry {
         Ottl.unixToTime(Ottl.unixSeconds(col("ts"))).as("ts_trunc_s"))
     }),
 
+    "p55_span_rename" -> ((s, dir) => {
+      // span processor (processor/spanprocessor/span.go): to_attributes
+      // named-group extraction rewrites the span name in place with
+      // {group} markers; from_attributes joins attribute values into a
+      // new name (untouched when a key is missing)
+      import graft.ops.SpanOps
+      val base = parsedT(s, dir).filter(col("pattern") === "tool_call")
+        .select(col("conv_id"), col("turn_idx"),
+          concat(lit("/tool/"), col("parsed").getItem("tool_name"),
+            lit("/call/"), col("parsed").getItem("dur_ms")).as("span_name"),
+          map(lit("svc"), lit("graft"),
+            lit("op"), col("parsed").getItem("tool_name")).as("attrs"))
+      base
+        .withColumn("r", SpanOps.toAttributes(col("span_name"),
+          Seq("^/tool/(?<toolx>\\w+)/call/(?<durx>\\d+)$")))
+        .select(col("conv_id"), col("turn_idx"),
+          col("r.name").as("new_name"),
+          element_at(col("r.attrs"), "toolx").as("toolx"),
+          element_at(col("r.attrs"), "durx").cast("bigint").as("durx"),
+          SpanOps.renameFromAttributes(col("span_name"), col("attrs"),
+            Seq("svc", "op"), "::").as("from_attr_name"),
+          // missing key → name untouched (span.go:120-122)
+          SpanOps.renameFromAttributes(col("span_name"), col("attrs"),
+            Seq("svc", "absent"), "::").as("untouched_name"))
+    }),
+
     "m03_multimodal_meta" -> ((s, dir) =>
       // typed-metadata projection + blob byte length — metadata derives
       // from integer arithmetic so the oracle reproduces it exactly;
@@ -1446,6 +1472,16 @@ object SparkEntry {
         |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
         |     * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
         |LIMIT 10""".stripMargin,
+
+    "p55_span_rename" -> withT(
+      s"""SELECT conv_id, turn_idx,
+         |  '/tool/{toolx}/call/{durx}' AS new_name,
+         |  regexp_extract(text, '$P1', 1) AS toolx,
+         |  CAST(regexp_extract(text, '$P1', 3) AS BIGINT) AS durx,
+         |  'graft::' || regexp_extract(text, '$P1', 1) AS from_attr_name,
+         |  '/tool/' || regexp_extract(text, '$P1', 1) || '/call/'
+         |    || regexp_extract(text, '$P1', 3) AS untouched_name
+         |FROM transcripts WHERE regexp_matches(text, '$P1')""".stripMargin),
 
     "p54_ottl_duration_unix" ->
       """SELECT event_id,
