@@ -378,14 +378,14 @@ object Bench {
     val pairs = scala.collection.mutable.ListBuffer[((Double, Double), (Double, Double))]()
     var lastPairSec = 100.0 // prior estimate until a real pair lands
     var attempts = 0
-    // under SEVERE ambient load a full-size 2-core pass cannot finish
-    // inside the fail-fast cap — start small then. The threshold is
-    // deliberately high (this host's out-of-cgroup co-tenant floor sits
-    // at 2-3): the full-size probe is what makes the ratio honest
-    // (fixed-cost share 70% at 2M → raw 0.64; 18% at 8M → 0.77), so
-    // only a clearly saturated window forfeits it up front — a failed
-    // big attempt still falls back to the small input on attempt 2.
-    var probeSize = if (loadAvg() > 4.5) nProbeSmall else nProbe
+    // ALWAYS attempt the full-size probe first: the fixed-cost share at
+    // 2M (70% of an 8-core pass) structurally under-reads the ratio
+    // (measured ladder 0.64@2M → 0.77@8M → 0.80@8M true-idle), a
+    // load-based gate here mostly reads OUR OWN just-finished query
+    // phase (observed: loadavg 3.8-4.5 entirely self-inflicted), and a
+    // genuinely polluted big attempt is bounded by the fail-fast cap
+    // and falls back to the small input on attempt 2.
+    var probeSize = nProbe
     while (attempts < 3 && pairs.size < 2 &&
         remainingSec > lastPairSec + 40) {
       attempts += 1
