@@ -350,6 +350,14 @@ object SparkEntry {
         .groupBy("text")
         .agg(min("doc_id").as("first_doc"), count(lit(1)).as("n"))),
 
+    "d12_dedup_normalized" -> ((s, dir) =>
+      // exact dedup over CANONICALIZED text (lowercase, punctuation →
+      // space, whitespace collapsed): catches reformatted duplicates
+      // raw-byte hashing misses — the standard dedup first pass
+      documents(s, dir)
+        .groupBy(TextAnalysis.normalizeForDedup(col("text")).as("norm_text"))
+        .agg(min("doc_id").as("first_doc"), count(lit(1)).as("n"))),
+
     "d02_token_count" -> ((s, dir) =>
       documents(s, dir)
         .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))),
@@ -1052,6 +1060,12 @@ object SparkEntry {
 
     "d01_dedup_exact" ->
       "SELECT text, min(doc_id) AS first_doc, count(*) AS n FROM documents GROUP BY text",
+
+    "d12_dedup_normalized" ->
+      """SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+        |  min(doc_id) AS first_doc, count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "d02_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents",

@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  // ---- normalization (pre-dedup canonicalization) ----
+
+  /** Canonical text for near/exact dedup: lowercase, punctuation
+    * stripped, whitespace runs collapsed, edges trimmed. Exact dedup
+    * over the NORMALIZED text catches trivially-reformatted duplicates
+    * (case, spacing, punctuation variants) that raw-byte hashing
+    * misses — the standard first pass of a training-data dedup
+    * pipeline. Pure codegen column (3 regex passes + lower), oracle-
+    * expressible with the same regexes in any SQL engine. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
   // ---- token counting ----
 
   /** Whitespace token count. */

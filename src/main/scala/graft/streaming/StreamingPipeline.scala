@@ -164,6 +164,55 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming groupbytrace with the reference's FIXED `wait_duration`
+    * (`processor/groupbytraceprocessor/processor.go:151-173` expiry in
+    * `/root/reference`): a conversation is released as ONE gathered
+    * session exactly `waitMs` (event time) after its FIRST turn — the
+    * deadline is NOT extended by later turns, unlike [[recombine]]'s
+    * session-gap timeout; turns arriving after release are dropped
+    * (the reference logs-and-forwards them ungrouped). Bounded state:
+    * a conversation exceeding `maxTurns` buffered turns flushes early
+    * as a chunk, like recombine. */
+  def recombineFixedWait(turns: Dataset[Turn], lateness: String, waitMs: Long,
+                         maxTurns: Int = 10000): Dataset[ConvSession] = {
+    import turns.sparkSession.implicits._
+    turns.withWatermark("ts", lateness)
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[TailState, ConvSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (convId: String, rows: Iterator[Turn], state: GroupState[TailState]) =>
+          def aboveWatermark(wantMs: Long): Long =
+            math.max(wantMs, state.getCurrentWatermarkMs() + 1)
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (st.decided) { state.remove(); Iterator.empty } // purge marker
+            else {
+              state.update(TailState(Vector.empty, st.firstMs, decided = true,
+                keep = false))
+              state.setTimeoutTimestamp(aboveWatermark(st.firstMs + 2 * waitMs))
+              emit(convId, st.buf)
+            }
+          } else {
+            val incoming = rows.toVector
+            state.getOption match {
+              case Some(st) if st.decided => Iterator.empty // released: late turns drop
+              case prev =>
+                val firstMs = prev.map(_.firstMs)
+                  .getOrElse(incoming.iterator.map(_.ts.getTime).min)
+                var buf = prev.map(_.buf).getOrElse(Vector.empty)
+                val out = Vector.newBuilder[ConvSession]
+                incoming.foreach { t =>
+                  buf = buf :+ t
+                  if (buf.size >= maxTurns) { out ++= emit(convId, buf); buf = Vector.empty }
+                }
+                state.update(TailState(buf, firstMs, decided = false, keep = false))
+                state.setTimeoutTimestamp(aboveWatermark(firstMs + waitMs))
+                out.result().iterator
+            }
+          }
+      }
+  }
+
   // ---- turn-level policies for tailSample (internal/sampling/*.go) ----
 
   /** Conversation contains an ERROR/FATAL status turn (status-code policy). */

@@ -70,4 +70,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pairs.forall { case (f, h) => f == h },
       s"mismatch: ${pairs.mkString(",")}")
   }
+
+  test("normalizeForDedup canonicalizes case/punctuation/whitespace variants together") {
+    val variants = Seq(
+      "Hello, World!", "hello world", "  HELLO   world  ", "hello... WORLD?!")
+    val norms = variants.toDF("text")
+      .select(TextAnalysis.normalizeForDedup(col("text")).as("n"))
+      .as[String].collect().toSet
+    assert(norms == Set("hello world"), s"got $norms")
+    // distinct content stays distinct
+    val other = Seq(Tuple1("hello there")).toDF("text")
+      .select(TextAnalysis.normalizeForDedup(col("text"))).as[String].head()
+    assert(other == "hello there")
+  }
 }

@@ -135,6 +135,35 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("groupbytrace fixed wait_duration: releases one gathered session, deadline not extended") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val sessions = StreamingPipeline.recombineFixedWait(
+      mem.toDS(), "0 seconds", waitMs = 5 * 60000L)
+    val q = sessions.writeStream.format("memory").queryName("gbt")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(turn("c1", 0, 1, "first"), turn("c1", 1, 2, "second"))
+      q.processAllAvailable()
+      // a turn at minute 4 does NOT extend the deadline (fixed wait from
+      // the FIRST turn at minute 1, unlike recombine's gap timeout)
+      mem.addData(turn("c1", 2, 4, "third"))
+      q.processAllAvailable()
+      assert(spark.table("gbt").isEmpty)
+      mem.addData(turn("cx", 0, 30, "watermark push")) // wm 30 > 1+5
+      q.processAllAvailable()
+      val out = spark.table("gbt").as[StreamingPipeline.ConvSession]
+        .collect().filter(_.conv_id == "c1")
+      assert(out.length == 1 && out.head.n_turns == 3)
+      assert(out.head.full_text == "first\nsecond\nthird")
+      // post-release turns are dropped (reference forwards them ungrouped)
+      mem.addData(turn("c1", 3, 31, "late"))
+      q.processAllAvailable()
+      assert(spark.table("gbt").as[StreamingPipeline.ConvSession]
+        .collect().count(_.conv_id == "c1") == 1)
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped from finalized windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Turn]
