@@ -358,6 +358,18 @@ object SparkEntry {
         .groupBy(TextAnalysis.normalizeForDedup(col("text")).as("norm_text"))
         .agg(min("doc_id").as("first_doc"), count(lit(1)).as("n"))),
 
+    "d13_contamination" -> ((s, dir) => {
+      // benchmark decontamination: trigram overlap vs a stand-in eval
+      // set (every 97th doc); hashed=false so the DuckDB oracle can
+      // reproduce the shingle join — TextAnalysisSpec proves the
+      // hashed production path identical
+      val docs = documents(s, dir)
+      TextAnalysis.contamination(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "text", n = 3, hashed = false)
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+          floor(col("contamination") * 10000).cast("bigint").as("contamination_e4"))
+    }),
+
     "d02_token_count" -> ((s, dir) =>
       documents(s, dir)
         .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))),
@@ -1060,6 +1072,24 @@ object SparkEntry {
 
     "d01_dedup_exact" ->
       "SELECT text, min(doc_id) AS first_doc, count(*) AS n FROM documents GROUP BY text",
+
+    // trigram shingles in SQL: w[i:i+2] (1-based inclusive slice) for
+    // i in 1..len-2 ≡ Spark's sequence(0, size-3) 3-token windows;
+    // division-then-scale parenthesized to match Spark's float order
+    "d13_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(w)-2),
+        |           i -> array_to_string(w[i:i+2], ' '))) AS s
+        |       FROM w WHERE len(w) >= 3),
+        |bench AS (SELECT DISTINCT unnest(s) AS sh FROM sh WHERE doc_id % 97 = 0),
+        |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |hits AS (SELECT e.doc_id, count(*) AS n_cont
+        |         FROM ex e JOIN bench b ON e.sh = b.sh GROUP BY 1)
+        |SELECT s.doc_id, len(s.s) AS n_shingles,
+        |  coalesce(h.n_cont, 0) AS n_contaminated,
+        |  CAST(floor((coalesce(h.n_cont, 0) / len(s.s)) * 10000) AS BIGINT) AS contamination_e4
+        |FROM sh s LEFT JOIN hits h USING (doc_id)""".stripMargin,
 
     "d12_dedup_normalized" ->
       """SELECT trim(regexp_replace(regexp_replace(lower(text),

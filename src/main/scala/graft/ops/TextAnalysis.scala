@@ -24,6 +24,44 @@ object TextAnalysis {
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
       "\\s+", " "))
 
+  // ---- benchmark decontamination ----
+
+  /** Benchmark contamination score: the fraction of a document's
+    * distinct word n-grams that appear in a benchmark/eval corpus — the
+    * standard pre-training decontamination check (docs overlapping the
+    * eval set inflate reported model quality and must be dropped).
+    *
+    * Scale design: the benchmark shingle set is SMALL (eval suites are
+    * ~10^5-10^6 n-grams) → `broadcast` left join against the exploded
+    * corpus shingles; the 10^12-doc side never shuffles. With
+    * `hashed=true` (the production default) the join carries 8-byte
+    * `xxhash64` shingle keys instead of n-gram strings (~10× lighter
+    * rows, same trick as the MinHash-LSH verify join); `hashed=false`
+    * keeps raw strings so a SQL oracle can reproduce the join — the
+    * spec proves both variants identical.
+    *
+    * Docs shorter than n words have no n-grams and are omitted (no
+    * contamination evidence either way). */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 8, hashed: Boolean = true): DataFrame = {
+    // explode first, hash after: a generator cannot nest inside an
+    // expression, and hashing the exploded column keeps one shingle
+    // string materialization either way
+    def shingled(df: DataFrame, keep: Seq[Column], c: Column): DataFrame = {
+      val ex = df.filter(size(split(c, " ")) >= n)
+        .select((keep :+ explode(Dedup.shingles(c, n)).as("sh")): _*)
+      if (hashed) ex.withColumn("sh", xxhash64(col("sh"))) else ex
+    }
+    val benchSh = shingled(benchmark, Nil, col(benchTextCol))
+      .distinct().withColumn("_hit", lit(1))
+    shingled(docs, Seq(col(idCol)), col(textCol))
+      .join(broadcast(benchSh), Seq("sh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_contaminated"))
+      .withColumn("contamination", col("n_contaminated") / col("n_shingles"))
+  }
+
   // ---- token counting ----
 
   /** Whitespace token count. */

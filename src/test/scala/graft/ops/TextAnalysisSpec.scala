@@ -71,6 +71,30 @@ class TextAnalysisSpec extends SparkSpec {
       s"mismatch: ${pairs.mkString(",")}")
   }
 
+  test("contamination: planted eval overlap scores correctly; hashed ≡ string join") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains bench trigram
+      (2L, "completely unrelated content with zero overlap here"),
+      (3L, "quick brown fox and more quick brown fox repeats"),
+      (4L, "to sh")). // shorter than n=3 → omitted
+      toDF("doc_id", "text")
+    val bench = Seq(Tuple1("quick brown fox jumps high")).toDF("text")
+    def run(hashed: Boolean) =
+      TextAnalysis.contamination(docs, "doc_id", "text", bench, "text",
+        n = 3, hashed = hashed)
+        .select("doc_id", "n_shingles", "n_contaminated")
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, a, b) => id -> ((a, b)) }.toMap
+    val m = run(hashed = false)
+    assert(!m.contains(4L)) // too short: no evidence
+    assert(m(2L)._2 == 0L)
+    // doc1: trigrams "quick brown fox" + "brown fox jumps" hit the bench
+    assert(m(1L) == (7L, 2L))
+    // doc3: "quick brown fox" hit (distinct shingles — repeats collapse)
+    assert(m(3L)._2 == 1L)
+    assert(run(hashed = true) == m) // 8-byte-hash scale path ≡ string join
+  }
+
   test("normalizeForDedup canonicalizes case/punctuation/whitespace variants together") {
     val variants = Seq(
       "Hello, World!", "hello world", "  HELLO   world  ", "hello... WORLD?!")
