@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tail-parses the LAST stdout line as JSON. Two pieces
+// of sbt log decoration defeated that for three rounds: the forked run's
+// output was routed through sbt's logger (every line prefixed
+// "[info] "), and sbt printed its own "[success] Total time..." as the
+// true final line. Send forked-run output straight to stdout and
+// suppress the success banner so `graft.Bench`'s compact contract line
+// is the bare, final line of `sbt -batch "runMain graft.Bench"`.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

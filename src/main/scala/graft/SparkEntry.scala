@@ -408,7 +408,16 @@ object SparkEntry {
     "d11_dedup_groups" -> ((s, dir) => {
       // near-dup GROUP formation: connected components over the LSH
       // pair list + canonical survivor and group size — the actionable
-      // dedup output (delete all but min id per component)
+      // dedup output (delete all but min id per component).
+      // ORACLE RECALL ASSUMPTION: the DuckDB oracle closes over the
+      // BRUTE-FORCE jaccard>=0.85 pair set while this side uses LSH
+      // candidates, so equality additionally asserts LSH recall = 100%
+      // on this corpus (already established pairwise by d07's green
+      // oracle on the same parameters). At 64 hashes / 16 bands / 4
+      // rows per band, a true pair at j=0.85 collides in ≥1 band with
+      // p = 1-(1-0.85^4)^16 ≈ 0.9997, and the test corpus's dup pairs
+      // sit well above the threshold — a miss would also fail d07, so
+      // an oracle mismatch HERE isolates group formation, not recall.
       val pairs = Dedup.nearDupMinhashLsh(documents(s, dir), "doc_id", "text",
         numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.85)
       val groups = Dedup.dedupGroups(pairs)

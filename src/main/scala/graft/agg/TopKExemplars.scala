@@ -23,10 +23,37 @@ object TopKExemplars {
 
   final case class Ex(value: Long, span_id: String)
 
-  /** Descending (value, span_id) — largest first, deterministic. */
+  /** UTF-8 byte-wise (unsigned) comparison — Spark's UTF8String binary
+    * ordering, which is also code-point order. Java's String.compareTo
+    * is UTF-16 code-UNIT order and diverges for supplementary
+    * characters (surrogates 0xD800-0xDFFF sort below 0xE000-0xFFFF
+    * code units but encode code points ABOVE all of the BMP) — the
+    * aggregator must tie-break exactly like the windowed differential
+    * oracle's ORDER BY or the equivalence breaks off-ASCII. */
+  private def utf8Gt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d > 0
+      i += 1
+    }
+    x.length > y.length
+  }
+
+  /** Descending (value, span_id) — largest first, deterministic. NOTE
+    * the Long-typed value means a null duration is coerced to 0 by the
+    * primitive encoder, while the window-oracle path sorts nulls last
+    * (i.e. below every non-null under DESC) — identical only because
+    * spanmetrics durations are computed non-null from the timestamp
+    * pair and are ≥ 0, so coerced-0 and nulls-last coincide at the
+    * bottom of the order. Callers feeding nullable NEGATIVE values
+    * must pre-filter nulls. */
   private def gt(a: Ex, b: Ex): Boolean =
     a.value > b.value || (a.value == b.value &&
-      (a.span_id != null && (b.span_id == null || a.span_id > b.span_id)))
+      (a.span_id != null && (b.span_id == null || utf8Gt(a.span_id, b.span_id))))
 
   /** Merge two descending-sorted bounded lists, keep the k largest. */
   private def mergeSorted(a: Seq[Ex], b: Seq[Ex], k: Int): Seq[Ex] = {

@@ -168,9 +168,18 @@ object Ottl {
     * Nanoseconds int64 — exactly Go `time.Duration`'s accessor types. */
   def durationHours(c: Column): Column = durationSeconds(c) / 3600.0
   def durationMinutes(c: Column): Column = durationSeconds(c) / 60.0
-  def durationMillis(c: Column): Column = (durationSeconds(c) * 1e3).cast("bigint")
-  def durationMicros(c: Column): Column = (durationSeconds(c) * 1e6).cast("bigint")
-  def durationNanos(c: Column): Column = (durationSeconds(c) * 1e9).cast("bigint")
+  // Go's Duration is an exact integer-nanosecond count, and its
+  // Milliseconds()/Microseconds() accessors TRUNCATE sub-unit remainders
+  // of that exact count. A double seconds*1e9 product carries binary-
+  // representation error (0.3s * 1e9 = 2.9999999999999994e8; a bare
+  // bigint cast under-reads by 1 ns vs Go's 300000000) — so round ONCE
+  // at the nanos level, where the true value is integral, then derive
+  // millis/micros by integer division to keep Go's truncation.
+  def durationNanos(c: Column): Column = round(durationSeconds(c) * 1e9).cast("bigint")
+  def durationMillis(c: Column): Column = // `div` = IntegralDivide: exact long division
+    call_function("div", durationNanos(c), lit(1000000L))
+  def durationMicros(c: Column): Column =
+    call_function("div", durationNanos(c), lit(1000L))
 
   def ottlLog(c: Column): Column = log(c)
   def toInt(c: Column): Column = c.cast("bigint")

@@ -195,18 +195,26 @@ object Dedup {
     * Rounds needed = graph diameter — near-dup components are
     * quasi-cliques by construction (members pairwise similar), so 2-3
     * rounds suffice in practice; `maxRounds` bounds pathological
-    * chains. Scale notes: each round is one shuffle on the node id;
-    * `localCheckpoint` truncates the growing lineage so round k does
-    * not replay rounds 1..k-1 (the classic iterative-algorithm trap);
-    * the alternating large-star/small-star formulation (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond") is the drop-in
-    * upgrade if diameters were ever large — for near-dup graphs it
-    * buys nothing over propagation.
+    * chains, and exhausting it with labels still moving raises an
+    * IllegalStateException when `strict` (the default) — a silently
+    * fragmented component means wrong survivor/delete lists, strictly
+    * worse than a loud failure. Pass `strict = false` for best-effort
+    * labels (callers that post-verify, or that tolerate
+    * over-segmentation). Scale notes: each round is one shuffle on the
+    * node id; `localCheckpoint` truncates the growing lineage so round
+    * k does not replay rounds 1..k-1 (the classic iterative-algorithm
+    * trap); the convergence check rides on the checkpointed frame (the
+    * label join carries `prev` through the shuffle, so detecting
+    * quiescence is a cached local scan, not a second shuffle join);
+    * the alternating large-star/small-star formulation (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") is the
+    * drop-in upgrade if diameters were ever large — for near-dup
+    * graphs it buys nothing over propagation.
     *
     * Returns (id, group) — group = min member id of the component.
     */
   def dedupGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                  maxRounds: Int = 12): DataFrame = {
+                  maxRounds: Int = 12, strict: Boolean = true): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
@@ -219,16 +227,32 @@ object Dedup {
     while (round < maxRounds && changed > 0) {
       round += 1
       // candidate label per node = min over its own label and every
-      // neighbour's label (one shuffle: groupBy node id)
+      // neighbour's label (one shuffle: groupBy node id); the node's
+      // own previous label tags along as `prev` so the convergence
+      // check below never re-shuffles
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("group"))
       val next = labels.select("id", "group").union(viaEdges)
-        .groupBy("id").agg(min("group").as("group"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("group", "prev"), "id")
-        .filter(col("group") < col("prev")).count()
-      labels = next
+        .groupBy("id").agg(min("group").as("group"),
+          max("group").as("cand_max"))
+        .localCheckpoint(true)     // eager: the round's one shuffle job
+      // quiescence test over the just-cached partitions — a local scan
+      // (round 3 ran a separate shuffle-join count() here: 2 jobs/round).
+      // Edges are symmetrized, so the fixed point has every edge's
+      // endpoints label-equal ⇒ each node's candidate set is uniform ⇒
+      // min == max; any node still converging has min < max. `changed`
+      // counts non-quiescent nodes, an upper bound on moved labels.
+      changed = next.filter(col("group") < col("cand_max")).count()
+      labels = next.select("id", "group")
+    }
+    if (changed > 0) {
+      val msg = s"dedupGroups: $changed nodes still converging after " +
+        s"$maxRounds rounds — component diameter exceeds the round " +
+        "budget; groups would be silently fragmented (wrong survivors). " +
+        "Raise maxRounds or pass strict=false for best-effort labels."
+      if (strict) throw new IllegalStateException(msg)
+      else System.err.println(s"WARN $msg")
     }
     labels
   }

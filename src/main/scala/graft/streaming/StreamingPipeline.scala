@@ -157,7 +157,18 @@ object StreamingPipeline {
                   buf = Vector.empty
                 }
                 state.update(TailState(buf, firstMs, decidedEarly, keepEarly))
-                state.setTimeoutTimestamp(aboveWatermark(firstMs + decisionWaitMs))
+                // A FORCED early decision must cache its verdict for one
+                // decisionWaitMs measured from the DECISION (≈ now in
+                // event time: max(watermark, newest buffered turn)) —
+                // anchoring at firstMs would purge a cache whose natural
+                // deadline is already near, re-opening the conversation
+                // for an independent second decision on late turns.
+                val timeoutBase =
+                  if (decidedEarly)
+                    math.max(state.getCurrentWatermarkMs(),
+                      incoming.iterator.map(_.ts.getTime).max)
+                  else firstMs
+                state.setTimeoutTimestamp(aboveWatermark(timeoutBase + decisionWaitMs))
                 out.result().iterator
             }
           }

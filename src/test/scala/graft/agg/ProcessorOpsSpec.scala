@@ -66,6 +66,26 @@ class ProcessorOpsSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("spanmetrics exemplars: tie-break matches UTF8 binary order off-ASCII") {
+    // equal durations force the span_id tie-break; ids mix a BMP
+    // high-code-unit char (U+FFFD) with a supplementary char (U+1F600,
+    // UTF-16 surrogates 0xD83D 0xDE00): Java String order puts U+FFFD
+    // ABOVE the surrogate pair, UTF8String binary (code-point) order
+    // puts U+1F600 above U+FFFD — the aggregator must agree with the
+    // windowed oracle's Spark-side ordering, not with compareTo
+    val spans = Seq(
+      ("t", 5L, "s�"), ("t", 5L, "s😀"),
+      ("t", 5L, "sA"), ("t", 5L, "sz")
+    ).toDF("tool", "dur", "sid")
+    def top2(df: org.apache.spark.sql.DataFrame) = df
+      .select(expr("transform(exemplars, e -> e.span_id)").as("ex"))
+      .as[Seq[String]].head().toList
+    val fast = top2(SpanMetrics.callsWithExemplars(spans, Seq("tool"), "dur", "sid", 2))
+    val slow = top2(SpanMetrics.callsWithExemplarsWindowed(spans, Seq("tool"), "dur", "sid", 2))
+    assert(fast == slow)
+    assert(fast.head == "s😀") // supplementary char sorts highest
+  }
+
   test("spanmetrics exemplars plan: one hash aggregate, no window sort") {
     val spans = Seq(("t", 1L, "s")).toDF("tool", "dur", "sid")
     val plan = SpanMetrics.callsWithExemplars(spans, Seq("tool"), "dur", "sid", 3)

@@ -55,6 +55,15 @@ class GoldenOttlSpec extends SparkSpec {
     assert(eval1[Long](Ottl.durationMillis(lit("1.5s"))) == 1500L)
     assert(eval1[Long](Ottl.durationMicros(lit("1.5s"))) == 1500000L)
     assert(eval1[Long](Ottl.durationNanos(lit("1.5s"))) == 1500000000L)
+    // double-representation hazard: 0.3*1e9 = 2.9999999999999994e8 — a
+    // bare bigint cast truncated this to 299999999; Go's exact integer
+    // Duration reads 300000000 (round-at-nanos fix)
+    assert(eval1[Long](Ottl.durationNanos(lit("0.3s"))) == 300000000L)
+    assert(eval1[Long](Ottl.durationMicros(lit("0.3s"))) == 300000L)
+    // ...while Go TRUNCATES genuine sub-unit remainders:
+    // Duration("0.0015s").Milliseconds() == 1, not 2
+    assert(eval1[Long](Ottl.durationMillis(lit("0.0015s"))) == 1L)
+    assert(eval1[Long](Ottl.durationMicros(lit("0.0000015s"))) == 1L)
   }
 
   test("UnixNano/Unix round-trip (func_unix_nano.go, func_unix.go)") {

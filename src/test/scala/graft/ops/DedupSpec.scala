@@ -164,4 +164,24 @@ class DedupSpec extends SparkSpec {
     assert(!deletes.exists { case (del, _) => Set(1L, 5L, 8L, 20L)(del) })
     assert(deletes.size == m.size - 4) // everything but the 4 survivors
   }
+
+  test("dedup groups: non-convergence is loud (strict) or labeled best-effort") {
+    // a diameter-9 path cannot converge in 2 rounds of min-label
+    // propagation — strict mode must THROW rather than silently return
+    // fragmented groups (wrong survivors/delete lists, and a mismatch
+    // vs the recursive-CTE oracle which computes the full closure)
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupGroups(chain, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("still converging"))
+    // best-effort mode returns (fragmented) labels without throwing...
+    val loose = Dedup.dedupGroups(chain, maxRounds = 2, strict = false)
+      .as[(Long, Long)].collect().toMap
+    assert(loose.size == 10 && loose.values.exists(_ != 0L))
+    // ...and enough rounds converge the same chain to one component
+    val full = Dedup.dedupGroups(chain, maxRounds = 12)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 9L).forall(full(_) == 0L))
+  }
 }
