@@ -789,6 +789,31 @@ object SparkEntry {
             Seq("svc", "absent"), "::").as("untouched_name"))
     }),
 
+    "p56_servicegraph_ttl" -> ((s, dir) => {
+      // streaming servicegraph's EXACT operator code run in batch mode
+      // (withWatermark is a no-op in batch; the full-outer TTL join is
+      // the same plan): client half = tool-call turns, server half =
+      // the following turn, pairs complete within a 5-minute store TTL;
+      // unpaired halves land in the expiry buckets exactly like the
+      // reference store's tryEvictHead sweep
+      // (connector/servicegraphconnector/internal/store/store.go)
+      import graft.streaming.StreamingPipeline
+      val tr = t(s, dir)
+      val clients = tr.filter(col("tool") =!= "")
+        .select(col("conv_id"), col("turn_idx").cast("bigint").as("corr_id"),
+          col("role").as("client_service"), lit(false).as("client_failed"),
+          col("ts").cast("timestamp").as("client_ts"))
+      val servers = tr.filter(col("turn_idx") > 0)
+        .select(col("conv_id"), (col("turn_idx") - 1).cast("bigint").as("corr_id"),
+          col("role").as("server_service"),
+          col("text").startsWith("ERROR").as("server_failed"),
+          col("ts").cast("timestamp").as("server_ts"))
+      StreamingPipeline.serviceGraph(clients, servers, "0 seconds", "5 minutes")
+        .groupBy("client_service", "server_service", "connection_type")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("failed"), 1L).otherwise(0L)).as("n_failed"))
+    }),
+
     "m03_multimodal_meta" -> ((s, dir) =>
       // typed-metadata projection + blob byte length — metadata derives
       // from integer arithmetic so the oracle reproduces it exactly;
@@ -1535,6 +1560,31 @@ object SparkEntry {
          |  '/tool/' || regexp_extract(text, '$P1', 1) || '/call/'
          |    || regexp_extract(text, '$P1', 3) AS untouched_name
          |FROM transcripts WHERE regexp_matches(text, '$P1')""".stripMargin),
+
+    "p56_servicegraph_ttl" -> withT(
+      """SELECT COALESCE(c.client_service, 'user') AS client_service,
+        |  COALESCE(s.server_service, 'unknown') AS server_service,
+        |  CASE WHEN c.client_service IS NOT NULL AND s.server_service IS NOT NULL
+        |         THEN 'complete'
+        |       WHEN s.server_service IS NULL THEN 'expired_no_server'
+        |       ELSE 'expired_no_client' END AS connection_type,
+        |  count(*) AS n_edges,
+        |  CAST(SUM(CASE WHEN COALESCE(c.client_failed, FALSE)
+        |             OR COALESCE(s.server_failed, FALSE)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+        |FROM (SELECT conv_id, CAST(turn_idx AS BIGINT) AS corr_id,
+        |        role AS client_service, FALSE AS client_failed,
+        |        CAST(ts AS TIMESTAMP) AS client_ts
+        |      FROM transcripts WHERE tool <> '') c
+        |FULL OUTER JOIN
+        |     (SELECT conv_id, CAST(turn_idx - 1 AS BIGINT) AS corr_id,
+        |        role AS server_service, (text LIKE 'ERROR%') AS server_failed,
+        |        CAST(ts AS TIMESTAMP) AS server_ts
+        |      FROM transcripts WHERE turn_idx > 0) s
+        |  ON c.conv_id = s.conv_id AND c.corr_id = s.corr_id
+        |     AND s.server_ts >= c.client_ts
+        |     AND s.server_ts <= c.client_ts + INTERVAL 5 MINUTE
+        |GROUP BY 1, 2, 3""".stripMargin),
 
     "p54_ottl_duration_unix" ->
       """SELECT event_id,

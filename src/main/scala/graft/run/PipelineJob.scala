@@ -28,9 +28,16 @@ import graft.sources.Transcripts
 object PipelineJob {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: PipelineJob <transcriptsPath> <outDir> [windowDur]")
+    require(args.length >= 2,
+      "usage: PipelineJob <transcriptsPath> <outDir> [windowDur] [config.yaml]")
     val Array(inPath, outDir) = args.take(2)
-    val windowDur = if (args.length > 2) args(2) else "1 hour"
+    // optional YAML config (graft.config.ConfigLoader schema): the
+    // user-ships-a-config-not-Scala surface; omitted -> the flagship
+    // programmatic config. windowDur arg wins over the config's window.
+    val fileCfg = if (args.length > 3)
+      Some(graft.config.ConfigLoader.compileFile(args(3))) else None
+    val windowDur = if (args.length > 2) args(2)
+      else fileCfg.map(_.window).getOrElse("1 hour")
 
     // FAIL FAST on an implausible heap BEFORE building the session:
     // in local mode the driver JVM hosts every executor thread, and
@@ -76,8 +83,17 @@ object PipelineJob {
     spark.sparkContext.addSparkListener(metrics)
 
     val table = Transcripts.TranscriptTable()
+    val patterns = fileCfg.map(_.parse.patterns)
+      .getOrElse(graft.run.Pipeline.patternBank)
+    val routeTable = fileCfg.map(_.routeTable)
+      .getOrElse(graft.run.Pipeline.routeTable)
+    def parseEnrich(turns: org.apache.spark.sql.DataFrame) = fileCfg match {
+      case Some(c) => c.parseEnrich(spark, turns)
+      case None => graft.run.Pipeline.parseEnrich(spark, turns)
+    }
     val fingerprint = Lineage.fingerprintOf("pipeline-v1", inPath, windowDur,
-      graft.run.Pipeline.patternBank.map(p => p.name + p.regex).mkString("|"))
+      patterns.map(p => p.name + p.regex).mkString("|") +
+        routeTable.routes.map(_.name).mkString(","))
 
     // Stage 1+2+3: parse → enrich → single-pass routed fan-out.
     // The fan-out itself is one idempotent partitioned write; its commit
@@ -85,11 +101,10 @@ object PipelineJob {
     val sinksDir = s"$outDir/sinks"
     if (!Lineage.isCommitted(outDir, "sinks_fanout", fingerprint)) {
       val turns = table.read(spark, inPath)
-      val enriched = graft.run.Pipeline.parseEnrich(spark, turns)
-      RouteStage.writeMultiMatch(enriched, graft.run.Pipeline.routeTable, sinksDir)
+      val enriched = parseEnrich(turns)
+      RouteStage.writeMultiMatch(enriched, routeTable, sinksDir)
       // per-route per-file lineage from the committed partition dirs
-      val routeDirs = graft.run.Pipeline.routeTable.routes.map(_.name) :+
-        graft.run.Pipeline.routeTable.defaultName
+      val routeDirs = routeTable.routes.map(_.name) :+ routeTable.defaultName
       val lineage = routeDirs.flatMap(r =>
         Lineage.fileLineage(spark, s"$sinksDir/route=$r")
           .map(f => f.copy(file = s"route=$r/${f.file}")))
@@ -99,8 +114,8 @@ object PipelineJob {
 
     // Stage 4: per-sink windowed counts, each its own resumable sink.
     val written = spark.read.parquet(sinksDir)
-    val countFrames = graft.run.Pipeline.routeTable.routes.map(_.name)
-      .:+(graft.run.Pipeline.routeTable.defaultName).map { route =>
+    val countFrames = routeTable.routes.map(_.name)
+      .:+(routeTable.defaultName).map { route =>
         s"counts_$route" -> CountStage.countWindowed(
           written.filter(col("route") === route),
           MetricSpec("count", attrs = Seq(graft.model.PipelineConfig.AttrSpec("role"))),

@@ -236,6 +236,83 @@ object StreamingPipeline {
       (buf.iterator.map(_.ts.getTime).max - buf.iterator.map(_.ts.getTime).min) >= minMs
   }
 
+  /** Streaming servicegraph — the event-time rendering of the
+    * servicegraph connector's edge store
+    * (`connector/servicegraphconnector/connector.go:221-330`: client
+    * spans upsert an edge keyed (trace_id, span_id), server spans the
+    * same key via parent_span_id; an edge with both services completes
+    * and emits metrics, an unpaired edge expires after the store TTL —
+    * `internal/store/store.go` UpsertEdge/tryEvictHead — and the
+    * virtual-node path fills the missing side with "user"/peer).
+    *
+    * Spark-native shape: a WATERMARKED FULL-OUTER STREAM-STREAM JOIN.
+    * Structured Streaming's outer join holds each side in state exactly
+    * until the watermark proves no match can still arrive, then emits
+    * the held row null-padded — the null-padded rows ARE the
+    * reference's expired-half timeout bucket, so the store, its TTL
+    * sweep, and the eviction loop all collapse into the join operator's
+    * own state management (state is bounded by watermark + the ttl
+    * range condition; keys shuffle once on (conv_id, corr_id)).
+    *
+    * Input contract:
+    *  - `clientHalf`: conv_id, corr_id, client_service, client_failed,
+    *    client_ts (event time) — the CALL side;
+    *  - `serverHalf`: conv_id, corr_id, server_service, server_failed,
+    *    server_ts — the RESPONSE side, matching when it lands within
+    *    `ttl` AFTER its client half.
+    *
+    * Output: one row per edge with `connection_type`:
+    * "complete" (both halves), "expired_no_server" (client half only —
+    * server side null-padded after watermark + ttl), or
+    * "expired_no_client" (orphan server half); the virtual-node
+    * convention fills the missing service ("user" for a missing client,
+    * "unknown" for a missing server — `connector.go:359-382`), `failed`
+    * ORs the halves like Edge.Failed.
+    */
+  def serviceGraph(clientHalf: DataFrame, serverHalf: DataFrame,
+                   lateness: String, ttl: String): DataFrame = {
+    // dataset aliases, not df("col") refs: both halves are typically
+    // carved out of the SAME input frame (batch differential p56), and
+    // unqualified attribute refs would be ambiguous in the self-join
+    val c = clientHalf.withWatermark("client_ts", lateness).as("sgc")
+    val s = serverHalf.withWatermark("server_ts", lateness).as("sgs")
+    val joined = c.join(s,
+      col("sgc.conv_id") === col("sgs.conv_id") &&
+        col("sgc.corr_id") === col("sgs.corr_id") &&
+        col("sgs.server_ts") >= col("sgc.client_ts") &&
+        col("sgs.server_ts") <= col("sgc.client_ts") + expr(s"INTERVAL $ttl"),
+      "full_outer")
+    joined.select(
+      coalesce(col("sgc.conv_id"), col("sgs.conv_id")).as("conv_id"),
+      coalesce(col("sgc.corr_id"), col("sgs.corr_id")).as("corr_id"),
+      coalesce(col("client_service"), lit("user")).as("client_service"),
+      coalesce(col("server_service"), lit("unknown")).as("server_service"),
+      when(col("client_service").isNotNull && col("server_service").isNotNull,
+        "complete")
+        .when(col("server_service").isNull, "expired_no_server")
+        .otherwise("expired_no_client").as("connection_type"),
+      (coalesce(col("client_failed"), lit(false)) ||
+        coalesce(col("server_failed"), lit(false))).as("failed"),
+      col("client_ts"), col("server_ts"))
+  }
+
+  /** The per-edge aggregate the connector flushes
+    * (`aggregateMetricsForEdge`): request count + failed count per
+    * (client, server, connection_type) pair, windowed on the edge's
+    * event time. Feed it [[serviceGraph]]'s output. */
+  def serviceGraphMetrics(edges: DataFrame, windowDur: String,
+                          lateness: String): DataFrame =
+    edges
+      .withColumn("edge_ts", coalesce(col("client_ts"), col("server_ts")))
+      .withWatermark("edge_ts", lateness)
+      .groupBy(window(col("edge_ts"), windowDur),
+        col("client_service"), col("server_service"), col("connection_type"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("failed"), 1L).otherwise(0L)).as("n_failed"))
+      .select(col("window.start").as("window_start"), col("client_service"),
+        col("server_service"), col("connection_type"), col("n_edges"),
+        col("n_failed"))
+
   /** Streaming route fan-out: one query per sink, all fed from the same
     * tagged stream; checkpointLocation per sink gives exactly-once
     * delivery (the streaming rendering of routing-connector fan-out). */

@@ -1,0 +1,97 @@
+package graft.config
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.PipelineConfig._
+import graft.run.Pipeline
+import graft.synth.TranscriptSynth
+
+/** The confmap round-trip law (`pkg/stanza/operator/operatortest/
+  * confmap.go` in `/root/reference`): a YAML fixture unmarshals to
+  * exactly the programmatic config, and re-rendering it reloads to the
+  * same value. Then the compiled config must DRIVE the same pipeline:
+  * identical route row sets and identical metric frames as
+  * [[graft.run.Pipeline]] on the same transcripts.
+  */
+class ConfigLoaderSpec extends SparkSpec {
+
+  private def goldenYaml: String = {
+    val in = getClass.getResourceAsStream("/flagship.yaml")
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** The flagship config as the FILE model (what the fixture encodes). */
+  private def flagshipFileConfig: ConfigLoader.GraftFileConfig =
+    ConfigLoader.GraftFileConfig(
+      parse = Pipeline.parseConfig,
+      enrich = Some(ConfigLoader.EnrichFile(Seq("tool"), "upsert", None)),
+      routes = ConfigLoader.RoutesFile(matchOnce = false, default = "default",
+        table = Pipeline.routeConditionStrings.map { case (n, w) =>
+          ConfigLoader.RouteFileSpec(n, w)
+        }),
+      metrics = Pipeline.metricConfigStrings.map { case (name, conds, attrs) =>
+        ConfigLoader.MetricFileSpec(name, conds,
+          attrs.map { case (k, d) => ConfigLoader.MetricAttr(k, d) })
+      },
+      window = "1 hour")
+
+  test("golden fixture loads to the programmatic flagship config (confmap.go)") {
+    assert(ConfigLoader.load(goldenYaml) == flagshipFileConfig)
+  }
+
+  test("render ∘ load = identity (YAML round-trip)") {
+    val c = flagshipFileConfig
+    assert(ConfigLoader.load(ConfigLoader.render(c)) == c)
+    // twice: render output is itself stable input
+    val again = ConfigLoader.render(ConfigLoader.load(ConfigLoader.render(c)))
+    assert(ConfigLoader.load(again) == c)
+  }
+
+  test("on_error and enrich action parse; bad values are loud") {
+    val drop = ConfigLoader.load(
+      "parse:\n  on_error: drop\n  patterns:\n    - name: p\n      regex: '^x$'\n      fields: []\n")
+    assert(drop.parse.onError == OnError.Drop)
+    val e = intercept[IllegalArgumentException] {
+      ConfigLoader.load("parse:\n  on_error: explode\n  patterns: []\n")
+    }
+    assert(e.getMessage.contains("on_error"))
+    intercept[IllegalArgumentException] {
+      ConfigLoader.load("window: 1 hour\n") // parse section required
+    }
+  }
+
+  test("compiled config drives the flagship: identical sinks and counts") {
+    val turns = TranscriptSynth.generate(spark,
+      TranscriptSynth.Config(nTurns = 3000, nConvs = 30)).cache()
+    val compiled = ConfigLoader.compile(ConfigLoader.load(goldenYaml))
+
+    def key(df: DataFrame) = df.select("conv_id", "turn_idx")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val (sinksCfg, countsCfg) = compiled.run(spark, turns)
+    val (sinksRef, countsRef) = Pipeline.run(spark, turns)
+    assert(sinksCfg.keySet == sinksRef.keySet)
+    sinksRef.keys.foreach { name =>
+      assert(key(sinksCfg(name)) == key(sinksRef(name)), s"sink $name differs")
+    }
+    countsRef.keys.foreach { name =>
+      val a = countsCfg(name).collect().map(_.toSeq).toSet
+      val b = countsRef(name).collect().map(_.toSeq).toSet
+      assert(a == b, s"counts $name differ")
+    }
+
+    // the config file's metric table over the enriched frame ≡ the
+    // programmatic metric table (GoldenCountSpec covers the semantics;
+    // this pins the YAML -> MetricSpec path)
+    val enriched = Pipeline.parseEnrich(spark, turns).cache()
+    val fromCfg = compiled.countMetrics(enriched)
+    Pipeline.metrics.foreach { m =>
+      val ref = graft.agg.CountStage.countWindowed(enriched, m, col("ts"),
+        "1 hour", Pipeline.resolveAttr(Pipeline.parsedFields))
+      val a = fromCfg(m.name).collect().map(_.toSeq).toSet
+      val b = ref.collect().map(_.toSeq).toSet
+      assert(a == b, s"metric ${m.name} differs")
+    }
+  }
+}

@@ -215,6 +215,57 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(rows == Seq("a", "b", "c"), s"restart broke exactly-once: $rows")
   }
 
+  test("streaming servicegraph: matched edges complete, unpaired halves expire into the timeout bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val cMem = MemoryStream[StreamingPipelineSpec.CHalf]
+    val sMem = MemoryStream[StreamingPipelineSpec.SHalf]
+    val edges = StreamingPipeline.serviceGraph(
+      cMem.toDF(), sMem.toDF(), lateness = "0 seconds", ttl = "5 minutes")
+    val q = edges.writeStream.format("memory").queryName("sg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // corr 1: paired within ttl → complete (failed from the server half)
+      // corr 2: client never answered → expired_no_server
+      // corr 9: orphan server half → expired_no_client
+      cMem.addData(
+        StreamingPipelineSpec.CHalf("c1", 1L, "assistant", false, ts(1)),
+        StreamingPipelineSpec.CHalf("c1", 2L, "assistant", false, ts(3)))
+      sMem.addData(
+        StreamingPipelineSpec.SHalf("c1", 1L, "bash", true, ts(2)),
+        StreamingPipelineSpec.SHalf("c1", 9L, "search", false, ts(4)))
+      q.processAllAvailable()
+      // push BOTH watermarks past every deadline (ts + ttl)
+      cMem.addData(StreamingPipelineSpec.CHalf("cx", 99L, "assistant", false, ts(50)))
+      sMem.addData(StreamingPipelineSpec.SHalf("cx", 98L, "bash", false, ts(50)))
+      q.processAllAvailable()
+      val out = spark.table("sg")
+        .select("corr_id", "client_service", "server_service",
+          "connection_type", "failed")
+        .collect().map(r => (r.getLong(0),
+          (r.getString(1), r.getString(2), r.getString(3), r.getBoolean(4)))).toMap
+      assert(out(1L) == (("assistant", "bash", "complete", true)))
+      assert(out(2L) == (("assistant", "unknown", "expired_no_server", false)))
+      assert(out(9L) == (("user", "search", "expired_no_client", false)))
+    } finally q.stop()
+  }
+
+  test("servicegraph metrics aggregate edges per (client, server, type) window") {
+    // batch rendering of the same expressions (withWatermark is a no-op
+    // in batch): the flush-loop aggregate over a small edge frame
+    val edges = Seq(
+      ("c1", 1L, "assistant", "bash", "complete", true, ts(1), ts(2)),
+      ("c1", 2L, "assistant", "bash", "complete", false, ts(3), ts(4)),
+      ("c2", 3L, "assistant", "unknown", "expired_no_server", false, ts(5), null)
+    ).toDF("conv_id", "corr_id", "client_service", "server_service",
+      "connection_type", "failed", "client_ts", "server_ts")
+    val m = StreamingPipeline.serviceGraphMetrics(edges, "1 hour", "0 seconds")
+      .select("client_service", "server_service", "connection_type", "n_edges", "n_failed")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(m(("assistant", "bash", "complete")) == ((2L, 1L)))
+    assert(m(("assistant", "unknown", "expired_no_server")) == ((1L, 0L)))
+  }
+
   test("routed streaming sinks deliver disjoint route partitions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Turn]
@@ -234,4 +285,13 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(user.count() == 1 && dflt.count() == 1)
     } finally qs.foreach(_.stop())
   }
+}
+
+object StreamingPipelineSpec {
+  // servicegraph half-edge rows (top-level case classes: MemoryStream
+  // needs a stable encoder)
+  final case class CHalf(conv_id: String, corr_id: Long, client_service: String,
+                         client_failed: Boolean, client_ts: java.sql.Timestamp)
+  final case class SHalf(conv_id: String, corr_id: Long, server_service: String,
+                         server_failed: Boolean, server_ts: java.sql.Timestamp)
 }
