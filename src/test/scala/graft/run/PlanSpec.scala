@@ -107,4 +107,28 @@ class PlanSpec extends SparkSpec {
     assert(aggLines.exists(_.contains("partial_")),
       s"no partial aggregate before shuffle:\n${aggLines.mkString("\n")}")
   }
+
+  test("servicegraph full-outer TTL join keys on (conv_id, corr_id), no nested loop") {
+    // the TTL range predicate must ride as a join FILTER on an
+    // equality-keyed join — a planner that only saw the range would
+    // fall back to BroadcastNestedLoopJoin, which is O(n²) at 10^12
+    // turns; the equality keys keep it a single hash-partitioned
+    // shuffle on (conv_id, corr_id)
+    val tr = spark.read.parquet(turnsDir)
+    val clients = tr.filter(col("tool") =!= "")
+      .select(col("conv_id"), col("turn_idx").cast("bigint").as("corr_id"),
+        col("role").as("client_service"), lit(false).as("client_failed"),
+        col("ts").cast("timestamp").as("client_ts"))
+    val servers = tr.filter(col("turn_idx") > 0)
+      .select(col("conv_id"), (col("turn_idx") - 1).cast("bigint").as("corr_id"),
+        col("role").as("server_service"), lit(false).as("server_failed"),
+        col("ts").cast("timestamp").as("server_ts"))
+    val plan = graft.streaming.StreamingPipeline
+      .serviceGraph(clients, servers, "0 seconds", "5 minutes")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"servicegraph degenerated to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected an equality-keyed join:\n$plan")
+  }
 }
