@@ -62,6 +62,31 @@ class ConfigLoaderSpec extends SparkSpec {
     }
   }
 
+  test("enrich dim_path loads a user-supplied parquet dimension") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cfg_dim").toString
+    Seq(("bash", "high"), ("search", "low"), ("", "none"))
+      .toDF("tool", "risk").write.mode("overwrite").parquet(s"$dir/dim")
+    val yaml =
+      s"""parse:
+         |  patterns:
+         |    - name: kv
+         |      regex: '^(?<kvpairs>\\w+=[^ ]+( \\w+=[^ ]+)*)$$'
+         |      fields: [kvpairs]
+         |enrich:
+         |  keys: [tool]
+         |  dim_path: $dir/dim
+         |""".stripMargin
+    val compiled = ConfigLoader.compile(ConfigLoader.load(yaml))
+    val turns = TranscriptSynth.generate(spark,
+      TranscriptSynth.Config(nTurns = 500, nConvs = 5))
+    val out = compiled.parseEnrich(spark, turns)
+    assert(out.columns.contains("risk"))
+    val risks = out.groupBy("tool").agg(org.apache.spark.sql.functions
+      .first("risk").as("r")).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(risks.get("bash").contains("high") && risks.get("").contains("none"))
+  }
+
   test("compiled config drives the flagship: identical sinks and counts") {
     val turns = TranscriptSynth.generate(spark,
       TranscriptSynth.Config(nTurns = 3000, nConvs = 30)).cache()

@@ -135,6 +135,45 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("forced early decision: cache anchored at decision time, no second verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    // error policy: the first 30 turns contain an ERROR turn → the
+    // forced verdict at maxBuffer=30 is KEEP; the late turn alone is
+    // plain and would get DROP if a second independent decision ran
+    val kept = StreamingPipeline.tailSample(
+      mem.toDS(), "0 seconds", decisionWaitMs = 5 * 60000L,
+      StreamingPipeline.streamErrorPolicy, maxBuffer = 30)
+    val q = kept.writeStream.format("memory").queryName("tailpurge")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // turns span min 1-3; firstMs anchor would purge at min 6, the
+      // decision-time anchor (max buffered ts = min 3) purges at min 8
+      mem.addData(turn("c1", 0, 1, "ERROR boom") +:
+        (1 until 30).map(i => turn("c1", i, 1 + i % 3, s"t$i")): _*)
+      q.processAllAvailable()
+      assert(spark.table("tailpurge").count() == 30)
+      // advance the watermark to min 7 (past the OLD purge point, short
+      // of the new one)...
+      mem.addData(turn("adv1", 0, 7, "advance"))
+      q.processAllAvailable()
+      // ...and give c1's timeout a DATA-LESS batch to fire in: under the
+      // firstMs anchor the cached verdict self-purges here (timeout
+      // min 6 ≤ watermark min 7); under the decision-time anchor it
+      // survives (min 8 > min 7)
+      mem.addData(turn("adv2", 0, 7, "advance"))
+      q.processAllAvailable()
+      // a late c1 turn must follow the cached KEEP verdict immediately —
+      // a purged cache would re-open an undecided buffer and silently
+      // hold (then re-decide DROP: the turn has no ERROR)
+      mem.addData(turn("c1", 30, 8, "late-after-old-purge-point"))
+      q.processAllAvailable()
+      val texts = spark.table("tailpurge").as[Turn].collect().map(_.text).toSet
+      assert(texts.contains("late-after-old-purge-point"),
+        "cached KEEP verdict was purged early — late turn re-decided (old bug)")
+    } finally q.stop()
+  }
+
   test("groupbytrace fixed wait_duration: releases one gathered session, deadline not extended") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Turn]
