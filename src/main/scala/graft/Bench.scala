@@ -500,6 +500,7 @@ object Bench {
     // capping every pinned probe), ONE in-process local[N] pair on the
     // small input. Unpinned and fixed-cost-biased, but a labeled pair
     // (fixed=0 marks it) beats `scaling: null`. ----
+    var usedInprocFallback = false
     if (pairs.isEmpty && remainingSec > 70) {
       val fallbackPath = probePathOf(nProbeSmall)
       def inProc(cores: Int): Double = {
@@ -511,6 +512,7 @@ object Bench {
       try {
         probeSize = nProbeSmall
         pairs += (((inProc(2), 0.0), (inProc(8), 0.0)))
+        usedInprocFallback = true
         println(s"PROBE_STATUS fallback=inproc size=$nProbeSmall pair=${pairs.last}")
         val js = scalingJsons()
         scalingJson = js._1; scalingCompact = js._2
@@ -533,8 +535,12 @@ object Bench {
       // 170 s guard: a slim pair costs ~80-100 s and the load-aware 5×
       // scale point fits the ~75 s it leaves (dry run 3: rescue was
       // skipped at 174 s remaining under a 190 guard and a 0.608
-      // polluted pair shipped)
-      if (pairs.nonEmpty && eff < 0.8 && remainingSec > 170) {
+      // polluted pair shipped). Never rescue ON TOP of the in-proc
+      // fallback: min-combining an unpinned pair with a pinned one
+      // would publish a mixed-methodology ratio under the
+      // "CPU-pinned JVMs" criterion label.
+      if (pairs.nonEmpty && !usedInprocFallback && eff < 0.8 &&
+          remainingSec > 170) {
         awaitQuiet()
         val sizePath = probePathOf(probeSize)
         val pN = probe(2, sizePath, repBudgetSec = 25, maxReps = 2,

@@ -31,16 +31,21 @@ object TopKExemplars {
     * aggregator must tie-break exactly like the windowed differential
     * oracle's ORDER BY or the equivalence breaks off-ASCII. */
   private def utf8Gt(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
+    // allocation-free code-point walk (UTF-8 byte order == code-point
+    // order): this runs inside the aggregator's per-row reduce on value
+    // ties, where a getBytes-based compare would generate two garbage
+    // arrays per comparison. A single index advances both strings —
+    // valid because every earlier code point compared equal, so the
+    // char widths match position by position.
+    val n = math.min(a.length, b.length)
     var i = 0
     while (i < n) {
-      val d = (x(i) & 0xff) - (y(i) & 0xff)
-      if (d != 0) return d > 0
-      i += 1
+      val cpa = a.codePointAt(i)
+      val cpb = b.codePointAt(i)
+      if (cpa != cpb) return cpa > cpb
+      i += Character.charCount(cpa)
     }
-    x.length > y.length
+    a.length > b.length
   }
 
   /** Descending (value, span_id) — largest first, deterministic. NOTE

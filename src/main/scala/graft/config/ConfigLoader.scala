@@ -117,7 +117,11 @@ object ConfigLoader {
 
   private def enrichSection(n: JsonNode): EnrichFile = EnrichFile(
     keys = seq(n.get("keys")).map(_.asText()),
-    action = str(n, "action", "upsert"),
+    action = str(n, "action", "upsert") match {
+      case a @ ("insert" | "update" | "upsert") => a
+      case other => throw new IllegalArgumentException(
+        s"config: enrich action must be insert|update|upsert, got '$other'")
+    },
     dimPath = Option(n.get("dim_path")).map(_.asText()))
 
   private def routesSection(n: JsonNode): RoutesFile = RoutesFile(
@@ -208,6 +212,12 @@ object ConfigLoader {
 
     def resolver: ExprLang.Resolver = ExprLang.transcriptResolver(parsedFields)
 
+    /** Attribute resolution for metric attrs — the ONE definition
+      * ([[graft.run.Pipeline.resolveAttr]]); the YAML and programmatic
+      * paths must never diverge on where an attribute lives. */
+    private def resolveAttr: String => org.apache.spark.sql.Column =
+      graft.run.Pipeline.resolveAttr(parsedFields)
+
     /** parse → enrich, mirroring Pipeline.parseEnrich (barrier=false is
       * correct for the single-projection flagship shape; see
       * ParseStage.apply scaladoc for the trade). */
@@ -221,7 +231,9 @@ object ConfigLoader {
           val action = e.action match {
             case "insert" => EnrichAction.Insert
             case "update" => EnrichAction.Update
-            case _ => EnrichAction.Upsert
+            case "upsert" => EnrichAction.Upsert
+            case other => throw new IllegalArgumentException( // load() validates;
+              s"config: unknown enrich action '$other'")      // guard hand-built configs
           }
           EnrichStage(parsed, dim, e.keys, action)
       }
@@ -233,8 +245,6 @@ object ConfigLoader {
         : (Map[String, DataFrame], Map[String, DataFrame]) = {
       val enriched = parseEnrich(spark, transcripts)
       val sinks = RouteStage.fanOut(enriched, routeTable)
-      val resolveAttr: String => org.apache.spark.sql.Column = key =>
-        if (parsedFields(key)) col("parsed").getItem(key) else col(key)
       val counts = sinks.map { case (name, df) =>
         name -> CountStage.countWindowed(df, MetricSpec("count"),
           col("ts"), window, resolveAttr)
@@ -243,12 +253,9 @@ object ConfigLoader {
     }
 
     /** The config file's metric definitions over one frame. */
-    def countMetrics(df: DataFrame): Map[String, DataFrame] = {
-      val resolveAttr: String => org.apache.spark.sql.Column = key =>
-        if (parsedFields(key)) col("parsed").getItem(key) else col(key)
+    def countMetrics(df: DataFrame): Map[String, DataFrame] =
       metrics.map(m => m.name ->
         CountStage.countWindowed(df, m, col("ts"), window, resolveAttr)).toMap
-    }
   }
 
   def compile(c: GraftFileConfig): Compiled = {

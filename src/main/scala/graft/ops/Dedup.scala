@@ -224,12 +224,11 @@ object Dedup {
       .localCheckpoint(true)
     var round = 0
     var changed = 1L
-    while (round < maxRounds && changed > 0) {
+    def step(): Unit = {
       round += 1
       // candidate label per node = min over its own label and every
-      // neighbour's label (one shuffle: groupBy node id); the node's
-      // own previous label tags along as `prev` so the convergence
-      // check below never re-shuffles
+      // neighbour's label (one shuffle: groupBy node id); the max
+      // candidate tags along so the convergence check never re-shuffles
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("group"))
@@ -245,6 +244,16 @@ object Dedup {
       // counts non-quiescent nodes, an upper bound on moved labels.
       changed = next.filter(col("group") < col("cand_max")).count()
       labels = next.select("id", "group")
+    }
+    while (round < maxRounds && changed > 0) step()
+    if (changed > 0) {
+      // `changed` measures movement DURING the final round, not residual
+      // fragmentation after it: a component of diameter exactly
+      // maxRounds converges IN round maxRounds while still reporting
+      // changed > 0 (its candidate sets held stale labels that round).
+      // One extra verification round distinguishes "converged on the
+      // last allowed round" from genuine fragmentation.
+      step()
     }
     if (changed > 0) {
       val msg = s"dedupGroups: $changed nodes still converging after " +

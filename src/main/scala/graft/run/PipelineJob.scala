@@ -33,11 +33,18 @@ object PipelineJob {
     val Array(inPath, outDir) = args.take(2)
     // optional YAML config (graft.config.ConfigLoader schema): the
     // user-ships-a-config-not-Scala surface; omitted -> the flagship
-    // programmatic config. windowDur arg wins over the config's window.
-    val fileCfg = if (args.length > 3)
-      Some(graft.config.ConfigLoader.compileFile(args(3))) else None
-    val windowDur = if (args.length > 2) args(2)
-      else fileCfg.map(_.window).getOrElse("1 hour")
+    // programmatic config. Extra args are recognized by SHAPE (*.yaml /
+    // *.yml = config, anything else = windowDur) so the config's
+    // `window:` field is reachable without a positional placeholder —
+    // an explicit windowDur arg still wins over the config's window.
+    val extra = args.drop(2)
+    val (cfgArgs, winArgs) = extra.partition(a =>
+      a.endsWith(".yaml") || a.endsWith(".yml"))
+    val fileModel = cfgArgs.headOption
+      .map(graft.config.ConfigLoader.loadFile)
+    val fileCfg = fileModel.map(graft.config.ConfigLoader.compile)
+    val windowDur = winArgs.headOption
+      .orElse(fileCfg.map(_.window)).getOrElse("1 hour")
 
     // FAIL FAST on an implausible heap BEFORE building the session:
     // in local mode the driver JVM hosts every executor thread, and
@@ -83,17 +90,28 @@ object PipelineJob {
     spark.sparkContext.addSparkListener(metrics)
 
     val table = Transcripts.TranscriptTable()
-    val patterns = fileCfg.map(_.parse.patterns)
-      .getOrElse(graft.run.Pipeline.patternBank)
     val routeTable = fileCfg.map(_.routeTable)
       .getOrElse(graft.run.Pipeline.routeTable)
     def parseEnrich(turns: org.apache.spark.sql.DataFrame) = fileCfg match {
       case Some(c) => c.parseEnrich(spark, turns)
       case None => graft.run.Pipeline.parseEnrich(spark, turns)
     }
+    // The fingerprint must cover the WHOLE effective config, not just
+    // pattern regexes and route names: editing a route's WHERE clause,
+    // the enrich spec, on_error, or a metric definition while keeping
+    // names identical must invalidate committed sinks, or a resume
+    // silently ships outputs computed under the OLD config. For file
+    // configs the canonical rendered YAML is the config identity; the
+    // programmatic flagship pins its condition/metric strings.
+    val configText = fileModel.map(graft.config.ConfigLoader.render)
+      .getOrElse {
+        graft.run.Pipeline.patternBank.map(p => p.name + p.regex).mkString("|") +
+          graft.run.Pipeline.routeConditionStrings.map { case (n, w) => s"$n:$w" }
+            .mkString(";") +
+          graft.run.Pipeline.metricConfigStrings.toString
+      }
     val fingerprint = Lineage.fingerprintOf("pipeline-v1", inPath, windowDur,
-      patterns.map(p => p.name + p.regex).mkString("|") +
-        routeTable.routes.map(_.name).mkString(","))
+      configText)
 
     // Stage 1+2+3: parse → enrich → single-pass routed fan-out.
     // The fan-out itself is one idempotent partitioned write; its commit
@@ -112,16 +130,32 @@ object PipelineJob {
         lineage.map(_.rows).sum, lineage))
     }
 
-    // Stage 4: per-sink windowed counts, each its own resumable sink.
+    // Stage 4: per-sink windowed counts, each its own resumable sink —
+    // PLUS, when a config file defines a metrics section, one resumable
+    // sink per user metric (count-connector semantics over the enriched
+    // stream): the "user ships a YAML file" surface must actually
+    // deliver the metrics the file declares, not only the built-in
+    // per-route role counts.
     val written = spark.read.parquet(sinksDir)
-    val countFrames = routeTable.routes.map(_.name)
+    val routeCounts = routeTable.routes.map(_.name)
       .:+(routeTable.defaultName).map { route =>
         s"counts_$route" -> CountStage.countWindowed(
           written.filter(col("route") === route),
           MetricSpec("count", attrs = Seq(graft.model.PipelineConfig.AttrSpec("role"))),
           col("ts"), windowDur)
       }.toMap
-    val report = Lineage.runResumable(spark, countFrames, outDir, fingerprint)
+    val userMetrics = fileCfg.filter(_.metrics.nonEmpty) match {
+      case Some(c) =>
+        // over the enriched frame (pre-fan-out: multi-match duplicates
+        // rows per route, which would double-count global metrics);
+        // re-deriving costs one extra scan of the input, only when a
+        // metrics section is configured
+        val enriched = parseEnrich(table.read(spark, inPath))
+        c.countMetrics(enriched).map { case (n, df) => s"metric_$n" -> df }
+      case None => Map.empty[String, org.apache.spark.sql.DataFrame]
+    }
+    val report = Lineage.runResumable(spark, routeCounts ++ userMetrics,
+      outDir, fingerprint)
 
     // metrics manifest (rows read/written, shuffle, task time)
     metrics.writeJson(s"$outDir/_lineage/run_metrics.json")

@@ -150,6 +150,11 @@ object StreamingPipeline {
                 val out = Vector.newBuilder[Turn]
                 var decidedEarly = false
                 var keepEarly = false
+                // max event time of the WHOLE buffer (earlier batches
+                // included), captured before the buffer is cleared —
+                // the current batch alone can be all-late rows with
+                // timestamps far behind what round 1 buffered
+                val bufMaxMs = buf.iterator.map(_.ts.getTime).max
                 if (buf.size >= maxBuffer) { // forced early decision
                   decidedEarly = true
                   keepEarly = policy(buf)
@@ -159,14 +164,14 @@ object StreamingPipeline {
                 state.update(TailState(buf, firstMs, decidedEarly, keepEarly))
                 // A FORCED early decision must cache its verdict for one
                 // decisionWaitMs measured from the DECISION (≈ now in
-                // event time: max(watermark, newest buffered turn)) —
-                // anchoring at firstMs would purge a cache whose natural
+                // event time: max(watermark, newest BUFFERED turn across
+                // all batches)) — anchoring at firstMs, or at only the
+                // current batch's max, would purge a cache whose natural
                 // deadline is already near, re-opening the conversation
                 // for an independent second decision on late turns.
                 val timeoutBase =
                   if (decidedEarly)
-                    math.max(state.getCurrentWatermarkMs(),
-                      incoming.iterator.map(_.ts.getTime).max)
+                    math.max(state.getCurrentWatermarkMs(), bufMaxMs)
                   else firstMs
                 state.setTimeoutTimestamp(aboveWatermark(timeoutBase + decisionWaitMs))
                 out.result().iterator

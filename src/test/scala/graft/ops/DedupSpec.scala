@@ -183,5 +183,12 @@ class DedupSpec extends SparkSpec {
     val full = Dedup.dedupGroups(chain, maxRounds = 12)
       .as[(Long, Long)].collect().toMap
     assert((0L to 9L).forall(full(_) == 0L))
+    // boundary: convergence ON the last allowed round must NOT throw —
+    // the diameter-9 chain converges in round 9 while that round still
+    // reports movement; the verification round distinguishes this from
+    // real fragmentation
+    val exact = Dedup.dedupGroups(chain, maxRounds = 9)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 9L).forall(exact(_) == 0L))
   }
 }
