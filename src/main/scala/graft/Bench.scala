@@ -440,7 +440,12 @@ object Bench {
         s""""probe_pairs":${pairs.map { case ((a, fa), (b, fb)) => s"[$a,$b,$fa,$fb]" }.mkString("[", ",", "]")}}"""
       (full, compact)
     }
-    while (attempts < 3 && pairs.size < 2 &&
+    // ONE complete pair ends the loop (attempts bound FAILED tries):
+    // run 7 measured 0.873 on pair 1 and then burned 273 s on two
+    // doomed second-pair attempts in a load-6 wave, starving the scale
+    // point. A sub-0.8 first pair is retried by the SLIM rescue phase
+    // below, which costs half as much and leaves the scale point room.
+    while (attempts < 3 && pairs.isEmpty &&
         remainingSec > lastPairSec + 40) {
       attempts += 1
       // after a failed full-size attempt, fall back to the small input —

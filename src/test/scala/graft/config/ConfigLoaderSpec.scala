@@ -60,6 +60,13 @@ class ConfigLoaderSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ConfigLoader.load("window: 1 hour\n") // parse section required
     }
+    // a typo'd enrich action must not silently become upsert (which
+    // would overwrite fact-side values the user meant to preserve)
+    val a = intercept[IllegalArgumentException] {
+      ConfigLoader.load(
+        "parse:\n  patterns: []\nenrich:\n  keys: [tool]\n  action: updated\n")
+    }
+    assert(a.getMessage.contains("action"))
   }
 
   test("enrich dim_path loads a user-supplied parquet dimension") {
