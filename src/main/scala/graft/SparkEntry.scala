@@ -200,7 +200,10 @@ object SparkEntry {
       // (probabilisticsamplerprocessor/logsprocessor.go:61-82) — same key
       // always samples the same way; 25% target
       events(s, dir)
-        .filter(pmod(col("event_id") * 2654435761L, lit(1000)) < 250)
+        // 31-bit mask before the Knuth multiply: ANSI-safe at any key
+        // magnitude (see ParseStage.dropRatioFilter)
+        .filter(pmod(col("event_id").bitwiseAND(lit(0x7FFFFFFFL))
+          * 2654435761L, lit(1000)) < 250)
         .groupBy("event_type").agg(count(lit(1)).as("n"))),
 
     "p24_transform_set_where" -> ((s, dir) => {
@@ -1008,7 +1011,7 @@ object SparkEntry {
 
     "p23_sampler_consistent" ->
       """SELECT event_type, count(*) AS n FROM events
-        |WHERE (event_id * 2654435761) % 1000 < 250
+        |WHERE ((event_id & 2147483647) * 2654435761) % 1000 < 250
         |GROUP BY 1""".stripMargin,
 
     "p24_transform_set_where" -> withT(
@@ -1375,7 +1378,7 @@ object SparkEntry {
     "p46_filter_drop_ratio" ->
       """SELECT event_id, event_type FROM events
         |WHERE NOT (event_type = 'error')
-        |   OR (event_id * 2654435761) % 1000 >= 250""".stripMargin,
+        |   OR ((event_id & 2147483647) * 2654435761) % 1000 >= 250""".stripMargin,
 
     "p47_mt_scale_label_ops" ->
       """SELECT event_id,

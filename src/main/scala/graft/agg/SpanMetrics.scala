@@ -66,6 +66,13 @@ object SpanMetrics {
   def withExpiration(spans: DataFrame, dims: Seq[String], tsCol: String,
                      expiration: String): DataFrame = {
     val keys = dims.map(col)
+    // 0 disables expiration (the reference default, config.go:72): the
+    // generic filter below would otherwise keep ONLY groups active at
+    // the dataset's single max event time — the exact opposite
+    if (expiration.trim.takeWhile(c => c.isDigit || c == '.')
+        .toDoubleOption.contains(0.0)) {
+      return spans.select(keys: _*).distinct()
+    }
     val lastSeen = spans.groupBy(keys: _*)
       .agg(max(col(tsCol).cast("timestamp")).as("_last_seen"))
     // "now" for a batch = the max event time in the frame (the batch

@@ -119,6 +119,11 @@ case class JaccardSim(left: Expression, right: Expression)
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
+    // J(∅,∅) := 0.0 (no similarity evidence), not 0/0: NaN compares
+    // GREATER than any threshold in Spark orderings, which would pair
+    // every empty doc with every other; and the HOF oracle's Divide
+    // throws DIVIDE_BY_ZERO under ANSI. Both renderings guard this.
+    if (na + nb == 0) return 0.0
     val setA = new java.util.HashSet[AnyRef](na * 2)
     var i = 0
     while (i < na) { setA.add(elem(a, i)); i += 1 }

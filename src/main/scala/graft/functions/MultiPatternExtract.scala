@@ -146,13 +146,43 @@ object MultiPatternExtract {
     '|', '^', '$', '\\')
 
   /** Literal head of an `^`-anchored regex (chars before the first
-    * metacharacter), or null when none — powers the startsWith fast path. */
+    * metacharacter), or null when none — powers the startsWith fast path.
+    *
+    * Two soundness guards (user-supplied ConfigLoader regexes reach
+    * here, not just the built-in bank):
+    *  - a head character immediately followed by a quantifier
+    *    ('?', '*', or '{') is OPTIONAL or repeated, so it is excluded
+    *    from the prefix
+    *    ("^https?://…" must fast-path on "http", not "https" — the old
+    *    version silently skipped every http:// row);
+    *  - a regex containing a top-level `|` gets NO prefix at all: in
+    *    "^a|b" the anchor binds only the first branch, so a
+    *    startsWith("a") test wrongly rejects rows matching "b".
+    */
   def literalPrefix(regex: String): String = {
+    // top-level alternation scan (escapes honored; '|' inside classes
+    // or groups doesn't anchor-split, but a conservative any-unescaped
+    // '|' check is safe: it only ever disables the fast path)
+    var j = 1
+    while (j < regex.length) {
+      regex.charAt(j) match {
+        case '\\' => j += 1
+        case '|' => return null
+        case _ =>
+      }
+      j += 1
+    }
     if (!regex.startsWith("^")) return null
     val sb = new StringBuilder
     var i = 1
     while (i < regex.length && !Meta.contains(regex.charAt(i))) {
       sb += regex.charAt(i); i += 1
+    }
+    // drop the last literal char when a quantifier makes it optional
+    // or repeated ("^abc?" → prefix "ab"; "^abc*" → "ab"; "^abc{0,2}" → "ab")
+    if (i < regex.length && (regex.charAt(i) == '?' || regex.charAt(i) == '*'
+        || regex.charAt(i) == '{') && sb.nonEmpty) {
+      sb.setLength(sb.length - 1)
     }
     if (sb.isEmpty) null else sb.toString
   }

@@ -156,12 +156,21 @@ object Ottl {
     * speculative retries must not disagree on "now". */
   def now(): Column = current_timestamp()
   def hourOf(c: Column): Column = hour(c)
-  def durationSeconds(c: Column): Column = { // Duration("1h2m3s") → seconds
-    // regexp_extract yields "" on no-match; nullif keeps ANSI casts happy
+  def durationSeconds(c: Column): Column = { // Duration("1h2m3.5s") → seconds
+    // Go time.ParseDuration unit grammar: h, m, s, ms, us/µs, ns — each
+    // with an optional fraction. Unit-boundary care: the minutes regex
+    // needs (?!s) so it can't grab the 'm' of "100ms" (which previously
+    // read as 100 MINUTES); the plain-seconds regex requires a digit
+    // right before 's', which already excludes ms/us/ns tails.
+    // regexp_extract yields "" on no-match; nullif keeps ANSI casts happy.
     def part(re: String) = nullif(regexp_extract(c, re, 1), lit(""))
-    coalesce(part("(\\d+)h").cast("long"), lit(0L)) * 3600 +
-    coalesce(part("(\\d+)m").cast("long"), lit(0L)) * 60 +
-    coalesce(part("(\\d+(?:\\.\\d+)?)s").cast("double"), lit(0.0))
+    def num(re: String) = coalesce(part(re).cast("double"), lit(0.0))
+    num("(\\d+(?:\\.\\d+)?)h") * 3600.0 +
+    num("(\\d+(?:\\.\\d+)?)m(?!s)") * 60.0 +
+    num("(\\d+(?:\\.\\d+)?)s") +
+    num("(\\d+(?:\\.\\d+)?)ms") / 1e3 +
+    num("(\\d+(?:\\.\\d+)?)[uµ]s") / 1e6 +
+    num("(\\d+(?:\\.\\d+)?)ns") / 1e9
   }
   /** Duration-unit family (func_hours.go, func_minutes.go, …):
     * Hours/Minutes/Seconds return float64, Milliseconds/Microseconds/

@@ -72,10 +72,16 @@ object Dedup {
   }
 
   /** HOF rendering of [[jaccard]] (differential oracle): evaluates
-    * array_intersect twice per row. */
+    * array_intersect twice per row. The two-empty-arrays case is
+    * guarded to 0.0 exactly like the codegen expression — unguarded,
+    * ANSI mode throws DIVIDE_BY_ZERO on the 0/0 (Spark's Divide errors
+    * on a zero divisor for doubles too). Unreachable from the dedup
+    * pipeline (shingles() always emits ≥1 degenerate shingle); pinned
+    * by DedupSpec so the bit-exactness contract covers the edge. */
   def jaccardHof(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    when(size(a) + size(b) === 0, lit(0.0))
+      .otherwise(inter / (size(a) + size(b) - size(array_intersect(a, b))))
   }
 
   /** MinHash+LSH near-duplicate pairs: shingle → minhash → band →

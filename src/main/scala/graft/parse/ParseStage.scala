@@ -90,7 +90,11 @@ object ParseStage {
         case "s" => parseEpochSeconds(c)
         case "ms" => parseEpochMillis(c)
         case "us" => timestamp_micros(c.cast("long"))
-        case "ns" => timestamp_micros((c.cast("long") / 1000).cast("long"))
+        // integral division (`div` = IntegralDivide), NOT `/`: Column `/`
+        // promotes to double, whose 2^53 mantissa loses µs precision for
+        // modern nanosecond epochs (~1.7e18, ulp ≈ 256 ns)
+        case "ns" => timestamp_micros(
+          call_function("div", c.cast("long"), lit(1000L)))
         case "s.ms" | "s.us" | "s.ns" => // fractional seconds as double
           timestamp_micros((c.cast("double") * 1e6).cast("long"))
         case other => throw new IllegalArgumentException(s"invalid epoch layout: $other")
@@ -160,8 +164,16 @@ object ParseStage {
   def dropRatioFilter(df: DataFrame, predicate: Column, dropRatio: Double,
                       key: Column): DataFrame = {
     val cutoff = math.round(dropRatio * 1000).toInt
+    // mask the key to 31 bits BEFORE the Knuth multiply: 2^31 · 2654435761
+    // ≈ 5.7e18 < Long.Max, so the product can't overflow — an unmasked
+    // key ≥ ~3.47e9 (inevitable at 10^12 rows, or any hash-valued key)
+    // would throw ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode
+    // (the scheme originally assumed wrapping arithmetic). A null key
+    // KEEPS the row (the sampler can't decide → conservative, and `null
+    // >= cutoff` would otherwise silently drop every null-keyed row).
+    val masked = key.cast("bigint").bitwiseAND(lit(0x7FFFFFFFL))
     df.filter(!coalesce(predicate, lit(false)) ||
-      pmod(key.cast("bigint") * 2654435761L, lit(1000)) >= cutoff)
+      coalesce(pmod(masked * 2654435761L, lit(1000)) >= cutoff, lit(true)))
   }
 
   /** JSON body parse (`parser/json/parser.go:23-39`). */

@@ -36,7 +36,13 @@ object Parsers {
     "^<(\\d{1,3})>([A-Z][a-z]{2} [ \\d]\\d \\d{2}:\\d{2}:\\d{2}) (\\S+) ([^:\\[ ]+)(?:\\[(\\d+)\\])?: (.*)$"
 
   def parseSyslog3164(c: Column): Column = {
-    val pri = regexp_extract(c, Syslog3164, 1).cast("int")
+    // nullif before the int cast: regexp_extract returns "" on a
+    // non-matching line, and CAST('' AS INT) is an error under Spark 4's
+    // default ANSI mode — a single malformed line would kill the whole
+    // query instead of yielding null fields (the stanza on_error
+    // contract). On matching lines PRI is \d{1,3}, never empty, so
+    // matched-row semantics (and the DuckDB oracles) are unchanged.
+    val pri = nullif(regexp_extract(c, Syslog3164, 1), lit("")).cast("int")
     struct(
       pri.as("priority"),
       (pri / 8).cast("int").as("facility"),
@@ -62,12 +68,14 @@ object Parsers {
     "(-|(?:\\[[^\\]\"]*(?:\"[^\"]*\"[^\\]\"]*)*\\])+)(?: (.*))?$"
 
   def parseSyslog5424(c: Column): Column = {
-    val pri = regexp_extract(c, Syslog5424, 1).cast("int")
+    // nullif before int casts: see parseSyslog3164 (ANSI-safe on
+    // non-matching lines; matched-row semantics unchanged)
+    val pri = nullif(regexp_extract(c, Syslog5424, 1), lit("")).cast("int")
     struct(
       pri.as("priority"),
       (pri / 8).cast("int").as("facility"),
       pmod(pri, lit(8)).cast("int").as("severity"),
-      regexp_extract(c, Syslog5424, 2).cast("int").as("version"),
+      nullif(regexp_extract(c, Syslog5424, 2), lit("")).cast("int").as("version"),
       regexp_extract(c, Syslog5424, 3).as("stamp"),
       regexp_extract(c, Syslog5424, 4).as("host"),
       regexp_extract(c, Syslog5424, 5).as("app"),

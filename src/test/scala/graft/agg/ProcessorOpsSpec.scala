@@ -30,6 +30,30 @@ class ProcessorOpsSpec extends SparkSpec {
     assert(out.select("etype").as[String].collect().toSet == Set("failure", "click"))
   }
 
+  test("metricstransform: update_label value_actions do not cascade (single map lookup)") {
+    import MetricsTransform._
+    // the reference builds map{a->b, b->c} and does ONE lookup
+    // (operation_update_label.go): "a" -> "b", never "a" -> "b" -> "c";
+    // a swap config (a->b, b->a) must actually swap
+    val df = Seq("a", "b", "x").toDF("lbl")
+    val chained = updateLabel(df, "lbl",
+      valueActions = Seq("a" -> "b", "b" -> "c"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(chained == Seq("b", "c", "x"))
+    val swapped = updateLabel(df, "lbl",
+      valueActions = Seq("a" -> "b", "b" -> "a"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(swapped == Seq("a", "b", "x"))
+  }
+
+  test("spanmetrics expiration 0 disables expiry (reference default)") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val spans = Seq(("old", ts(1)), ("live", ts(20))).toDF("grp", "ts")
+    val kept = SpanMetrics.withExpiration(spans, Seq("grp"), "ts", "0 seconds")
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("old", "live")) // nothing expires at 0
+  }
+
   test("metricstransform: aggregate_label_values merges then aggregates") {
     val df = Seq(("a", 1L), ("b", 2L), ("c", 4L)).toDF("l", "v")
     val out = MetricsTransform.aggregateLabelValues(df, "l", Seq("a", "b"),

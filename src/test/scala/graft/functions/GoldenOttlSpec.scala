@@ -64,6 +64,16 @@ class GoldenOttlSpec extends SparkSpec {
     // Duration("0.0015s").Milliseconds() == 1, not 2
     assert(eval1[Long](Ottl.durationMillis(lit("0.0015s"))) == 1L)
     assert(eval1[Long](Ottl.durationMicros(lit("0.0000015s"))) == 1L)
+    // sub-second units (time.ParseDuration grammar): "100ms" is 0.1 s,
+    // NOT 100 minutes — the minutes regex must not grab the 'm' of "ms"
+    assert(eval1[Double](Ottl.durationSeconds(lit("100ms"))) == 0.1)
+    assert(eval1[Long](Ottl.durationMillis(lit("100ms"))) == 100L)
+    assert(eval1[Long](Ottl.durationMicros(lit("1.5ms"))) == 1500L)
+    assert(eval1[Long](Ottl.durationMicros(lit("2us"))) == 2L)
+    assert(eval1[Long](Ottl.durationNanos(lit("300ns"))) == 300L)
+    // fractional non-second units parse whole ("1.5m" is 90 s, not 5 min)
+    assert(eval1[Double](Ottl.durationSeconds(lit("1.5m"))) == 90.0)
+    assert(eval1[Double](Ottl.durationHours(lit("1.5h"))) == 1.5)
   }
 
   test("UnixNano/Unix round-trip (func_unix_nano.go, func_unix.go)") {

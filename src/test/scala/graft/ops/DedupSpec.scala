@@ -136,6 +136,17 @@ class DedupSpec extends SparkSpec {
         Dedup.jaccardHof(col("a"), col("b")).as("slow"))
       .as[(Double, Double)].head()
     assert(dup._1 == dup._2 && dup._1 == 1.0 / 4.0)
+    // two EMPTY arrays: both renderings define J(∅,∅) = 0.0 — an
+    // unguarded 0/0 would be NaN in the JVM expression (and NaN sorts
+    // ABOVE every threshold in Spark, pairing all empty docs) but a
+    // DIVIDE_BY_ZERO error in the ANSI HOF. Unreachable from the dedup
+    // pipeline (shingles() emits >=1 degenerate shingle), pinned here
+    // so a future rendering change can't silently diverge.
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+      .select(Dedup.jaccard(col("a"), col("b")).as("fast"),
+        Dedup.jaccardHof(col("a"), col("b")).as("slow"))
+      .collect().head
+    assert(empty.getDouble(0) == 0.0 && empty.getDouble(1) == 0.0)
   }
 
   test("shingles handle docs shorter than n") {

@@ -83,6 +83,34 @@ class ParseStageSpec extends SparkSpec {
     assert(row.getUTF8String(0).toString == "status")
   }
 
+  test("literalPrefix: quantified head chars and alternation never skip matches") {
+    import graft.functions.MultiPatternExtract.literalPrefix
+    assert(literalPrefix("^abc def") == "abc def")
+    assert(literalPrefix("abc") == null)          // unanchored
+    assert(literalPrefix("^(?<g>x)") == null)     // no literal head
+    // a '?'-quantified head char is optional — the prefix must stop
+    // BEFORE it ("^https?://…" must fast-path "http://…" rows)
+    assert(literalPrefix("^https?://x") == "http")
+    assert(literalPrefix("^ab*c") == "a")
+    assert(literalPrefix("^ab{0,2}c") == "a")
+    // top-level alternation unanchors the second branch entirely
+    assert(literalPrefix("^a|b") == null)
+    assert(literalPrefix("^a\\|b") == "a")        // escaped pipe is literal
+  }
+
+  test("drop_ratio sampler survives huge and null keys (ANSI overflow guard)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((4000000000L, "error"), (5L, "error"),
+      (6L, "view")).toDF("k", "t")
+      .withColumn("k", when(col("k") === 5L, lit(null)).otherwise(col("k")))
+    // unmasked, 4e9 * 2654435761 overflows Long and ANSI throws; a null
+    // key must KEEP the row, not silently drop it
+    val kept = ParseStage.dropRatioFilter(df, col("t") === "error", 1.0, col("k"))
+      .collect().map(r => Option(r.get(0))).toSet
+    assert(kept.contains(None))     // null key kept despite dropRatio=1
+    assert(kept.contains(Some(6L))) // unmatched row untouched
+  }
+
   test("field count mismatch fails fast at build time") {
     val bad = Seq(PatternSpec("p", "^(?<a>\\w+)$", Seq("a", "b")))
     val ex = intercept[Exception] {

@@ -35,6 +35,19 @@ class ParsersSpec extends SparkSpec {
     assert(r.getString(6) == "'su root' failed for lonvick")
   }
 
+  test("syslog parsers yield null int fields on non-matching lines (ANSI-safe)") {
+    // a malformed line must produce null fields (stanza on_error
+    // contract), not a CAST_INVALID_INPUT error killing the query:
+    // regexp_extract returns "" on no-match and Spark 4's default ANSI
+    // mode refuses CAST('' AS INT)
+    val rows = Seq("not syslog at all", "").toDF("s")
+      .select(Parsers.parseSyslog3164(col("s")).as("p3"),
+        Parsers.parseSyslog5424(col("s")).as("p5"))
+      .select("p3.priority", "p5.priority", "p5.version")
+      .collect()
+    assert(rows.forall(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)))
+  }
+
   test("RFC5424 syslog parse extracts header fields, SD, and message") {
     val line = "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog 1234 ID47 " +
       "[exampleSDID@32473 iut=\"3\"] BOMAn application event log entry"
