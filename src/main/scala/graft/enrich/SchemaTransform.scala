@@ -41,39 +41,56 @@ object SchemaTransform {
     implicitly[Ordering[Seq[Int]]].compare(versionKey(a), versionKey(b))
   }
 
-  /** The composed key-rename chain from `fromVersion` to `toVersion`:
-    * forward renames of every revision in (from, to] for an upgrade,
-    * inverted renames of (to, from] in reverse order for a downgrade. */
-  def renameChain(family: Family, fromVersion: String, toVersion: String): Seq[(String, String)] = {
+  /** The rename chain from `fromVersion` to `toVersion`, one entry PER
+    * REVISION (ordered): forward renames of every revision in (from, to]
+    * for an upgrade, inverted renames of (to, from] in reverse order for
+    * a downgrade.
+    *
+    * The per-revision grouping is load-bearing: within ONE revision the
+    * renames are a SIMULTANEOUS mapping (a schema file's
+    * rename_attributes is a map — {a→b, b→c} renames a to b, never a to
+    * c, and {a→b, b→a} is a swap), while ACROSS revisions renames
+    * compose sequentially (r1's a→b then r2's b→c legitimately carries
+    * a to c). A flattened fold cannot distinguish the two — the
+    * round-4 review found it cascading within a revision (and crashing
+    * transform_keys with DUPLICATED_MAP_KEY on the swap case). */
+  def renameChain(family: Family, fromVersion: String, toVersion: String): Seq[Seq[(String, String)]] = {
     if (cmp(fromVersion, toVersion) == 0) Nil
     else if (cmp(fromVersion, toVersion) < 0)
       family.revisions
         .filter(r => cmp(r.version, fromVersion) > 0 && cmp(r.version, toVersion) <= 0)
-        .flatMap(_.renameAttributes.toSeq)
+        .map(_.renameAttributes.toSeq)
     else
       family.revisions
         .filter(r => cmp(r.version, toVersion) > 0 && cmp(r.version, fromVersion) <= 0)
         .reverse
-        .flatMap(_.renameAttributes.toSeq.map(_.swap))
+        .map(_.renameAttributes.toSeq.map(_.swap))
   }
 
-  /** Translate a frame whose attributes are TOP-LEVEL COLUMNS. */
+  /** Translate a frame whose attributes are TOP-LEVEL COLUMNS: each
+    * revision is one simultaneous select-with-aliases projection. */
   def translate(df: DataFrame, family: Family,
                 fromVersion: String, toVersion: String): DataFrame =
-    renameChain(family, fromVersion, toVersion).foldLeft(df) {
-      case (acc, (from, to)) =>
-        if (acc.columns.contains(from)) acc.withColumnRenamed(from, to) else acc
+    renameChain(family, fromVersion, toVersion).foldLeft(df) { (acc, rev) =>
+      val mapping = rev.toMap
+      acc.select(acc.columns.map { c =>
+        mapping.get(c).map(to => col(c).as(to)).getOrElse(col(c))
+      }.toIndexedSeq: _*)
     }
 
   /** Translate a map-typed attributes COLUMN (one `transform_keys`
-    * pass over the composed chain). */
+    * pass; revisions compose, entries within a revision do not). */
   def translateAttrs(attrs: Column, family: Family,
                      fromVersion: String, toVersion: String): Column = {
     val chain = renameChain(family, fromVersion, toVersion)
     if (chain.isEmpty) attrs
     else transform_keys(attrs, (k, _) =>
-      chain.foldLeft(k) { case (acc, (from, to)) =>
-        when(acc === from, lit(to)).otherwise(acc)
+      chain.foldLeft(k) { (cur, rev) =>
+        // `cur` = the key as of the START of this revision: every when
+        // in the revision compares against it (simultaneous map lookup)
+        rev.foldLeft(cur) { case (next, (from, to)) =>
+          when(cur === from, lit(to)).otherwise(next)
+        }
       })
   }
 }

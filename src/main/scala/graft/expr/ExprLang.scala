@@ -63,7 +63,7 @@ object ExprLang {
   private final case class TEnd(pos: Int) extends Tok
 
   private def lex(s: String): Vector[Tok] = {
-    val out = Vector.newBuilder[Tok]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
     var i = 0
     val n = s.length
     while (i < n) {
@@ -86,7 +86,16 @@ object ExprLang {
         }
         if (!closed) throw ExprParseException("unterminated string", i)
         out += TStr(sb.result(), i); i = j
-      } else if (c.isDigit || (c == '-' && i + 1 < n && s(i + 1).isDigit)) {
+      } else if (c.isDigit || (c == '-' && i + 1 < n && s(i + 1).isDigit &&
+          // '-' starts a NEGATIVE LITERAL only in operand position
+          // (expression start or right after an operator/open-paren) —
+          // after an operand or ')' it is binary subtraction, else
+          // "dur_ms > 100-50" lexes as TInt(-50) and the sum grammar
+          // rejects a config-valid expression with "trailing input"
+          out.lastOption.forall {
+            case TOp(op, _) => op != ")" && op != "]"
+            case _ => false
+          })) {
         var j = i + 1
         while (j < n && (s(j).isDigit || s(j) == '.')) j += 1
         val raw = s.substring(i, j)
@@ -105,7 +114,7 @@ object ExprLang {
       }
     }
     out += TEnd(n)
-    out.result()
+    out.toVector
   }
 
   // ---------------- parser (recursive descent) ----------------
@@ -330,9 +339,14 @@ object ExprLang {
       case "UnixMicro" => Ottl.unixMicros(c(0))
       case "Hour" => Ottl.hourOf(c(0))
       case "Duration" => Ottl.durationSeconds(c(0))
+      // ParseKeyValue(target, delimiter = "=", pair_delimiter = " ")
+      // (func_parse_key_value.go): arg 2 is the KEY-VALUE delimiter and
+      // arg 3 the pair separator — the reverse of str_to_map's order;
+      // both trailing args are Optional in the reference
       case "ParseKeyValue" => args.size match {
         case 1 => Ottl.parseKeyValue(c(0))
-        case _ => Ottl.parseKeyValue(c(0), str(1), str(2))
+        case 2 => Ottl.parseKeyValue(c(0), kvSep = str(1))
+        case _ => Ottl.parseKeyValue(c(0), pairSep = str(2), kvSep = str(1))
       }
       case other => throw new IllegalArgumentException(s"unknown converter: $other")
     }
@@ -344,7 +358,11 @@ object ExprLang {
     * exactly how an errored OTTL condition is skipped in
     * `ConditionSequence.Eval` under OR logic. */
   def condition(s: String, resolve: Resolver): Column =
-    coalesce(compileExpr(parse(s), resolve).cast("boolean"), lit(false))
+    // try_cast, not cast: a non-boolean condition value must make the
+    // row a NON-MATCH (coalesce → false, the error_mode=ignore
+    // rendering) — plain cast under Spark 4's default ANSI mode throws
+    // CAST_INVALID_INPUT on e.g. the string "yes" and kills the batch
+    coalesce(compileExpr(parse(s), resolve).try_cast("boolean"), lit(false))
 
   /** Compile a value expression (for set/add/transform right-hand sides). */
   def value(s: String, resolve: Resolver): Column =

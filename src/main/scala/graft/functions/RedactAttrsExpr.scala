@@ -50,6 +50,11 @@ case class RedactAttrsExpr(child: Expression, cfg: graft.ops.Redaction.Config)
       "redaction.ignored.count")).foreach(s.add)
     s
   }
+  @transient private lazy val auditKeySet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    graft.ops.Redaction.AuditKeys.foreach(s.add)
+    s
+  }
   @transient private lazy val blockedRes: Array[Pattern] =
     cfg.blockedValues.map(Pattern.compile).toArray
   @transient private lazy val debugOn = cfg.summary == "debug"
@@ -72,7 +77,11 @@ case class RedactAttrsExpr(child: Expression, cfg: graft.ops.Redaction.Config)
       val k = ks.getUTF8String(i)
       val kStr = k.toString
       val v = if (vs.isNullAt(i)) null else vs.getUTF8String(i)
-      if (ignoredSet.contains(kStr)) {
+      if (auditKeySet.contains(kStr)) {
+        // stale audit attribute from a previous redaction pass: dropped
+        // and replaced by THIS pass's audit (duplicate map keys
+        // otherwise; mirrors redactAttrsDeclarative's base stripping)
+      } else if (ignoredSet.contains(kStr)) {
         ignoredK.add(k); ignoredV.add(v)
       } else if (!cfg.allowAllKeys && !allowedSet.contains(kStr)) {
         deleted.add(kStr)

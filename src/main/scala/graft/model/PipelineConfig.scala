@@ -66,7 +66,16 @@ object PipelineConfig {
       routes: Seq[RouteSpec],
       defaultName: String = "default",
       matchOnce: Boolean = false
-  )
+  ) {
+    // fail at CONSTRUCTION, not at read time: a route named like the
+    // default sink (or two routes sharing a name) would silently
+    // clobber a map entry in fanOut — rows matching the clobbered
+    // predicate would then appear in NO output sink
+    require(routes.map(_.name).distinct.size == routes.size,
+      s"duplicate route names: ${routes.map(_.name).mkString(", ")}")
+    require(!routes.exists(_.name == defaultName),
+      s"route name collides with the default sink '$defaultName'")
+  }
 
   /** A group-by attribute of a count-connector metric
     * (`connector/countconnector/config.go:34-52`): if `default` is None

@@ -39,7 +39,7 @@ object Redaction {
   private val MaskedKeys = "redaction.masked.keys"
   private val MaskedCount = "redaction.masked.count"
   private val IgnoredCount = "redaction.ignored.count"
-  private val AuditKeys = Seq(RedactedKeys, RedactedCount, MaskedKeys,
+  private[graft] val AuditKeys = Seq(RedactedKeys, RedactedCount, MaskedKeys,
     MaskedCount, IgnoredCount)
 
   /** Redact one attributes map; returns the new map (surviving keys,
@@ -64,10 +64,17 @@ object Redaction {
       if (cfg.blockedValues.isEmpty) lit(false)
       else cfg.blockedValues.map(v.rlike).reduce(_ || _)
 
-    val ignoredPart = map_filter(m, (k, _) => isIgnored(k))
-    val allowedPart = map_filter(m, (k, _) => !isIgnored(k) && isAllowed(k))
+    // drop STALE audit attributes first: re-redacting already-redacted
+    // data (the processor at two pipeline stages) would otherwise carry
+    // the old audit entries into maskedPart and map_concat them with
+    // this pass's same-keyed audits → DUPLICATED_MAP_KEY at runtime;
+    // this pass's audit REPLACES the previous one (the reference
+    // upserts audit attrs — same observable result)
+    val base = map_filter(m, (k, _) => !k.isin(AuditKeys: _*))
+    val ignoredPart = map_filter(base, (k, _) => isIgnored(k))
+    val allowedPart = map_filter(base, (k, _) => !isIgnored(k) && isAllowed(k))
     val deletedKeys = sort_array(map_keys(
-      map_filter(m, (k, _) => !isIgnored(k) && !isAllowed(k))))
+      map_filter(base, (k, _) => !isIgnored(k) && !isAllowed(k))))
     val maskedKeys = sort_array(map_keys(
       map_filter(allowedPart, (_, v) => matchesBlocked(v))))
     val maskedPart = transform_values(allowedPart, (_, v) =>

@@ -101,11 +101,15 @@ object Similarity {
     * partition key, probe = partition pruning at 10^12 scale. */
   def ivfAssign(df: DataFrame, vecCol: String,
                 centroids: Seq[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
     val dv = col(vecCol).cast("array<double>")
     val best = centroids.zipWithIndex.map { case (c, i) =>
       struct(cosine(dv, lit(c)).as("sim"), lit(i).as("cell"))
     }
-    df.withColumn("cell", greatest(best: _*).getField("cell"))
+    // greatest() requires >= 2 args — a single-centroid quantizer (legal
+    // degenerate case) assigns every row to cell 0
+    val winner = if (best.size == 1) best.head else greatest(best: _*)
+    df.withColumn("cell", winner.getField("cell"))
   }
 
   def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,

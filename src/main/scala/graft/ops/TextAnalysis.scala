@@ -119,10 +119,15 @@ object TextAnalysis {
     val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}]", "")).cast("double")
     val digits = length(regexp_replace(text, "[^0-9]", "")).cast("double")
     val stops = stopwordCount(text, stopwordBanks("en")).cast("double")
-    val meanTokLen = (nChar - (nTok - 1)) / nTok
-    val punctRatio = punct / nChar
-    val stopRatio = stops / nTok
-    val digitRatio = digits / nChar
+    // greatest(…, 1) denominators: an EMPTY document has nChar = 0 and
+    // an unguarded 0/0 throws DIVIDE_BY_ZERO under Spark 4's default
+    // ANSI mode (killing the whole corpus job on one blank row); the
+    // numerators are 0 there too, so ratios correctly read 0.0. nTok is
+    // never 0 (split of "" yields [""]), guarded anyway for symmetry.
+    val meanTokLen = (nChar - (nTok - 1)) / greatest(nTok, lit(1.0))
+    val punctRatio = punct / greatest(nChar, lit(1.0))
+    val stopRatio = stops / greatest(nTok, lit(1.0))
+    val digitRatio = digits / greatest(nChar, lit(1.0))
     val score =
       least(nTok / 100.0, lit(1.0)) * 0.4 +
       (lit(1.0) - least(punctRatio * 5, lit(1.0))) * 0.2 +

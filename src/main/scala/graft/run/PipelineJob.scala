@@ -120,7 +120,14 @@ object PipelineJob {
     if (!Lineage.isCommitted(outDir, "sinks_fanout", fingerprint)) {
       val turns = table.read(spark, inPath)
       val enriched = parseEnrich(turns)
-      RouteStage.writeMultiMatch(enriched, routeTable, sinksDir)
+      // honor the table's match semantics: match_once = first-match-wins
+      // single-tag write (routingconnector logs.go:87), default =
+      // multi-match fan-out — a match_once config silently getting
+      // fan-out duplicates would inflate every per-route count
+      if (routeTable.matchOnce)
+        RouteStage.writeMatchOnce(enriched, routeTable, sinksDir)
+      else
+        RouteStage.writeMultiMatch(enriched, routeTable, sinksDir)
       // per-route per-file lineage from the committed partition dirs
       val routeDirs = routeTable.routes.map(_.name) :+ routeTable.defaultName
       val lineage = routeDirs.flatMap(r =>

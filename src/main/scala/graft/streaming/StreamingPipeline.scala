@@ -320,7 +320,16 @@ object StreamingPipeline {
 
   /** Streaming route fan-out: one query per sink, all fed from the same
     * tagged stream; checkpointLocation per sink gives exactly-once
-    * delivery (the streaming rendering of routing-connector fan-out). */
+    * delivery (the streaming rendering of routing-connector fan-out).
+    *
+    * SCALE CAVEAT: Structured Streaming shares nothing between
+    * `.start()` calls, so the upstream (source read + parse + enrich +
+    * tagging) re-executes once PER SINK — k× the ingest IO and parse
+    * CPU. Fine for a handful of sinks on a modest stream; at high
+    * volume use [[startRoutedSinksSingleScan]], which processes each
+    * micro-batch exactly once. This variant's advantage is per-sink
+    * isolation (independent checkpoints/restarts, exactly-once via the
+    * streaming file sink). */
   def startRoutedSinks(tagged: DataFrame, sinkNames: Seq[String],
                        outDir: String, checkpointDir: String): Seq[org.apache.spark.sql.streaming.StreamingQuery] =
     sinkNames.map { name =>
@@ -332,4 +341,26 @@ object StreamingPipeline {
         .outputMode(OutputMode.Append)
         .start()
     }
+
+  /** Single-scan streaming fan-out: ONE query, each micro-batch written
+    * once with `partitionBy("route")` — the streaming rendering of the
+    * batch path's `writeMultiMatch` (source scanned and parsed exactly
+    * once regardless of sink count). Exactly-once: each batch writes
+    * under its own `batch_id=<id>` partition with overwrite, so a
+    * replayed batch after failure REPLACES its own output instead of
+    * appending duplicates. Readers see one partitioned table:
+    * `spark.read.parquet(outDir).filter($"route" === name)` prunes to
+    * the route's directories (partition discovery covers both levels).
+    */
+  def startRoutedSinksSingleScan(tagged: DataFrame, outDir: String,
+                                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tagged.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite")
+          .partitionBy("route")
+          .parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
 }

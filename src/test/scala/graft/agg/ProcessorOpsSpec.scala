@@ -228,6 +228,57 @@ class ProcessorOpsSpec extends SparkSpec {
     assert(translate(df, family, "1.1.0", "1.1.0").columns.toSeq == df.columns.toSeq)
   }
 
+  test("schema translation: within-revision renames are simultaneous, not cascading") {
+    import graft.enrich.SchemaTransform._
+    // one revision's rename_attributes is a MAP: {a→b, b→c} must rename
+    // a to b (never a→b→c), and a swap revision must actually swap —
+    // a flattened sequential fold cascaded the first and broke the
+    // second (duplicate-key crash in transform_keys)
+    val chainFam = Family("t", Seq(Revision("2.0.0", Map("a" -> "b", "b" -> "c"))))
+    val df = Seq((1, 2)).toDF("a", "b")
+    assert(translate(df, chainFam, "1.0.0", "2.0.0").columns.toSeq == Seq("b", "c"))
+    val swapFam = Family("t", Seq(Revision("2.0.0", Map("a" -> "b", "b" -> "a"))))
+    val swapped = translate(df, swapFam, "1.0.0", "2.0.0")
+    assert(swapped.columns.toSeq == Seq("b", "a"))
+    assert(swapped.select("a").head().getInt(0) == 2) // values followed the swap
+    // map-typed attrs: same semantics through transform_keys
+    val attrs = Seq(1).toDF("i")
+      .select(map(lit("a"), lit("v1"), lit("b"), lit("v2")).as("m"))
+    val m = attrs.select(translateAttrs(col("m"), swapFam, "1.0.0", "2.0.0").as("t"))
+      .head().getMap[String, String](0).toMap
+    assert(m == Map("b" -> "v1", "a" -> "v2"))
+    val m2 = attrs.select(translateAttrs(col("m"), chainFam, "1.0.0", "2.0.0").as("t"))
+      .head().getMap[String, String](0).toMap
+    assert(m2 == Map("b" -> "v1", "c" -> "v2"))
+  }
+
+  test("redaction: re-redacting already-redacted attrs refreshes the audit (no dup keys)") {
+    val cfg = Redaction.Config(allowAllKeys = false,
+      allowedKeys = Seq("name", "card"), ignoredKeys = Seq("trace"),
+      blockedValues = Seq("\\d{4}-\\d{4}"), summary = "debug")
+    val df = Seq(1).toDF("x").select(map(
+      lit("name"), lit("alice"),
+      lit("card"), lit("4111-1111"),
+      lit("ssn"), lit("secret"),
+      lit("trace"), lit("abc")).as("attrs"))
+    def once(c: org.apache.spark.sql.Column) = Redaction.redactAttrs(c, cfg)
+    val twice = df.select(once(once(col("attrs"))).as("r"))
+      .head().getMap[String, String](0).toMap
+    // pass 2 sees no 'ssn' (already deleted) → no redacted audit; card
+    // is already masked (no digits left) → no masked audit; the stale
+    // pass-1 audit keys are dropped, trace is still ignored/counted
+    assert(twice("name") == "alice" && twice("card") == "****")
+    assert(!twice.contains("redaction.redacted.count"))
+    assert(!twice.contains("redaction.masked.count"))
+    assert(twice("redaction.ignored.count") == "1")
+    // declarative rendering agrees (it map_concat's audits — duplicate
+    // keys would throw DUPLICATED_MAP_KEY here before the fix)
+    val twiceDecl = df.select(Redaction.redactAttrsDeclarative(
+      Redaction.redactAttrsDeclarative(col("attrs"), cfg), cfg).as("r"))
+      .head().getMap[String, String](0).toMap
+    assert(twiceDecl == twice)
+  }
+
   test("drop_ratio keeps all unmatched rows and ~ratio of matched ones") {
     val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "drop" else "keep"))
       .toDF("id", "kind")

@@ -132,4 +132,42 @@ class ExprLangSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       ExprLang.compileExpr(ExprLang.parse("""Bogus(role)"""), R))
   }
+
+  test("subtraction without spaces parses; negative literals stay in operand position") {
+    // "100-50" after an operand is binary minus, not TInt(-50) —
+    // previously rejected as "trailing input"
+    assert(rows("""turn_idx > 100-99""") == Set("c3"))      // 1 → c3 only (idx 2)
+    assert(rows("""turn_idx == 2-1""") == Set("c2"))
+    assert(rows("""turn_idx - 1 == -1""") == Set("c1"))     // negative literal after op
+    assert(rows("""turn_idx == (3)-1""") == Set("c3"))      // after ')' it's subtraction
+    assert(rows("""-1 + 2 == turn_idx""") == Set("c2"))     // leading negative literal
+  }
+
+  test("condition over a non-boolean value is a non-match, not an ANSI crash") {
+    // try_cast semantics: CAST('hello world' AS BOOLEAN) would throw
+    // CAST_INVALID_INPUT under ANSI and kill the batch; the OTTL
+    // error_mode=ignore rendering makes the row a non-match instead
+    assert(rows("""text""") == Set.empty)
+  }
+
+  test("""ParseKeyValue(target, delimiter, pair_delimiter) follows OTTL arg order""") {
+    // func_parse_key_value.go: arg 2 = key-value delimiter, arg 3 =
+    // pair separator (both Optional)
+    // the transcript resolver maps the OTTL `body` path to the `text` column
+    val df2 = Seq("a:1;b:2").toDF("text")
+    def m(exprStr: String): Map[String, String] =
+      df2.select(ExprLang.value(exprStr, R).as("m"))
+        .head().getMap[String, String](0).toMap
+    assert(m("""ParseKeyValue(body, ":", ";")""") == Map("a" -> "1", "b" -> "2"))
+    // 2-arg form (pair separator defaults to " ")
+    val df3 = Seq("a:1 b:2").toDF("text")
+    val two = df3.select(ExprLang.value("""ParseKeyValue(body, ":")""", R).as("m"))
+      .head().getMap[String, String](0).toMap
+    assert(two == Map("a" -> "1", "b" -> "2"))
+    // 1-arg default: "k=v k2=v2"
+    val df4 = Seq("k=v k2=v2").toDF("text")
+    val one = df4.select(ExprLang.value("""ParseKeyValue(body)""", R).as("m"))
+      .head().getMap[String, String](0).toMap
+    assert(one == Map("k" -> "v", "k2" -> "v2"))
+  }
 }

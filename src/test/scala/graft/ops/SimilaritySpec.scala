@@ -43,6 +43,17 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head._1 == 42L, s"IVF missed exact match: ${top.toSeq}")
   }
 
+  test("IVF: a single-centroid quantizer assigns every row to cell 0") {
+    // legal degenerate coarse quantizer — greatest() needs >= 2 args,
+    // so the 1-centroid case takes the direct path
+    val one = Seq(Array.fill(64)(0.1)).toSeq
+    val assigned = Similarity.ivfAssign(vectors, "embedding", one)
+    assert(assigned.filter(col("cell") =!= 0).count() == 0)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(vectors, "embedding", Nil)
+    }
+  }
+
   test("cosine codegen expression is bit-identical to the HOF rendering") {
     val dv = col("embedding").cast("array<double>")
     val diff = vectors.select(

@@ -43,6 +43,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m("clean") > m("junk"))
   }
 
+  test("quality metrics survive an EMPTY document (ANSI divide guard)") {
+    // one blank row must not kill the corpus job with DIVIDE_BY_ZERO;
+    // ratios read 0.0 (numerators are 0 too)
+    val df = Seq(("empty", ""), ("ok", "some words here")).toDF("kind", "text")
+    val m = df.select(col("kind"), TextAnalysis.qualityMetrics(col("text")).as("q"))
+      .select("kind", "q.n_chars", "q.punct_ratio", "q.digit_ratio")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m("empty") == ((0, 0.0, 0.0)))
+    assert(m("ok")._1 == 15)
+  }
+
   test("fingerprint is deterministic and flips on single-char edits") {
     val df = Seq(Tuple1("abc def"), Tuple1("abc deg"), Tuple1("abc def")).toDF("text")
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()

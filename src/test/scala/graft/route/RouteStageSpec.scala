@@ -86,4 +86,19 @@ class RouteStageSpec extends SparkSpec {
     assert(sinks("r1").count() == 1)
     assert(sinks("default").count() == 1)
   }
+
+  test("route-name collisions fail at table construction, not silently at read time") {
+    // a route named like the default sink (or two same-named routes)
+    // would clobber a fanOut map entry and rows matching the clobbered
+    // predicate would land in NO sink
+    intercept[IllegalArgumentException] {
+      RouteTable(Seq(
+        RouteSpec("default", col("role") === "user")), defaultName = "default")
+    }
+    intercept[IllegalArgumentException] {
+      RouteTable(Seq(
+        RouteSpec("dup", col("role") === "user"),
+        RouteSpec("dup", col("role") === "tool")))
+    }
+  }
 }

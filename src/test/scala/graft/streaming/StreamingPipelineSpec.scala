@@ -324,6 +324,30 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(user.count() == 1 && dflt.count() == 1)
     } finally qs.foreach(_.stop())
   }
+
+  test("single-scan routed sink: one query, per-batch partitioned table, route pruning") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val tagged = graft.route.RouteStage.tagged(
+      graft.run.Pipeline.parseEnrich(spark, mem.toDF()), graft.run.Pipeline.routeTable)
+    val outDir = Files.createTempDirectory("graft_stream_single").toString
+    val ckDir = Files.createTempDirectory("graft_stream_single_ck").toString
+    val q = StreamingPipeline.startRoutedSinksSingleScan(tagged, outDir, ckDir)
+    try {
+      mem.addData(
+        Turn("c1", 0, "user", "user=1 action=msg cents=5", "", ts(1)),
+        Turn("c1", 1, "system", "INFO [comp-1] signup user=1", "", ts(2)))
+      q.processAllAvailable()
+      mem.addData(Turn("c2", 0, "user", "user=2 action=msg cents=9", "", ts(3)))
+      q.processAllAvailable()
+      val all = spark.read.parquet(outDir)
+      // both partition levels discovered; routes complete and disjoint
+      assert(all.columns.contains("route") && all.columns.contains("batch_id"))
+      assert(all.count() == 3)
+      assert(all.filter(col("route") === "user_turns").count() == 2)
+      assert(all.filter(col("route") === "default").count() == 1)
+    } finally q.stop()
+  }
 }
 
 object StreamingPipelineSpec {
