@@ -1378,7 +1378,7 @@ object SparkEntry {
     "p46_filter_drop_ratio" ->
       """SELECT event_id, event_type FROM events
         |WHERE NOT (event_type = 'error')
-        |   OR ((event_id & 2147483647) * 2654435761) % 1000 >= 250""".stripMargin,
+        |   OR COALESCE(((event_id & 2147483647) * 2654435761) % 1000 >= 250, TRUE)""".stripMargin,
 
     "p47_mt_scale_label_ops" ->
       """SELECT event_id,

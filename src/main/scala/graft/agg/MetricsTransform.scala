@@ -34,18 +34,13 @@ object MetricsTransform {
     * rewrite specific values (value_actions). */
   def updateLabel(df: DataFrame, label: String, newLabel: Option[String] = None,
                   valueActions: Seq[(String, String)] = Nil): DataFrame = {
-    // every `when` compares against the ORIGINAL value, never the
-    // already-rewritten accumulator: the reference builds one map and
-    // does a single lookup (operation_update_label.go), so actions
-    // (a→b, b→c) rewrite "a" to "b" — a fold comparing against acc
-    // would cascade it to "c" (and a↔b swap configs would corrupt)
-    val src = col(label)
+    // single-lookup rename semantics (operation_update_label.go) —
+    // see Ottl.simultaneousRemap for why the fold must compare against
+    // the original value
     val withValues =
       if (valueActions.isEmpty) df
       else df.withColumn(label,
-        valueActions.foldLeft(src) { case (acc, (from, to)) =>
-          when(src === from, lit(to)).otherwise(acc)
-        })
+        graft.functions.Ottl.simultaneousRemap(col(label), valueActions))
     newLabel.fold(withValues)(n => withValues.withColumnRenamed(label, n))
   }
 

@@ -68,10 +68,12 @@ object SpanMetrics {
     val keys = dims.map(col)
     // 0 disables expiration (the reference default, config.go:72): the
     // generic filter below would otherwise keep ONLY groups active at
-    // the dataset's single max event time — the exact opposite
+    // the dataset's single max event time — the exact opposite. Disabled
+    // means every span row passes through unchanged, matching the normal
+    // path's shape (span rows of surviving groups), not a dim projection.
     if (expiration.trim.takeWhile(c => c.isDigit || c == '.')
         .toDoubleOption.contains(0.0)) {
-      return spans.select(keys: _*).distinct()
+      return spans
     }
     val lastSeen = spans.groupBy(keys: _*)
       .agg(max(col(tsCol).cast("timestamp")).as("_last_seen"))

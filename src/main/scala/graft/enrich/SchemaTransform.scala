@@ -86,11 +86,9 @@ object SchemaTransform {
     if (chain.isEmpty) attrs
     else transform_keys(attrs, (k, _) =>
       chain.foldLeft(k) { (cur, rev) =>
-        // `cur` = the key as of the START of this revision: every when
-        // in the revision compares against it (simultaneous map lookup)
-        rev.foldLeft(cur) { case (next, (from, to)) =>
-          when(cur === from, lit(to)).otherwise(next)
-        }
+        // `cur` = the key as of the START of this revision: each
+        // revision is one simultaneous map lookup; revisions compose
+        graft.functions.Ottl.simultaneousRemap(cur, rev)
       })
   }
 }

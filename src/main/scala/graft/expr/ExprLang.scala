@@ -94,6 +94,9 @@ object ExprLang {
           // rejects a config-valid expression with "trailing input"
           out.lastOption.forall {
             case TOp(op, _) => op != ")" && op != "]"
+            // keywords lex as TIdent but are operators in the grammar,
+            // so "x and -1 < y" / "... where -5 < d" are operand position
+            case TIdent(kw, _) => kw == "and" || kw == "or" || kw == "not" || kw == "where"
             case _ => false
           })) {
         var j = i + 1
@@ -399,8 +402,10 @@ object ExprLang {
   def applyStatement(df: org.apache.spark.sql.DataFrame, s: String,
                      resolve: Resolver, targets: TargetResolver): org.apache.spark.sql.DataFrame = {
     val st = parseStatement(s)
+    // try_cast like condition(): a non-boolean where-value is a
+    // non-match (error_mode ignore), not an ANSI CAST_INVALID_INPUT crash
     val cond = st.where
-      .map(w => coalesce(compileExpr(w, resolve).cast("boolean"), lit(false)))
+      .map(w => coalesce(compileExpr(w, resolve).try_cast("boolean"), lit(false)))
       .getOrElse(lit(true))
     def targetPath(i: Int): Path = st.args(i) match {
       case p: Path => p

@@ -214,4 +214,16 @@ object Ottl {
   def isString(c: Column): Column = schema_of_variant(c) === "STRING"
   def isMap(c: Column): Column = schema_of_variant(c).startsWith("OBJECT")
   def isList(c: Column): Column = schema_of_variant(c).startsWith("ARRAY")
+
+  /** Simultaneous map lookup as a when-chain: every branch compares
+    * against the ORIGINAL `src`, never the already-rewritten
+    * accumulator, so pairs (a→b, b→c) rewrite "a" to "b" (not cascade to
+    * "c") and a↔b swaps don't corrupt — the single-lookup semantics of
+    * the reference's rename maps (`operation_update_label.go`; schema
+    * processor revision maps). Shared by MetricsTransform.updateLabel
+    * and SchemaTransform.translateAttrs so the subtlety lives once. */
+  def simultaneousRemap(src: Column, pairs: Seq[(String, String)]): Column =
+    pairs.foldLeft(src) { case (acc, (from, to)) =>
+      when(src === from, lit(to)).otherwise(acc)
+    }
 }

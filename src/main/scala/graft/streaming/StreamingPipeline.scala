@@ -343,9 +343,13 @@ object StreamingPipeline {
     }
 
   /** Single-scan streaming fan-out: ONE query, each micro-batch written
-    * once with `partitionBy("route")` — the streaming rendering of the
-    * batch path's `writeMultiMatch` (source scanned and parsed exactly
-    * once regardless of sink count). Exactly-once: each batch writes
+    * once with `partitionBy("route")` (source scanned and parsed exactly
+    * once regardless of sink count). Routing semantics are fixed by how
+    * the caller built the `route` column: `RouteStage.tagged` gives
+    * first-match-wins (match_once), `RouteStage.tagsExploded` gives
+    * multi-match fan-out — only the latter is the streaming rendering of
+    * the batch path's `writeMultiMatch` (explode is streaming-safe, so
+    * both compose with this sink). Exactly-once: each batch writes
     * under its own `batch_id=<id>` partition with overwrite, so a
     * replayed batch after failure REPLACES its own output instead of
     * appending duplicates. Readers see one partitioned table:

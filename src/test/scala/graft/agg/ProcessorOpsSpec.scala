@@ -48,10 +48,15 @@ class ProcessorOpsSpec extends SparkSpec {
 
   test("spanmetrics expiration 0 disables expiry (reference default)") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
-    val spans = Seq(("old", ts(1)), ("live", ts(20))).toDF("grp", "ts")
+    val spans = Seq(("old", ts(1)), ("old", ts(2)), ("live", ts(20)))
+      .toDF("grp", "ts")
     val kept = SpanMetrics.withExpiration(spans, Seq("grp"), "ts", "0 seconds")
-      .collect().map(_.getString(0)).toSet
-    assert(kept == Set("old", "live")) // nothing expires at 0
+    // disabled = full span rows pass through, same shape as the normal
+    // path (NOT a distinct dim projection): multiplicity and non-dim
+    // columns survive
+    assert(kept.columns.toSeq == Seq("grp", "ts"))
+    assert(kept.count() == 3)
+    assert(kept.collect().map(_.getString(0)).toSet == Set("old", "live"))
   }
 
   test("metricstransform: aggregate_label_values merges then aggregates") {

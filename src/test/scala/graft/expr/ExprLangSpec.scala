@@ -141,6 +141,11 @@ class ExprLangSpec extends SparkSpec {
     assert(rows("""turn_idx - 1 == -1""") == Set("c1"))     // negative literal after op
     assert(rows("""turn_idx == (3)-1""") == Set("c3"))      // after ')' it's subtraction
     assert(rows("""-1 + 2 == turn_idx""") == Set("c2"))     // leading negative literal
+    // keywords lex as TIdent but are operators — '-' after them is still
+    // operand position (regression: "and -1" was a parse error)
+    assert(rows("""turn_idx > 1 and -1 < turn_idx""") == Set("c3"))
+    assert(rows("""turn_idx == 0 or -2 == turn_idx - 3""") == Set("c1", "c2"))
+    assert(rows("""not -1 == turn_idx""") == Set("c1", "c2", "c3"))
   }
 
   test("condition over a non-boolean value is a non-match, not an ANSI crash") {
@@ -148,6 +153,13 @@ class ExprLangSpec extends SparkSpec {
     // CAST_INVALID_INPUT under ANSI and kill the batch; the OTTL
     // error_mode=ignore rendering makes the row a non-match instead
     assert(rows("""text""") == Set.empty)
+    // the same rule holds for a statement's where clause (same bug
+    // class: applyStatement used plain cast while condition() didn't)
+    val T = ExprLang.transcriptTargets(Set("level", "tool_name"))
+    val out = ExprLang.applyStatement(df,
+      """set(role, "flagged") where body""", R, T)
+      .select("role").as[String].collect().toSet
+    assert(out == Set("user", "assistant", "tool")) // all non-matches, no crash
   }
 
   test("""ParseKeyValue(target, delimiter, pair_delimiter) follows OTTL arg order""") {
