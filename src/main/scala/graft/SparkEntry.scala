@@ -363,12 +363,15 @@ object SparkEntry {
 
     "d13_contamination" -> ((s, dir) => {
       // benchmark decontamination: trigram overlap vs a stand-in eval
-      // set (every 97th doc); hashed=false so the DuckDB oracle can
-      // reproduce the shingle join — TextAnalysisSpec proves the
-      // hashed production path identical
+      // set (every 97th doc). hashed=true is the production path (the
+      // join carries 8-byte shingle hashes, never the n-gram strings);
+      // the DuckDB oracle reproduces the join over STRINGS, which gives
+      // identical aggregates because TextAnalysisSpec proves hashed ≡
+      // string exactly (xxhash64 collisions aside: ~1e-13 for this
+      // corpus, and a collision could only inflate n_contaminated)
       val docs = documents(s, dir)
       TextAnalysis.contamination(docs, "doc_id", "text",
-          docs.filter(col("doc_id") % 97 === 0), "text", n = 3, hashed = false)
+          docs.filter(col("doc_id") % 97 === 0), "text", n = 3, hashed = true)
         .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
           floor(col("contamination") * 10000).cast("bigint").as("contamination_e4"))
     }),

@@ -25,11 +25,31 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Token n-gram shingle set (distinct), guarded for short docs.
-    * Uses 0-based `get` (null past the end, ANSI-safe) + concat_ws's
-    * null-skipping, so a doc shorter than n yields one degenerate
-    * shingle instead of an out-of-bounds error. */
+  /** Token n-gram shingle set (distinct), guarded for short docs: a doc
+    * shorter than n yields one degenerate whole-doc shingle. One codegen
+    * byte pass ([[graft.functions.ShingleArray]]); the HOF rendering
+    * below is the differential oracle. */
   def shingles(textCol: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.ShingleArray(
+      Bridge.expression(textCol), n, hashed = false))
+  }
+
+  /** Hashed shingle set: distinct xxhash64 of each shingle, never
+    * materializing the n-gram strings ≡
+    * `array_distinct(transform(shingles(c, n), xxhash64))`. */
+  def shingleHashes(textCol: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.ShingleArray(
+      Bridge.expression(textCol), n, hashed = true))
+  }
+
+  /** Interpreted-HOF rendering of [[shingles]] (differential oracle —
+    * bit-identical): 0-based `get` (null past the end, ANSI-safe) +
+    * concat_ws's null-skipping give the short-doc degenerate shingle;
+    * note the lambda body re-evaluates `split` per element, which is why
+    * the codegen expression exists. */
+  def shinglesHof(textCol: Column, n: Int = 3): Column = {
     val toks = split(textCol, " ")
     val starts = sequence(lit(0), greatest(lit(0), size(toks) - lit(n)))
     array_distinct(transform(starts, i =>
@@ -101,8 +121,7 @@ object Dedup {
     // Jaccard over distinct shingles up to xxhash64 collisions (~2^-64
     // per pair), and the candidate shuffle shrinks ~10× at 100 TB
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(transform(shingles(col(textCol), shingleSize),
-        s => xxhash64(s))).as("shh"))
+      shingleHashes(col(textCol), shingleSize).as("shh"))
     val banded = sh
       .withColumn("sig", minhashSignature(col("shh"), numHashes))
       .select(col("id"), col("shh"),

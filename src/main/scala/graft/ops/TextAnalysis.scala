@@ -45,13 +45,13 @@ object TextAnalysis {
   def contamination(docs: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
                     n: Int = 8, hashed: Boolean = true): DataFrame = {
-    // explode first, hash after: a generator cannot nest inside an
-    // expression, and hashing the exploded column keeps one shingle
-    // string materialization either way
+    // hashed path hashes INSIDE the shingle expression (one byte pass,
+    // no n-gram strings ever materialize); the string path exists for
+    // the SQL-reproducible oracle join
     def shingled(df: DataFrame, keep: Seq[Column], c: Column): DataFrame = {
-      val ex = df.filter(size(split(c, " ")) >= n)
-        .select((keep :+ explode(Dedup.shingles(c, n)).as("sh")): _*)
-      if (hashed) ex.withColumn("sh", xxhash64(col("sh"))) else ex
+      val sh = if (hashed) Dedup.shingleHashes(c, n) else Dedup.shingles(c, n)
+      df.filter(size(split(c, " ")) >= n)
+        .select((keep :+ explode(sh).as("sh")): _*)
     }
     val benchSh = shingled(benchmark, Nil, col(benchTextCol))
       .distinct().withColumn("_hit", lit(1))

@@ -156,6 +156,35 @@ class DedupSpec extends SparkSpec {
     assert(sh == Seq("one two")) // degenerate shingle, no crash
   }
 
+  test("shingle codegen expression is bit-identical to the HOF rendering") {
+    for (n <- Seq(1, 3, 8)) {
+      val diff = corpus.select(Dedup.shingles(col("text"), n).as("fast"),
+          Dedup.shinglesHof(col("text"), n).as("slow"))
+        .as[(Seq[String], Seq[String])].collect()
+      assert(diff.nonEmpty && diff.forall { case (f, h) => f == h },
+        s"n=$n diverged")
+    }
+    // edge shapes: empty string (one empty token → [""], never []),
+    // spaces only, multi-space runs (empty tokens kept, shingles span
+    // the original space runs), trailing/leading spaces, repeats
+    // (distinct keeps first occurrence), unicode
+    val edges = Seq("", " ", "  ", "a", "a b", " a  b ", "a a a a",
+        "héllo wörld héllo wörld héllo", "a\tb c")
+      .toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("fast"),
+        Dedup.shinglesHof(col("text"), 3).as("slow"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(edges.forall { case (f, h) => f == h })
+    // hashed variant ≡ array_distinct(transform(shingles, xxhash64))
+    val hashed = (corpus.limit(60) union Seq((9001L, ""), (9002L, "a  b"))
+        .toDF("doc_id", "text"))
+      .select(Dedup.shingleHashes(col("text"), 3).as("fast"),
+        array_distinct(transform(Dedup.shinglesHof(col("text"), 3),
+          s => xxhash64(s))).as("slow"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(hashed.nonEmpty && hashed.forall { case (f, h) => f == h })
+  }
+
   test("dedup groups: connected components, survivor, delete list") {
     // components: {1,2,3,4} (path — needs >1 propagation round),
     // {5,6}, {8,9,10}; 20..26 chain exercises diameter-6 convergence
