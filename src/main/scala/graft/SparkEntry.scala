@@ -102,12 +102,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))),
 
     // -- route stage (routing connector) --
-    "p07_route_multimatch_counts" -> ((s, dir) => {
-      val sinks = RouteStage.fanOut(Pipeline.parseEnrich(s, t(s, dir)), Pipeline.routeTable)
-      Seq("tool_calls", "errors", "user_turns", "default").map { n =>
-        sinks(n).agg(count(lit(1)).as("n")).select(lit(n).as("sink"), col("n"))
-      }.reduce(_ unionByName _)
-    }),
+    "p07_route_multimatch_counts" -> ((s, dir) =>
+      // multi-match per-sink counts in ONE scan: exploded route tags ≡
+      // the per-sink filters of RouteStage.fanOut (a row reaches each
+      // matching sink once either way; no-match rows carry the default
+      // tag) — the fanOut composition itself re-ran parseEnrich per
+      // sink, 4 scans for 4 counts (p09 + RouteStageSpec still exercise
+      // the per-sink-DataFrame API)
+      // (right-join the literal sink list so an empty sink still reports
+      // n=0, like the per-sink count(*) composition and the oracle)
+      {
+        import s.implicits._
+        val table = Pipeline.routeTable
+        val sinkNames = (table.routes.map(_.name) :+ table.defaultName).toDF("sink")
+        RouteStage.tagsExploded(Pipeline.parseEnrich(s, t(s, dir)), table)
+          .groupBy("route").agg(count(lit(1)).as("cnt"))
+          .join(sinkNames, col("route") === col("sink"), "right")
+          .select(col("sink"), coalesce(col("cnt"), lit(0L)).as("n"))
+      }),
 
     "p08_route_first_match" -> ((s, dir) =>
       RouteStage.tagged(Pipeline.parseEnrich(s, t(s, dir)), Pipeline.routeTable)
