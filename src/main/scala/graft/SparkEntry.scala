@@ -290,11 +290,10 @@ object SparkEntry {
     "p30_tail_sampling" -> ((s, dir) => {
       // tail sampling processor: buffer whole trace, apply policy, keep or
       // drop the ENTIRE trace (processor/tailsamplingprocessor): policy =
-      // "conversation contains an ERROR turn"
-      val tr = parsedT(s, dir)
-      val keep = tr.filter(col("parsed").getItem("level") === "ERROR")
-        .select("conv_id").distinct()
-      tr.join(keep, "conv_id") // whole-conversation release
+      // "conversation contains an ERROR turn", via the policy engine's
+      // whole-trace release (left_semi — no distinct stage, unlike the
+      // filter+distinct+inner-join composition this replaces)
+      graft.agg.TailSampling.sample(parsedT(s, dir), graft.agg.TailSampling.errorPolicy)
         .groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
     }),
 
