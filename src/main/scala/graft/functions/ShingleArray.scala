@@ -34,6 +34,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * occurrence order exactly like array_distinct. The empty string yields
   * [""] (one empty token, one degenerate shingle), never an empty array.
   *
+  * Scope: bit-identity assumes VALID UTF-8 input. For strings carrying
+  * invalid byte sequences the HOF path round-trips through
+  * java.lang.String (invalid sequences collapse to U+FFFD) while this
+  * expression slices the raw bytes — raw slicing is the more faithful
+  * behavior for dedup, but it diverges from the HOF on such rows.
+  *
   * Hashed variant ≡ `array_distinct(transform(shingles, xxhash64))`:
   * distinct strings hash in first-occurrence order and the set dedupes
   * hash collisions the same way the outer array_distinct would.
@@ -82,8 +88,12 @@ case class ShingleArray(child: Expression, n: Int, hashed: Boolean)
     }
     ends(t) = nb
     val windows = math.max(0, tokCount - n) + 1
+    // presize hint only — clamp so a pathological token-dense giant doc
+    // (GiB of spaces → windows near 2^30) can't overflow `windows * 2`
+    // into a negative capacity; the sets still grow to any size
+    val cap = math.min(windows.toLong * 2, 1L << 20).toInt
     if (hashed) {
-      val seen = new java.util.LinkedHashSet[java.lang.Long](windows * 2)
+      val seen = new java.util.LinkedHashSet[java.lang.Long](cap)
       var w = 0
       while (w < windows) {
         val from = starts(w)
@@ -97,7 +107,7 @@ case class ShingleArray(child: Expression, n: Int, hashed: Boolean)
       while (it.hasNext) { out(k) = it.next(); k += 1 }
       new GenericArrayData(out)
     } else {
-      val seen = new java.util.LinkedHashSet[UTF8String](windows * 2)
+      val seen = new java.util.LinkedHashSet[UTF8String](cap)
       var w = 0
       while (w < windows) {
         val from = starts(w)

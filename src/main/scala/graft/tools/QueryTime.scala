@@ -24,13 +24,16 @@ object QueryTime {
     spark.sparkContext.setLogLevel("WARN")
     for (name <- args) {
       val q = graft.SparkEntry.queries(name)
+      // exhaust via noop write like the bench suite — count() would let
+      // Catalyst prune every projection not needed for the row count and
+      // under-measure projection-heavy queries (redaction, hashing)
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        val n = q(spark, sfDir).count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        (sec, n)
+        q(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
-      println(f"[qt] $name rows=${reps.head._2} reps=${reps.map(r => f"${r._1}%.2f").mkString(",")} min=${reps.map(_._1).min}%.3f s")
+      val rows = q(spark, sfDir).count()
+      println(f"[qt] $name rows=$rows reps=${reps.map(r => f"$r%.2f").mkString(",")} min=${reps.min}%.3f s")
     }
     spark.stop()
   }
