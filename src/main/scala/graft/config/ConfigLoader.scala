@@ -253,9 +253,10 @@ object ConfigLoader {
     }
 
     /** The config file's metric definitions over one frame. */
-    def countMetrics(df: DataFrame): Map[String, DataFrame] =
+    def countMetrics(df: DataFrame,
+                     windowOverride: String = window): Map[String, DataFrame] =
       metrics.map(m => m.name ->
-        CountStage.countWindowed(df, m, col("ts"), window, resolveAttr)).toMap
+        CountStage.countWindowed(df, m, col("ts"), windowOverride, resolveAttr)).toMap
   }
 
   def compile(c: GraftFileConfig): Compiled = {

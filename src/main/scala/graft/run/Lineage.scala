@@ -1,10 +1,10 @@
 package graft.run
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import scala.util.control.NonFatal
 
+import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Resumable batch execution with per-sink lineage manifests — the batch
@@ -32,8 +32,33 @@ object Lineage {
   final case class RunReport(executed: Seq[String], skipped: Seq[String],
                              failed: Map[String, String], manifests: Map[String, Manifest])
 
-  private def manifestPath(outDir: String, sink: String) =
-    Paths.get(outDir, "_lineage", s"$sink.json")
+  // Hadoop FS (not java.nio) for EVERY manifest path, like fileLineage:
+  // with outDir on HDFS/S3 a local-path manifest would resolve to a
+  // bogus driver-local dir, isCommitted would always be false from any
+  // other driver, and resume — the module's whole contract — would
+  // silently never fire off-box. The local default FS keeps tests
+  // byte-identical.
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    scala.util.Try(SparkSession.active.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def manifestPath(outDir: String, sink: String): HPath =
+    new HPath(new HPath(outDir, "_lineage"), s"$sink.json")
+
+  /** Atomic small-file write through the output FS: temp +
+    * single overwriting rename (same pattern as Incremental's ingest
+    * manifest; Hadoop local FS makes this an atomic move in tests). */
+  private[run] def writeAtomic(path: HPath, content: String): Unit = {
+    val conf = hadoopConf
+    val fs = path.getFileSystem(conf)
+    fs.mkdirs(path.getParent)
+    val tmp = new HPath(path.getParent, path.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    FileContext.getFileContext(path.toUri, conf)
+      .rename(tmp, path, Options.Rename.OVERWRITE)
+  }
 
   private def renderJson(m: Manifest): String = {
     def esc(s: String) = s.flatMap {
@@ -78,19 +103,17 @@ object Lineage {
 
   /** Atomic manifest commit: write temp, fsync-rename into place
     * (the reference persister's save step, checkpoint.go:40-63). */
-  private[run] def commitManifest(outDir: String, m: Manifest): Unit = {
-    val path = manifestPath(outDir, m.sink)
-    Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    Files.write(tmp, renderJson(m).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  private[run] def commitManifest(outDir: String, m: Manifest): Unit =
+    writeAtomic(manifestPath(outDir, m.sink), renderJson(m))
 
   def isCommitted(outDir: String, sink: String, fingerprint: String): Boolean = {
     val p = manifestPath(outDir, sink)
-    Files.exists(p) && {
-      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val fs = p.getFileSystem(hadoopConf)
+    fs.exists(p) && {
+      val in = fs.open(p)
+      val json =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
       parseFingerprint(json).contains(fingerprint)
     }
   }

@@ -110,14 +110,18 @@ object PipelineJob {
             .mkString(";") +
           graft.run.Pipeline.metricConfigStrings.toString
       }
-    val fingerprint = Lineage.fingerprintOf("pipeline-v1", inPath, windowDur,
+    // per-STAGE fingerprints: the fan-out's output does not depend on
+    // the window, so changing only windowDur must not invalidate the
+    // dominant routed write (it re-runs only the cheap count sinks)
+    val fpFanout = Lineage.fingerprintOf("pipeline-v1", inPath, configText)
+    val fpCounts = Lineage.fingerprintOf("pipeline-v1", inPath, windowDur,
       configText)
 
     // Stage 1+2+3: parse → enrich → single-pass routed fan-out.
     // The fan-out itself is one idempotent partitioned write; its commit
     // is the stage marker.
     val sinksDir = s"$outDir/sinks"
-    if (!Lineage.isCommitted(outDir, "sinks_fanout", fingerprint)) {
+    if (!Lineage.isCommitted(outDir, "sinks_fanout", fpFanout)) {
       val turns = table.read(spark, inPath)
       val enriched = parseEnrich(turns)
       // honor the table's match semantics: match_once = first-match-wins
@@ -133,7 +137,7 @@ object PipelineJob {
       val lineage = routeDirs.flatMap(r =>
         Lineage.fileLineage(spark, s"$sinksDir/route=$r")
           .map(f => f.copy(file = s"route=$r/${f.file}")))
-      Lineage.commitManifest(outDir, Lineage.Manifest("sinks_fanout", fingerprint,
+      Lineage.commitManifest(outDir, Lineage.Manifest("sinks_fanout", fpFanout,
         lineage.map(_.rows).sum, lineage))
     }
 
@@ -143,7 +147,20 @@ object PipelineJob {
     // stream): the "user ships a YAML file" surface must actually
     // deliver the metrics the file declares, not only the built-in
     // per-route role counts.
-    val written = spark.read.parquet(sinksDir)
+    // a ZERO-row input commits a fan-out with no part files; reading the
+    // bare dir would then fail schema inference — and since the stage IS
+    // committed, every resume would crash the same way. Fall back to an
+    // empty frame with the fan-out's schema (tagged ≡ exploded schema).
+    val sinksHavePartFiles = {
+      val dir = new org.apache.hadoop.fs.Path(sinksDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(dir) && fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "route=*/*.parquet")).nonEmpty
+    }
+    val written =
+      if (sinksHavePartFiles) spark.read.parquet(sinksDir)
+      else RouteStage.tagged(
+        parseEnrich(table.read(spark, inPath)).limit(0), routeTable)
     val routeCounts = routeTable.routes.map(_.name)
       .:+(routeTable.defaultName).map { route =>
         s"counts_$route" -> CountStage.countWindowed(
@@ -158,11 +175,15 @@ object PipelineJob {
         // re-deriving costs one extra scan of the input, only when a
         // metrics section is configured
         val enriched = parseEnrich(table.read(spark, inPath))
-        c.countMetrics(enriched).map { case (n, df) => s"metric_$n" -> df }
+        // the effective window (CLI arg wins over the config file, the
+        // documented precedence) — countMetrics' default would silently
+        // use the config's window for metric_* while counts_* honored
+        // the override, and the run's outputs would disagree on window
+        c.countMetrics(enriched, windowDur).map { case (n, df) => s"metric_$n" -> df }
       case None => Map.empty[String, org.apache.spark.sql.DataFrame]
     }
     val report = Lineage.runResumable(spark, routeCounts ++ userMetrics,
-      outDir, fingerprint)
+      outDir, fpCounts)
 
     // metrics manifest (rows read/written, shuffle, task time)
     metrics.writeJson(s"$outDir/_lineage/run_metrics.json")
@@ -190,11 +211,10 @@ class MetricsListener extends org.apache.spark.scheduler.SparkListener {
     }
   }
 
-  def writeJson(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p,
+  def writeJson(path: String): Unit =
+    // through the output FS (Lineage.writeAtomic) — a java.nio write
+    // would land driver-local when outDir is on HDFS/S3
+    Lineage.writeAtomic(new org.apache.hadoop.fs.Path(path),
       s"""{"records_read":${recordsRead.get},"records_written":${recordsWritten.get},""" +
       s""""shuffle_bytes_written":${shuffleBytes.get},"task_millis":${taskMillis.get}}""")
-  }
 }

@@ -40,8 +40,10 @@ object Bucketing {
     * [[colocatedJoin]] exists to guarantee. */
   def isExchangeFree(df: DataFrame): Boolean = {
     val plan = df.queryExecution.executedPlan.toString
-    !plan.contains("Exchange hashpartitioning") &&
-      !plan.contains("Exchange rangepartitioning") &&
-      !plan.contains("Exchange SinglePartition")
+    // ANY exchange that is not a broadcast is a shuffle — enumerating
+    // partitionings (hash/range/single) missed RoundRobinPartitioning
+    // (repartition(n)) and rebalance, letting a fully-shuffled plan
+    // pass the zero-shuffle gate
+    !"(?<!Broadcast)Exchange".r.findFirstIn(plan).isDefined
   }
 }

@@ -88,7 +88,12 @@ object Incremental {
     val p = plan(spark, tablePath, ckptDir)
     val df =
       if (p.isEmpty) spark.read.parquet(tablePath).limit(0)
-      else spark.read.parquet(p.newFiles.map(_.split('|')(0)): _*)
+      // basePath: reading explicit leaf files of a PARTITIONED table
+      // (route=X/part-N.parquet) must keep the partition columns the
+      // empty-plan branch's whole-table read carries — without it the
+      // partition values vanish and the two branches disagree on schema
+      else spark.read.option("basePath", tablePath)
+        .parquet(p.newFiles.map(_.split('|')(0)): _*)
     (df, p)
   }
 }

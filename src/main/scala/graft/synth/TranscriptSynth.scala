@@ -75,7 +75,10 @@ object TranscriptSynth {
         role.as("role"),
         text.as("text"),
         tool.as("tool"),
+        // widen BEFORE the multiply: int turn_idx * 7 overflows at
+        // ~306M turns in one hot conversation (ANSI: job dies; non-ANSI:
+        // negative epochs break the monotonic-ts determinism)
         timestamp_seconds(lit(cfg.baseEpochSec) + pmod(col("conv_num"), lit(86400L))
-          + col("turn_idx") * 7).as("ts"))
+          + col("turn_idx").cast("bigint") * 7).as("ts"))
   }
 }

@@ -44,4 +44,19 @@ class BucketingSpec extends SparkSpec {
       assert(agg.as[(String, Long)].collect().toMap.values.sum == 100L)
     } finally spark.sql("DROP TABLE IF EXISTS bk_g")
   }
+
+  test("isExchangeFree rejects every shuffle kind, allows broadcast") {
+    val df = (0 until 50).map(i => (s"k$i", i)).toDF("k", "v")
+    // RoundRobinPartitioning (repartition(n)) — the gate used to
+    // enumerate hash/range/single partitionings and let this through
+    assert(!Bucketing.isExchangeFree(df.repartition(8)),
+      "repartition(n) shuffle passed the zero-shuffle gate")
+    assert(!Bucketing.isExchangeFree(df.repartition(8, col("k"))))
+    assert(!Bucketing.isExchangeFree(df.groupBy("k").count()))
+    // broadcast join: the only allowed exchange
+    val joined = df.join(broadcast((0 until 5).map(i => (s"k$i", "x"))
+      .toDF("k", "tag")), "k")
+    assert(Bucketing.isExchangeFree(joined),
+      s"broadcast flagged as shuffle:\n${joined.queryExecution.executedPlan}")
+  }
 }

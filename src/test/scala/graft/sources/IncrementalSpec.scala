@@ -50,4 +50,21 @@ class IncrementalSpec extends SparkSpec {
     p1.commit()
     assert(Incremental.readNew(spark, table, ckpt)._2.isEmpty)
   }
+
+  test("readNew keeps partition columns of a partitioned table (basePath)") {
+    val table = Files.createTempDirectory("inc_base").toString
+    val ckpt = Files.createTempDirectory("inc_base_ckpt").toString
+    Seq((1, "a"), (2, "b")).toDF("v", "route")
+      .write.partitionBy("route").mode("append").parquet(table)
+    val (df1, p1) = Incremental.readNew(spark, table, ckpt)
+    // explicit leaf-file reads drop partition values without basePath —
+    // and the empty-plan branch (whole-table read) would then disagree
+    // on schema with the new-files branch
+    assert(df1.columns.toSet == Set("v", "route"), df1.columns.mkString(","))
+    assert(df1.select("v", "route").as[(Int, String)].collect().toSet
+      == Set((1, "a"), (2, "b")))
+    p1.commit()
+    val (dfEmpty, p2) = Incremental.readNew(spark, table, ckpt)
+    assert(p2.isEmpty && dfEmpty.columns.sorted.sameElements(df1.columns.sorted))
+  }
 }
