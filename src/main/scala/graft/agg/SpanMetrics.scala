@@ -47,7 +47,12 @@ object SpanMetrics {
                                  idCol: String, maxPerDataPoint: Int): DataFrame = {
     val keys = dims.map(col)
     val byKey = Window.partitionBy(keys: _*)
-    val w = byKey.orderBy(col(durCol).desc, col(idCol).desc)
+    // rank by the SAME bigint-truncated duration the aggregator
+    // receives — ordering by the raw column would select different
+    // exemplars for fractional durations (5.7 outranking 5.2 here while
+    // the aggregator sees the 5===5 tie and breaks on id), breaking the
+    // frame-equality contract between the two renderings
+    val w = byKey.orderBy(col(durCol).cast("bigint").desc, col(idCol).desc)
     spans
       .withColumn("_rn", row_number().over(w))
       .withColumn("calls", count(lit(1)).over(byKey))

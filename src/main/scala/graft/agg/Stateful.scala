@@ -42,16 +42,28 @@ object Stateful {
     // cast covers TIMESTAMP_NTZ inputs (identity under the UTC session tz)
     val tsc = col(tsCol).cast("timestamp")
     val dt = unix_micros(tsc) - unix_micros(lag(tsc, 1).over(win))
-    df.withColumn("rate", col(valueCol) / (dt.cast("double") / 1e6))
+    // dt=0 (two points sharing a timestamp — the collision the tieBreak
+    // param exists for) → null rate, like the first point: unguarded,
+    // ANSI's Divide throws DIVIDE_BY_ZERO and one duplicate pair kills
+    // the whole query
+    df.withColumn("rate",
+      when(dt === 0L, lit(null))
+        .otherwise(col(valueCol) / (dt.cast("double") / 1e6)))
   }
 
   /** interval processor (`processor/intervalprocessor/processor.go:70-163`):
     * last value per stream per tumbling window. */
   def intervalLast(df: DataFrame, idCols: Seq[String], tsCol: String,
-                   valueCol: String, interval: String): DataFrame = {
+                   valueCol: String, interval: String,
+                   tieBreak: Seq[String] = Nil): DataFrame = {
     val keys = window(col(tsCol), interval) +: idCols.map(col)
+    // max_by over (ts, tieBreak...) — bare max_by(value, ts) picks an
+    // ARBITRARY row when timestamps collide, violating this file's
+    // determinism contract (pass the tie-break columns on inputs where
+    // equal-ts points per stream are possible)
+    val ord = struct((tsCol +: tieBreak).map(col): _*)
     df.groupBy(keys: _*)
-      .agg(max_by(col(valueCol), col(tsCol)).as("last_value"))
+      .agg(max_by(col(valueCol), ord).as("last_value"))
       .withColumn("window_start", col("window.start"))
       .drop("window")
   }

@@ -146,17 +146,21 @@ object Ottl {
   /** UnixNano (func_unix_nano.go) — timestamp precision is µs, so the
     * nano rendering is exact ×1000. */
   def unixNanos(c: Column): Column = unix_micros(c.cast("timestamp")) * 1000L
-  /** Unix(seconds[, nanoseconds]) → timestamp (func_unix.go). */
+  /** Unix(seconds[, nanoseconds]) → timestamp (func_unix.go).
+    * `div` = IntegralDivide: exact long division like the duration
+    * accessors — a double `/` would lose precision above 2^53 nanos.
+    * (Truncation toward zero for negative nanos; Go floor-normalizes,
+    * out of range for the pipeline's non-negative fractional nanos.) */
   def unixToTime(sec: Column, nanos: Column = lit(0L)): Column =
     timestamp_micros(sec.cast("long") * 1000000L
-      + (nanos.cast("long") / 1000L).cast("long"))
+      + call_function("div", nanos.cast("long"), lit(1000L)))
   /** Now() (func_now.go). Wall-clock at PLAN time per Spark semantics —
     * current_timestamp() is fixed per query (all rows agree), which is
     * the right distributed rendering of the collector's per-batch clock;
     * speculative retries must not disagree on "now". */
   def now(): Column = current_timestamp()
   def hourOf(c: Column): Column = hour(c)
-  def durationSeconds(c: Column): Column = { // Duration("1h2m3.5s") → seconds
+  def durationSeconds(c: Column): Column = { // Duration("-1h2m3.5s") → seconds
     // Go time.ParseDuration unit grammar: h, m, s, ms, us/µs, ns — each
     // with an optional fraction. Unit-boundary care: the minutes regex
     // needs (?!s) so it can't grab the 'm' of "100ms" (which previously
@@ -165,12 +169,17 @@ object Ottl {
     // regexp_extract yields "" on no-match; nullif keeps ANSI casts happy.
     def part(re: String) = nullif(regexp_extract(c, re, 1), lit(""))
     def num(re: String) = coalesce(part(re).cast("double"), lit(0.0))
-    num("(\\d+(?:\\.\\d+)?)h") * 3600.0 +
-    num("(\\d+(?:\\.\\d+)?)m(?!s)") * 60.0 +
-    num("(\\d+(?:\\.\\d+)?)s") +
-    num("(\\d+(?:\\.\\d+)?)ms") / 1e3 +
-    num("(\\d+(?:\\.\\d+)?)[uµ]s") / 1e6 +
-    num("(\\d+(?:\\.\\d+)?)ns") / 1e9
+    val magnitude =
+      num("(\\d+(?:\\.\\d+)?)h") * 3600.0 +
+      num("(\\d+(?:\\.\\d+)?)m(?!s)") * 60.0 +
+      num("(\\d+(?:\\.\\d+)?)s") +
+      num("(\\d+(?:\\.\\d+)?)ms") / 1e3 +
+      num("(\\d+(?:\\.\\d+)?)[uµ]s") / 1e6 +
+      num("(\\d+(?:\\.\\d+)?)ns") / 1e9
+    // Go's grammar takes one leading sign for the whole duration
+    // ("-1.5h" = -5400 s) — the unit regexes see only the digits, so
+    // without this the sign silently vanished
+    when(c.startsWith("-"), -magnitude).otherwise(magnitude)
   }
   /** Duration-unit family (func_hours.go, func_minutes.go, …):
     * Hours/Minutes/Seconds return float64, Milliseconds/Microseconds/

@@ -49,9 +49,17 @@ case class SpanToAttributes(child: Expression, rules: Seq[String],
   @transient private lazy val compiled: Array[(Pattern, Array[String])] =
     rules.map { r =>
       val names = SpanToAttributes.groupNames(r)
-      val (javaRegex, n) = MultiPatternExtract.normalizeGroups(r)
-      require(n == names.length, s"rule must use only NAMED groups: $r")
-      (Pattern.compile(javaRegex), names)
+      val (javaRegex, _) = MultiPatternExtract.normalizeGroups(r)
+      val p = Pattern.compile(javaRegex)
+      // compare against the compiled TOTAL capturing-group count — the
+      // old `normalizeGroups(r)._2 == names.length` compared two counts
+      // of the same named-group regex (vacuously true), so a rule with
+      // an unnamed capturing group compiled and then crashed (or bound
+      // values to the wrong attribute names) at runtime
+      require(p.matcher("").groupCount() == names.length,
+        s"rule must use only NAMED capturing groups " +
+        s"(found ${p.matcher("").groupCount()} groups, ${names.length} named): $r")
+      (p, names)
     }.toArray
 
   /** Public so generated code can call it. */

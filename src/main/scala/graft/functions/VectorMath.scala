@@ -55,6 +55,11 @@ case class CosineSim(left: Expression, right: Expression)
       nb += y * y
       i += 1
     }
+    // zero-norm guard, same convention as JaccardSim's J(∅,∅) := 0.0:
+    // 0/0 would be NaN, and NaN compares GREATER than every threshold
+    // in Spark orderings — a zero embedding would rank top of every
+    // top-k and pair with every doc in the near-dup filters
+    if (na == 0.0 || nb == 0.0) return java.lang.Double.valueOf(0.0)
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
@@ -106,6 +111,11 @@ case class LshBucket64(child: Expression, planes: Seq[Array[Double]])
     var p = 0
     while (p < planeArr.length) {
       val plane = planeArr(p)
+      // dim mismatch → bit stays 0 (bucket 0), matching the HOF's null
+      // dot — pinned by SimilaritySpec; the OPERATORS guard the silent
+      // all-rows-in-bucket-0 degrade with a dim probe (Dedup.
+      // nearDupEmbedding), since an expression can't fail per-row
+      // without diverging from its SQL differential rendering
       if (plane.length == n) {
         var dot = 0.0
         var ok = true

@@ -130,9 +130,15 @@ object Dedup {
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("shh").as("sh_b"))
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      // dedupe multi-band hits BEFORE the verify: a true near-dup shares
+      // most of its `bands` buckets, so verifying per join row ran the
+      // exact-Jaccard set scan up to `bands`× per pair — and then
+      // shuffled every copy into the old post-filter groupBy anyway.
+      // Grouping first costs the same shuffle but verifies once per pair.
+      .groupBy("id_a", "id_b")
+      .agg(first("sh_a").as("sh_a"), first("sh_b").as("sh_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .groupBy("id_a", "id_b").agg(first("jaccard").as("jaccard")) // dedupe multi-band hits
   }
 
   /** Brute-force n-gram Jaccard pairs — the small-scale oracle-checkable
@@ -168,6 +174,15 @@ object Dedup {
   def nearDupEmbedding(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, signBits: Int = 12,
                        dim: Int = 64, seed: Long = 42L): DataFrame = {
+    // fail LOUD on a dim mismatch (one-row probe, reads one row group):
+    // a wrong `dim` leaves every LSH bit unset, so all rows share bucket
+    // 0 and the candidate join silently degrades to the full O(n²) pair
+    // matrix — results stay correct, only the runtime explodes
+    df.select(size(col(vecCol)).as("d")).limit(1).collect().headOption
+      .foreach { r =>
+        require(r.getInt(0) == dim,
+          s"nearDupEmbedding: dim=$dim but $vecCol has ${r.getInt(0)} elements")
+      }
     val planes = Similarity.hyperplanes(dim, signBits, seed)
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", Similarity.lshBucket(col("v"), planes))

@@ -40,7 +40,10 @@ object Similarity {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
-    dot / (na * nb)
+    // zero-norm guard like the codegen expression (and like jaccardHof):
+    // unguarded, ANSI's Divide throws DIVIDE_BY_ZERO where CosineSim
+    // returns 0.0, breaking the bit-identity contract on zero vectors
+    when(na * nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
   }
 
   /** Brute-force cosine top-k against one query vector. */

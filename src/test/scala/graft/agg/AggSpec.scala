@@ -79,4 +79,31 @@ class AggSpec extends SparkSpec {
     assert(Stateful.aggregateLabels(logs, Seq("svc"), "v", "max")
       .as[(String, Long)].collect().toMap == Map("a" -> 50, "b" -> 40))
   }
+
+  test("stateful: delta→rate yields null (not a crash) on duplicate timestamps") {
+    // two points share a ts — unguarded, value/0.0 throws ANSI
+    // DIVIDE_BY_ZERO and one collision kills the whole query
+    val dup = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 10L, "x"),
+      ("a", ts("2024-01-01 00:00:00"), 20L, "y"),
+      ("a", ts("2024-01-01 00:00:10"), 30L, "z")
+    ).toDF("svc", "ts", "v", "tb")
+    val rates = Stateful.deltaToRate(dup, Seq("svc"), "ts", "v", tieBreak = Seq("tb"))
+      .select("tb", "rate").as[(String, Option[Double])].collect().toMap
+    assert(rates("x").isEmpty)          // first point: no previous
+    assert(rates("y").isEmpty)          // dt=0: null, not DIVIDE_BY_ZERO
+    assert(rates("z").contains(3.0))    // 30 / 10s
+  }
+
+  test("stateful: interval last-value breaks timestamp ties deterministically") {
+    val dup = Seq(
+      ("a", ts("2024-01-01 00:10:00"), 1L, "m"),
+      ("a", ts("2024-01-01 00:10:00"), 2L, "z"), // max tie-break → kept
+      ("a", ts("2024-01-01 00:10:00"), 3L, "k")
+    ).toDF("svc", "ts", "v", "tb")
+    val out = Stateful.intervalLast(dup, Seq("svc"), "ts", "v", "1 hour",
+      tieBreak = Seq("tb"))
+      .select("last_value").as[Long].collect().toSeq
+    assert(out == Seq(2L)) // max_by (ts, tb): "z" wins, every run
+  }
 }

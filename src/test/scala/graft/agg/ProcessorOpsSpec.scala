@@ -93,6 +93,19 @@ class ProcessorOpsSpec extends SparkSpec {
     val fast = norm(SpanMetrics.callsWithExemplars(spans, Seq("tool"), "dur", "sid", 3))
     val slow = norm(SpanMetrics.callsWithExemplarsWindowed(spans, Seq("tool"), "dur", "sid", 3))
     assert(fast == slow)
+    // FRACTIONAL durations: both renderings must rank by the same
+    // bigint-truncated value (the window used to order by the raw
+    // double — 5.7 outranked 5.2 there while the aggregator saw the
+    // 5===5 tie and broke on id, selecting a different exemplar)
+    val frac = Seq(("t", 5.7, "a"), ("t", 5.2, "z"), ("t", 4.9, "b"))
+      .toDF("tool", "dur", "sid")
+    def exIds(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("exemplars").head()
+        .getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+        .map(_.getString(1)).toSeq
+    val fastF = exIds(SpanMetrics.callsWithExemplars(frac, Seq("tool"), "dur", "sid", 1))
+    val slowF = exIds(SpanMetrics.callsWithExemplarsWindowed(frac, Seq("tool"), "dur", "sid", 1))
+    assert(fastF == slowF, s"fast=$fastF slow=$slowF")
   }
 
   test("spanmetrics exemplars: tie-break matches UTF8 binary order off-ASCII") {

@@ -74,6 +74,12 @@ class GoldenOttlSpec extends SparkSpec {
     // fractional non-second units parse whole ("1.5m" is 90 s, not 5 min)
     assert(eval1[Double](Ottl.durationSeconds(lit("1.5m"))) == 90.0)
     assert(eval1[Double](Ottl.durationHours(lit("1.5h"))) == 1.5)
+    // one leading sign negates the WHOLE duration (Go grammar):
+    // ParseDuration("-1.5h") = -5400 s — the unit regexes see only the
+    // digits, so the sign previously vanished
+    assert(eval1[Double](Ottl.durationSeconds(lit("-1.5h"))) == -5400.0)
+    assert(eval1[Long](Ottl.durationMillis(lit("-1.5s"))) == -1500L)
+    assert(eval1[Long](Ottl.durationNanos(lit("-0.3s"))) == -300000000L)
   }
 
   test("UnixNano/Unix round-trip (func_unix_nano.go, func_unix.go)") {

@@ -67,6 +67,14 @@ class SimilaritySpec extends SparkSpec {
         Similarity.cosineHof(col("v"), lit(Array(1.0, 2.0, 3.0))).as("slow"))
       .as[(Option[Double], Option[Double])].head()
     assert(bad._1.isEmpty && bad._2.isEmpty)
+    // zero-norm vector → 0.0 in BOTH renderings: unguarded, the codegen
+    // path's 0/0 NaN ranks above every threshold (NaN > x in Spark
+    // orderings) and the HOF's ANSI Divide throws DIVIDE_BY_ZERO
+    val zero = Seq(Seq(0.0, 0.0, 0.0)).toDF("v")
+      .select(Similarity.cosine(col("v"), lit(Array(1.0, 2.0, 3.0))).as("fast"),
+        Similarity.cosineHof(col("v"), lit(Array(1.0, 2.0, 3.0))).as("slow"))
+      .as[(Double, Double)].head()
+    assert(zero._1 == 0.0 && zero._2 == 0.0)
   }
 
   test("lsh bucket codegen expression matches the per-plane HOF rendering") {

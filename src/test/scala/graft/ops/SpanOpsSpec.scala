@@ -44,6 +44,19 @@ class SpanOpsSpec extends SparkSpec {
     assert(r.getStruct(0).getMap[String, String](1).isEmpty)
   }
 
+  test("to_attributes: a rule with an UNNAMED capturing group is rejected") {
+    // the old check compared two counts of the same named-group scan
+    // (vacuously equal), so this rule compiled and then crashed — or
+    // silently bound values to the wrong attribute names — at runtime
+    val e = intercept[Throwable] {
+      one(SpanOps.toAttributes(lit("verb v2"), Seq("(?<verb>\\w+) (v\\d+)")))
+    }
+    // the require may surface wrapped in a SparkException — scan the chain
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(chain.contains("NAMED"), chain)
+  }
+
   test("from_attributes joins with separator; missing key leaves name untouched") {
     val attrs = map(lit("svc"), lit("auth"), lit("op"), lit("login"))
     assert(one(SpanOps.renameFromAttributes(lit("old"), attrs,
