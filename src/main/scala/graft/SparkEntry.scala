@@ -466,6 +466,28 @@ object SparkEntry {
       documents(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
 
+    "d14_dup_spans" -> ((s, dir) =>
+      // duplicated-span detection (Lee et al. 2022 substring dedup,
+      // token n-gram rendering): maximal spans of corpus-duplicated
+      // trigram windows per doc. hashed=true is the production path
+      // (the global frequency shuffle and join-back carry 8-byte
+      // window hashes, never n-gram strings); the DuckDB oracle
+      // reproduces the pipeline over STRINGS — DedupSpec proves
+      // hashed ≡ string exactly on this corpus (an xxhash64 collision
+      // could only widen a span; ~1e-13 odds here)
+      Dedup.duplicatedSpans(documents(s, dir), "doc_id", "text",
+        n = 3, minCount = 2, hashed = true)),
+
+    "d15_repetition" -> ((s, dir) =>
+      // Gopher-style within-doc repetition quality filter: duplicate
+      // bigram/trigram fractions (narrow map, no shuffle) + top-bigram
+      // share (per-doc mode over 8-byte window hashes); `repetitive`
+      // thresholds the floored e4 values so the cut is bit-stable.
+      // Oracle runs the string rendering; TextAnalysisSpec proves
+      // hashed ≡ string on this corpus
+      TextAnalysis.repetitionMetrics(documents(s, dir), "doc_id", "text",
+        hashed = true)),
+
     "p33_parse_uri" -> ((s, dir) => {
       val url = concat(lit("https://svc-"), col("user_id").cast("string"),
         lit(".example.com/api/v"), (col("event_id") % 3).cast("string"),
@@ -1256,6 +1278,64 @@ object SparkEntry {
          |       THEN list_sort($hits)[-1].l ELSE 'und' END AS lang_pred
          |FROM documents""".stripMargin
     },
+
+    // Positional trigram windows via parallel unnests (DuckDB aligns
+    // multiple unnests in one SELECT positionally); span merge is the
+    // same gaps-and-islands rendering the Spark side uses. Docs under 3
+    // tokens carry no trigram evidence and are omitted on both sides.
+    "d14_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |gp AS (SELECT doc_id,
+        |         unnest(generate_series(0, len(w)-3)) AS pos,
+        |         unnest(list_transform(generate_series(1, len(w)-2),
+        |           i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |       FROM w WHERE len(w) >= 3),
+        |dups AS (SELECT sh FROM gp GROUP BY sh HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos, pos+2 AS endp FROM gp JOIN dups USING (sh)),
+        |m AS (SELECT doc_id, pos, endp,
+        |        max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM dp),
+        |isl AS (SELECT doc_id, pos, endp,
+        |          sum(CASE WHEN pm IS NULL OR pos > pm+1 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |        FROM m),
+        |sp AS (SELECT doc_id, g, min(pos) AS s, max(endp) AS e
+        |       FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, count(*) AS n_spans,
+        |          sum(e - s + 1) AS dup_tokens
+        |        FROM sp GROUP BY 1)
+        |SELECT w.doc_id, CAST(len(w.w) AS INT) AS n_tokens,
+        |  coalesce(a.n_spans, 0) AS n_spans,
+        |  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(floor((coalesce(a.dup_tokens, 0) / len(w.w)) * 10000) AS BIGINT)
+        |    AS dup_frac_e4
+        |FROM w LEFT JOIN agg a USING (doc_id)
+        |WHERE len(w.w) >= 3""".stripMargin,
+
+    "d15_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+        |        list_transform(generate_series(1, len(w)-1),
+        |          i -> array_to_string(w[i:i+1], ' ')) AS g2,
+        |        list_transform(generate_series(1, len(w)-2),
+        |          i -> array_to_string(w[i:i+2], ' ')) AS g3
+        |      FROM w WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(g2) AS sh FROM b),
+        |c AS (SELECT doc_id, sh, count(*) AS c FROM e GROUP BY 1, 2),
+        |t AS (SELECT doc_id, max(c) AS topc FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, dup_bigram_frac_e4, dup_trigram_frac_e4,
+        |  top_bigram_frac_e4,
+        |  (top_bigram_frac_e4 > 2000 OR dup_trigram_frac_e4 > 3000) AS repetitive
+        |FROM (
+        |  SELECT b.doc_id, b.n_tokens,
+        |    CAST(floor(((CAST(len(g2) AS DOUBLE) - len(list_distinct(g2)))
+        |      / CAST(len(g2) AS DOUBLE)) * 10000) AS BIGINT) AS dup_bigram_frac_e4,
+        |    CAST(floor(((CAST(len(g3) AS DOUBLE) - len(list_distinct(g3)))
+        |      / CAST(len(g3) AS DOUBLE)) * 10000) AS BIGINT) AS dup_trigram_frac_e4,
+        |    CAST(floor((t.topc / CAST(len(g2) AS DOUBLE)) * 10000) AS BIGINT)
+        |      AS top_bigram_frac_e4
+        |  FROM b JOIN t USING (doc_id))""".stripMargin,
 
     "p33_parse_uri" ->
       """SELECT event_id,

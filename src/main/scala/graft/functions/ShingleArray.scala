@@ -8,9 +8,13 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct token n-gram shingles of a space-separated string in ONE
-  * byte-level pass — `hashed = true` emits `array<bigint>` of
-  * xxhash64(shingle) instead of the strings (the shuffle-slimming path).
+/** Token n-gram shingles of a space-separated string in ONE byte-level
+  * pass — `hashed = true` emits `array<bigint>` of xxhash64(shingle)
+  * instead of the strings (the shuffle-slimming path); `distinct =
+  * false` keeps EVERY window in document order (array index = 0-based
+  * token position of the window start — the positional form consumed by
+  * duplicated-span detection and repetition metrics, where
+  * multiplicity and position carry the signal).
   *
   * Bit-identical to the HOF rendering ([[graft.ops.Dedup.shinglesHof]])
   * `array_distinct(transform(sequence(0, greatest(0, size(toks)-n)),
@@ -48,7 +52,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * (Broder '97); consumed by [[graft.ops.Dedup]] and
   * [[graft.ops.TextAnalysis.contamination]].
   */
-case class ShingleArray(child: Expression, n: Int, hashed: Boolean)
+case class ShingleArray(child: Expression, n: Int, hashed: Boolean,
+                        distinct: Boolean = true)
     extends UnaryExpression {
   require(n > 0, "shingle size must be positive")
 
@@ -88,6 +93,7 @@ case class ShingleArray(child: Expression, n: Int, hashed: Boolean)
     }
     ends(t) = nb
     val windows = math.max(0, tokCount - n) + 1
+    if (!distinct) return shingleAll(base, off, starts, ends, tokCount, windows)
     // presize hint only — clamp so a pathological token-dense giant doc
     // (GiB of spaces → windows near 2^30) can't overflow `windows * 2`
     // into a negative capacity; the sets still grow to any size
@@ -123,6 +129,37 @@ case class ShingleArray(child: Expression, n: Int, hashed: Boolean)
       val it = seen.iterator()
       var k = 0
       while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Non-distinct path: every window in order, index = window start. */
+  private def shingleAll(base: AnyRef, off: Long, starts: Array[Int],
+                         ends: Array[Int], tokCount: Int,
+                         windows: Int): ArrayData = {
+    if (hashed) {
+      val out = new Array[Long](windows)
+      var w = 0
+      while (w < windows) {
+        val from = starts(w)
+        val until = ends(math.min(w + n - 1, tokCount - 1))
+        out(w) = XXH64.hashUnsafeBytes(base, off + from, until - from, 42L)
+        w += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[AnyRef](windows)
+      var w = 0
+      while (w < windows) {
+        val from = starts(w)
+        val until = ends(math.min(w + n - 1, tokCount - 1))
+        val len = until - from
+        val bytes = new Array[Byte](len)
+        Platform.copyMemory(base, off + from, bytes,
+          Platform.BYTE_ARRAY_OFFSET, len)
+        out(w) = UTF8String.fromBytes(bytes)
+        w += 1
+      }
       new GenericArrayData(out)
     }
   }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -42,6 +43,32 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(graft.functions.ShingleArray(
       Bridge.expression(textCol), n, hashed = true))
+  }
+
+  /** ALL token n-grams in document order (array index = 0-based window
+    * start position) — the positional form for duplicated-span
+    * detection, where multiplicity and position matter. */
+  def shinglesAll(textCol: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.ShingleArray(
+      Bridge.expression(textCol), n, hashed = false, distinct = false))
+  }
+
+  /** Positional variant of [[shingleHashes]]: xxhash64 of every window
+    * in order, duplicates kept. */
+  def shingleHashesAll(textCol: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.ShingleArray(
+      Bridge.expression(textCol), n, hashed = true, distinct = false))
+  }
+
+  /** Interpreted-HOF rendering of [[shinglesAll]] (differential oracle —
+    * bit-identical, minus the array_distinct of [[shinglesHof]]). */
+  def shinglesAllHof(textCol: Column, n: Int = 3): Column = {
+    val toks = split(textCol, " ")
+    val starts = sequence(lit(0), greatest(lit(0), size(toks) - lit(n)))
+    transform(starts, i =>
+      concat_ws(" ", (0 until n).map(j => get(toks, i + lit(j))): _*))
   }
 
   /** Interpreted-HOF rendering of [[shingles]] (differential oracle —
@@ -320,6 +347,68 @@ object Dedup {
   def dedupDeleteList(groups: DataFrame): DataFrame =
     groups.filter(col("id") =!= col("group"))
       .select(col("id").as("delete_id"), col("group").as("keep_id"))
+
+  /** Duplicated-span detection: per document, the maximal token spans
+    * covered by n-grams that occur ≥ `minCount` times ACROSS THE CORPUS
+    * — the token-level distributed rendering of suffix-array substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499: remove any substring
+    * duplicated verbatim elsewhere). n-gram windows approximate the
+    * suffix array: a duplicated substring of length ≥ n tokens is
+    * exactly a run of duplicated n-gram windows, and merging
+    * overlapping-or-adjacent window starts (pos ≤ prev_end + 1)
+    * reconstructs its maximal extent.
+    *
+    * Output per doc (docs shorter than n tokens carry no n-gram
+    * evidence and are omitted): `n_tokens`, `n_spans`, `dup_tokens`
+    * (tokens inside duplicated spans), `dup_frac_e4` — the per-doc
+    * dup-coverage signal a curation pipeline thresholds on.
+    *
+    * Scale design at 10^12 turns: the global n-gram frequency pass is a
+    * groupBy over 8-byte xxhash64 window keys (`hashed=true`, the
+    * production default — map-side partial aggregation collapses hot
+    * n-grams before the shuffle); the join back to positions carries the
+    * same 8-byte keys; span merging is a window over `idCol` —
+    * high-cardinality partitioning key, no global sort. `hashed=false`
+    * keeps n-gram strings so a SQL oracle can reproduce the pipeline;
+    * the spec proves both variants identical (an xxhash64 collision
+    * could only merge two n-grams' counts: ~1e-13 at test scale). */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, minCount: Int = 2,
+                      hashed: Boolean = true): DataFrame = {
+    val nTokens = size(split(col(textCol), " "))
+    val eligible = df.filter(nTokens >= n)
+    val sh = if (hashed) shingleHashesAll(col(textCol), n)
+             else shinglesAll(col(textCol), n)
+    val grams = eligible.select(col(idCol), posexplode(sh).as(Seq("pos", "sh")))
+    val dupSh = grams.groupBy("sh")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select("sh")
+    val dupPos = grams.join(dupSh, Seq("sh"))
+      .select(col(idCol), col("pos"), (col("pos") + lit(n - 1)).as("endp"))
+    // gaps-and-islands: a window starts a new span iff it begins past
+    // the furthest end seen so far plus one (adjacent windows chain)
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val prevMax = max(col("endp"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dupPos
+      .withColumn("_new",
+        when(prevMax.isNull || col("pos") > prevMax + 1, 1).otherwise(0))
+      .withColumn("isl", sum(col("_new")).over(byDoc))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min("pos").as("s"), max("endp").as("e"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+    eligible.select(col(idCol), nTokens.as("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_spans", "dup_tokens"))
+      .select(col(idCol), col("n_tokens"), col("n_spans"),
+        col("dup_tokens").cast("bigint").as("dup_tokens"),
+        floor((col("dup_tokens") / col("n_tokens")) * 10000)
+          .cast("bigint").as("dup_frac_e4"))
+  }
 
   /** SimHash near-dup pairs: hamming distance ≤ maxHamming. Scale path:
     * block on the top `blockBits` bits so only same-block pairs compare

@@ -62,6 +62,56 @@ object TextAnalysis {
       .withColumn("contamination", col("n_contaminated") / col("n_shingles"))
   }
 
+  // ---- within-document repetition (quality filter) ----
+
+  /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", arXiv:2112.11446 §A1.1 repetition
+    * filters), token-based rendering: per document the fraction of
+    * bigram/trigram occurrences that are repeats of an earlier n-gram
+    * (`dup_*_frac`) and the share held by the single most frequent
+    * bigram (`top_bigram_frac`) — boilerplate and degenerate-loop text
+    * scores high on these and is dropped before training. Fractions are
+    * over token n-grams rather than characters (documented deviation
+    * from the paper; same signal, SQL-oracle-expressible), and the
+    * `repetitive` flag applies Gopher-magnitude thresholds to the
+    * floored e4 values so the cut is bit-stable across engines.
+    *
+    * Scale design: the dup fractions are a pure narrow map — two
+    * codegen byte passes per n ([[Dedup.shingleHashesAll]] total vs
+    * [[Dedup.shingleHashes]] distinct), no shuffle; only the per-doc
+    * bigram mode shuffles, keyed by (doc, 8-byte window hash) with
+    * map-side partial aggregation, then by doc. `hashed=false` keeps
+    * n-gram strings for the SQL oracle; the spec proves hashed ≡ string
+    * (a collision could only merge two n-grams: ~1e-13 here). Docs
+    * shorter than 3 tokens have no trigram evidence and are omitted. */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+                        hashed: Boolean = true): DataFrame = {
+    val t = col(textCol)
+    def all(nn: Int) = if (hashed) Dedup.shingleHashesAll(t, nn)
+                       else Dedup.shinglesAll(t, nn)
+    def dist(nn: Int) = if (hashed) Dedup.shingleHashes(t, nn)
+                        else Dedup.shingles(t, nn)
+    val eligible = df.filter(size(split(t, " ")) >= 3)
+    def fracE4(c: Column): Column = floor(c * 10000).cast("bigint")
+    val base = eligible.select(col(idCol),
+      size(split(t, " ")).as("n_tokens"),
+      size(all(2)).cast("double").as("n2"),
+      size(dist(2)).cast("double").as("d2"),
+      size(all(3)).cast("double").as("n3"),
+      size(dist(3)).cast("double").as("d3"))
+    val topBigram = eligible
+      .select(col(idCol), explode(all(2)).as("sh"))
+      .groupBy(col(idCol), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max("c").as("topc"))
+    base.join(topBigram, Seq(idCol))
+      .select(col(idCol), col("n_tokens"),
+        fracE4((col("n2") - col("d2")) / col("n2")).as("dup_bigram_frac_e4"),
+        fracE4((col("n3") - col("d3")) / col("n3")).as("dup_trigram_frac_e4"),
+        fracE4(col("topc") / col("n2")).as("top_bigram_frac_e4"))
+      .withColumn("repetitive",
+        col("top_bigram_frac_e4") > 2000 || col("dup_trigram_frac_e4") > 3000)
+  }
+
   // ---- token counting ----
 
   /** Whitespace token count. */

@@ -185,6 +185,73 @@ class DedupSpec extends SparkSpec {
     assert(hashed.nonEmpty && hashed.forall { case (f, h) => f == h })
   }
 
+  test("positional shingles: in order, duplicates kept, HOF-identical") {
+    for (n <- Seq(1, 3, 8)) {
+      val diff = corpus.select(Dedup.shinglesAll(col("text"), n).as("fast"),
+          Dedup.shinglesAllHof(col("text"), n).as("slow"))
+        .as[(Seq[String], Seq[String])].collect()
+      assert(diff.nonEmpty && diff.forall { case (f, h) => f == h },
+        s"n=$n diverged")
+    }
+    val edges = Seq("", " ", "  ", "a", "a b", " a  b ", "a a a a",
+        "héllo wörld héllo wörld héllo", "a\tb c")
+      .toDF("text")
+      .select(Dedup.shinglesAll(col("text"), 3).as("fast"),
+        Dedup.shinglesAllHof(col("text"), 3).as("slow"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(edges.forall { case (f, h) => f == h })
+    // multiplicity + order: index = window start position
+    val rep = Seq("a a a a").toDF("text")
+      .select(Dedup.shinglesAll(col("text"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(rep == Seq("a a a", "a a a")) // NOT deduped
+    // hashed ≡ transform(all-windows HOF, xxhash64)
+    val hashed = (corpus.limit(60) union Seq((9001L, ""), (9002L, "a  b"))
+        .toDF("doc_id", "text"))
+      .select(Dedup.shingleHashesAll(col("text"), 3).as("fast"),
+        transform(Dedup.shinglesAllHof(col("text"), 3),
+          s => xxhash64(s)).as("slow"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(hashed.nonEmpty && hashed.forall { case (f, h) => f == h })
+  }
+
+  test("duplicated spans: maximal cross-doc and within-doc span merging") {
+    // docs 1/2 share the 4-token substring "a b c d" (two overlapping
+    // dup trigram windows → ONE merged span of 4 tokens each); doc 3 is
+    // all-unique; doc 4 is a within-doc repeat covering the whole doc;
+    // doc 5 is too short for trigram evidence (omitted); doc 6 carries
+    // TWO disjoint dup regions (span count 2, no over-merge)
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z a b c d q"),
+      (3L, "p q r s t u v w"),
+      (4L, "m m m m m"),
+      (5L, "k l"),
+      (6L, "a b c d z1 z2 z3 z4 a b c d")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 8, 1L, 4L, 5000L),
+      (2L, 8, 1L, 4L, 5000L),
+      (3L, 8, 0L, 0L, 0L),
+      (4L, 5, 1L, 5L, 10000L),
+      (6L, 12, 2L, 8L, 6666L))
+    assert(got == want, s"got $got")
+  }
+
+  test("duplicated spans: hashed production path ≡ string oracle path") {
+    def run(h: Boolean) =
+      Dedup.duplicatedSpans(corpus, "doc_id", "text", n = 3, hashed = h)
+        .as[(Long, Int, Long, Long, Long)].collect().toSet
+    val hashed = run(true)
+    assert(hashed.nonEmpty && hashed == run(false))
+    // the near-dup corpus must actually light up: docs 0..9 share 24 of
+    // 25 tokens with their planted near-dup, so dup coverage is high
+    val byId = hashed.map(r => r._1 -> r._4).toMap
+    assert(byId(0L) == 25L, "exact dup of doc 0 must cover the whole doc")
+    assert(byId(1L) >= 10L, "planted near-dup must produce a long span")
+  }
+
   test("dedup groups: connected components, survivor, delete list") {
     // components: {1,2,3,4} (path — needs >1 propagation round),
     // {5,6}, {8,9,10}; 20..26 chain exercises diameter-6 convergence

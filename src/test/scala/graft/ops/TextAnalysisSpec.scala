@@ -32,6 +32,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r._2 == 8)
   }
 
+  test("repetition metrics: hand-computed fractions and the Gopher cut") {
+    val docs = Seq(
+      (1L, "a a a a a"),             // degenerate loop: everything dup
+      (2L, "the cat sat on the mat"), // clean prose, top bigram AT 2000
+      (3L, "x y x y x y"),           // alternating boilerplate
+      (4L, "a b")                    // too short for trigram evidence
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .as[(Long, Int, Long, Long, Long, Boolean)].collect().toSet
+    val want = Set(
+      // doc 1: 4 bigrams 1 distinct → 7500; 3 trigrams 1 distinct →
+      // 6666; top bigram 4/4 → 10000 → repetitive
+      (1L, 5, 7500L, 6666L, 10000L, true),
+      // doc 2: all n-grams distinct; top bigram 1/5 → exactly 2000 —
+      // the flag is a STRICT > so the boundary doc survives
+      (2L, 6, 0L, 0L, 2000L, false),
+      // doc 3: bigrams x·y ×3, y·x ×2 → dup 3/5 = 6000; trigrams 2
+      // distinct of 4 → 5000; top bigram 3/5 → 6000 → repetitive
+      (3L, 6, 6000L, 5000L, 6000L, true))
+    assert(got == want, s"got $got")
+  }
+
+  test("repetition metrics: hashed production path ≡ string oracle path") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector.tabulate(50)(i => s"w$i")
+    val docs = Seq.tabulate(80) { i =>
+      val len = 3 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(h: Boolean) =
+      TextAnalysis.repetitionMetrics(docs, "doc_id", "text", hashed = h)
+        .as[(Long, Int, Long, Long, Long, Boolean)].collect().toSet
+    val hashed = run(true)
+    assert(hashed.size == 80 && hashed == run(false))
+  }
+
   test("quality metrics are bounded and favor clean prose") {
     val df = Seq(
       ("clean", "the quick brown fox jumps over the lazy dog and it is a fine day for running"),
