@@ -853,6 +853,16 @@ object SparkEntry {
           sum(when(col("failed"), 1L).otherwise(0L)).as("n_failed"))
     }),
 
+    "p57_turn_repetition" -> ((s, dir) =>
+      // Gopher duplicate-line filter over conversations: fraction of
+      // turns repeating an earlier turn's text — flags agent loops.
+      // hashed=true is the production path (the distinct-expand shuffle
+      // carries 8-byte text hashes, never turn bodies); the oracle
+      // counts DISTINCT over raw strings — TextAnalysisSpec proves
+      // hashed ≡ string on this corpus
+      TextAnalysis.repeatedLineFraction(t(s, dir), "conv_id", "text",
+        hashed = true)),
+
     "m03_multimodal_meta" -> ((s, dir) =>
       // typed-metadata projection + blob byte length — metadata derives
       // from integer arithmetic so the oracle reproduces it exactly;
@@ -1682,6 +1692,16 @@ object SparkEntry {
         |     AND s.server_ts >= c.client_ts
         |     AND s.server_ts <= c.client_ts + INTERVAL 5 MINUTE
         |GROUP BY 1, 2, 3""".stripMargin),
+
+    "p57_turn_repetition" -> withT(
+      """SELECT conv_id, n_turns, n_distinct, dup_turn_frac_e4,
+        |  dup_turn_frac_e4 > 3000 AS loopy
+        |FROM (
+        |  SELECT conv_id, count(*) AS n_turns,
+        |    count(DISTINCT text) AS n_distinct,
+        |    CAST(floor(((count(*) - count(DISTINCT text)) / count(*)) * 10000)
+        |      AS BIGINT) AS dup_turn_frac_e4
+        |  FROM transcripts GROUP BY conv_id)""".stripMargin),
 
     "p54_ottl_duration_unix" ->
       """SELECT event_id,

@@ -112,6 +112,33 @@ object TextAnalysis {
         col("top_bigram_frac_e4") > 2000 || col("dup_trigram_frac_e4") > 3000)
   }
 
+  /** Group-level repeated-line filter — the Gopher duplicate-line
+    * fraction (arXiv:2112.11446 §A1.1) rendered over grouped lines: per
+    * group (a conversation, with turns as lines) the fraction of
+    * members whose text repeats an earlier member. Agent transcripts
+    * stuck in a loop re-emit near-identical turns; conversations above
+    * the Gopher 0.30 line-dup threshold are flagged `loopy` for
+    * curation. The flag thresholds the floored e4 value (strict >) so
+    * the cut is bit-stable across engines.
+    *
+    * Scale design: one aggregation keyed by the high-cardinality group
+    * column; with `hashed=true` (production default) the distinct count
+    * runs over 8-byte xxhash64(text) so the distinct-expand shuffle
+    * never carries turn bodies (a collision could only merge two
+    * distinct turns: ~1e-13 at test scale). `hashed=false` counts raw
+    * strings for SQL-oracle parity; the spec proves both identical. */
+  def repeatedLineFraction(df: DataFrame, groupCol: String, textCol: String,
+                           hashed: Boolean = true): DataFrame = {
+    val key = if (hashed) xxhash64(col(textCol)) else col(textCol)
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_turns"),
+        count_distinct(key).as("n_distinct"))
+      .select(col(groupCol), col("n_turns"), col("n_distinct"),
+        floor(((col("n_turns") - col("n_distinct")) / col("n_turns")) * 10000)
+          .cast("bigint").as("dup_turn_frac_e4"))
+      .withColumn("loopy", col("dup_turn_frac_e4") > 3000)
+  }
+
   // ---- token counting ----
 
   /** Whitespace token count. */

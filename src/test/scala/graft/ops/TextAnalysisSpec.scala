@@ -68,6 +68,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hashed.size == 80 && hashed == run(false))
   }
 
+  test("repeated-line fraction flags loopy conversations, spares the boundary") {
+    val turns =
+      Seq("hi", "hi", "hi", "bye").map(("A", _)) ++          // 4 turns, 2 distinct
+      Seq("a", "b", "c").map(("B", _)) ++                    // all distinct
+      ((1 to 7).map(i => s"t$i") ++ Seq("t1", "t2", "t3"))   // 10 turns, 7 distinct
+        .map(("C", _))
+    val df = turns.toDF("conv_id", "text")
+    val got = TextAnalysis.repeatedLineFraction(df, "conv_id", "text")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    val want = Set(
+      ("A", 4L, 2L, 5000L, true),
+      ("B", 3L, 3L, 0L, false),
+      // dup fraction EXACTLY 3000 — the Gopher cut is a strict > so the
+      // boundary conversation survives
+      ("C", 10L, 7L, 3000L, false))
+    assert(got == want, s"got $got")
+    // hashed production path ≡ string oracle path
+    val str = TextAnalysis.repeatedLineFraction(df, "conv_id", "text",
+      hashed = false).as[(String, Long, Long, Long, Boolean)].collect().toSet
+    assert(str == got)
+  }
+
   test("quality metrics are bounded and favor clean prose") {
     val df = Seq(
       ("clean", "the quick brown fox jumps over the lazy dog and it is a fine day for running"),
