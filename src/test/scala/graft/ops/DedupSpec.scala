@@ -252,6 +252,23 @@ class DedupSpec extends SparkSpec {
     assert(byId(1L) >= 10L, "planted near-dup must produce a long span")
   }
 
+  test("duplicated spans plan: partial agg, local sorts, pruned scan") {
+    val plan = Dedup.duplicatedSpans(corpus, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    // map-side combine on the global n-gram frequency pass — hot
+    // n-grams collapse before the 8-byte-key shuffle
+    assert(plan.contains("partial_count"), s"no partial aggregation:\n$plan")
+    // span merge sorts only within doc partitions — global=false on
+    // every Sort (a global sort would serialize the corpus at scale)
+    val sorts = plan.linesIterator.filter(_.contains("Sort [")).toSeq
+    assert(sorts.nonEmpty && sorts.forall(_.contains("], false, 0")),
+      s"global sort in span merge:\n${sorts.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+    // positional hashed windows, never n-gram strings
+    assert(plan.contains("shingle_array"), s"codegen shingle missing:\n$plan")
+  }
+
   test("dedup groups: connected components, survivor, delete list") {
     // components: {1,2,3,4} (path — needs >1 propagation round),
     // {5,6}, {8,9,10}; 20..26 chain exercises diameter-6 convergence
