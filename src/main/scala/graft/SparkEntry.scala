@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.agg.{CountStage, Rollup, Stateful}
 import graft.enrich.EnrichStage
 import graft.model.PipelineConfig._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.parse.ParseStage
 import graft.route.RouteStage
 import graft.run.Pipeline
@@ -477,6 +477,17 @@ object SparkEntry {
       // could only widen a span; ~1e-13 odds here)
       Dedup.duplicatedSpans(documents(s, dir), "doc_id", "text",
         n = 3, minCount = 2, hashed = true)),
+
+    "d16_curation" -> ((s, dir) => {
+      // the end-to-end curation verdict: exact-dup survivorship →
+      // contamination → repetition → quality, first failing check wins.
+      // Benchmark stand-in = every 97th doc (the d13 convention); all
+      // branch shuffles carry 8-byte keys (hashed=true), the oracle
+      // composes the same CTEs over strings
+      val docs = documents(s, dir)
+      Curation.decide(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text")
+    }),
 
     "d15_repetition" -> ((s, dir) =>
       // Gopher-style within-doc repetition quality filter: duplicate
@@ -1322,6 +1333,61 @@ object SparkEntry {
         |    AS dup_frac_e4
         |FROM w LEFT JOIN agg a USING (doc_id)
         |WHERE len(w.w) >= 3""".stripMargin,
+
+    // The curation CTE chain is the d13 + d15 + d09 oracles composed:
+    // survivors by text, trigram contamination vs the %97 bench set,
+    // repetition flag (with the ≥10-token evidence guard), quality
+    // score floored to e4 — CASE order = check severity order.
+    "d16_curation" ->
+      """WITH surv AS (SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+        |         i -> array_to_string(w[i:i+2], ' '))) AS s
+        |       FROM w WHERE len(w) >= 3),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |hits AS (SELECT e.doc_id, count(*) AS n_cont
+        |         FROM ex e JOIN bench b USING (g) GROUP BY 1),
+        |contam AS (SELECT s.doc_id,
+        |    CAST(floor((coalesce(h.n_cont, 0) / len(s.s)) * 10000) AS BIGINT) AS contam_e4
+        |  FROM sh s LEFT JOIN hits h USING (doc_id)),
+        |rb AS (SELECT doc_id,
+        |         list_transform(generate_series(1, len(w)-1),
+        |           i -> array_to_string(w[i:i+1], ' ')) AS g2,
+        |         list_transform(generate_series(1, len(w)-2),
+        |           i -> array_to_string(w[i:i+2], ' ')) AS g3
+        |       FROM w WHERE len(w) >= 3),
+        |re AS (SELECT doc_id, unnest(g2) AS sh2 FROM rb),
+        |rc AS (SELECT doc_id, sh2, count(*) AS c FROM re GROUP BY 1, 2),
+        |rt AS (SELECT doc_id, max(c) AS topc FROM rc GROUP BY 1),
+        |rep AS (SELECT rb.doc_id,
+        |    ((CAST(floor((rt.topc / CAST(len(g2) AS DOUBLE)) * 10000) AS BIGINT) > 2000
+        |      OR CAST(floor(((CAST(len(g3) AS DOUBLE) - len(list_distinct(g3)))
+        |           / CAST(len(g3) AS DOUBLE)) * 10000) AS BIGINT) > 3000)
+        |     AND len(g2) + 1 >= 10) AS repetitive
+        |  FROM rb JOIN rt USING (doc_id)),
+        |qual AS (SELECT doc_id, CAST(floor(
+        |    (least(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |     + (1.0 - least(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g'))
+        |         / CAST(length(text) AS DOUBLE) * 5, 1.0)) * 0.2
+        |     + least(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |         x -> x IN ('the','and','of','to','a','in','is','that','it','for')))
+        |         / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) * 4, 1.0) * 0.2
+        |     + (1.0 - least(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |         / CAST(length(text) AS DOUBLE) * 5, 1.0)) * 0.2) * 10000) AS BIGINT) AS quality_e4
+        |  FROM documents),
+        |r AS (SELECT d.doc_id,
+        |    CASE WHEN d.doc_id <> s.keep_id THEN 'exact_dup'
+        |         WHEN coalesce(c.contam_e4, 0) >= 5000 THEN 'contaminated'
+        |         WHEN coalesce(r2.repetitive, FALSE) THEN 'repetitive'
+        |         WHEN q.quality_e4 < 5500 THEN 'low_quality'
+        |         ELSE 'keep' END AS reason
+        |  FROM documents d
+        |  JOIN surv s ON d.text = s.text
+        |  LEFT JOIN contam c ON d.doc_id = c.doc_id
+        |  LEFT JOIN rep r2 ON d.doc_id = r2.doc_id
+        |  JOIN qual q ON d.doc_id = q.doc_id)
+        |SELECT doc_id, reason, reason = 'keep' AS keep FROM r""".stripMargin,
 
     "d15_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
