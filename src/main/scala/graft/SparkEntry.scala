@@ -1377,16 +1377,17 @@ object SparkEntry {
         |         / CAST(length(text) AS DOUBLE) * 5, 1.0)) * 0.2) * 10000) AS BIGINT) AS quality_e4
         |  FROM documents),
         |r AS (SELECT d.doc_id,
-        |    CASE WHEN d.doc_id <> s.keep_id THEN 'exact_dup'
+        |    CASE WHEN d.text IS NULL THEN 'empty'
+        |         WHEN d.doc_id <> s.keep_id THEN 'exact_dup'
         |         WHEN coalesce(c.contam_e4, 0) >= 5000 THEN 'contaminated'
         |         WHEN coalesce(r2.repetitive, FALSE) THEN 'repetitive'
         |         WHEN q.quality_e4 < 5500 THEN 'low_quality'
         |         ELSE 'keep' END AS reason
         |  FROM documents d
-        |  JOIN surv s ON d.text = s.text
+        |  LEFT JOIN surv s ON d.text = s.text
         |  LEFT JOIN contam c ON d.doc_id = c.doc_id
         |  LEFT JOIN rep r2 ON d.doc_id = r2.doc_id
-        |  JOIN qual q ON d.doc_id = q.doc_id)
+        |  LEFT JOIN qual q ON d.doc_id = q.doc_id)
         |SELECT doc_id, reason, reason = 'keep' AS keep FROM r""".stripMargin,
 
     "d15_repetition" ->

@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   * tokens: the Gopher thresholds assume long documents, and a tiny doc
   * trivially exceeds them by pigeonhole (4 distinct bigrams → top share
   * 2500 > the 2000 cut), which would mis-drop short clean text.
+  *
+  * NULL-text documents are decided up front as `empty` (dropped) —
+  * they never enter the survivor join, where the hashed and string
+  * renderings would otherwise disagree (xxhash64 skips null children
+  * and returns its seed, while an equi-join drops null keys).
   */
 object Curation {
 
@@ -39,19 +44,22 @@ object Curation {
              minRepetitionTokens: Int = 10,
              hashed: Boolean = true): DataFrame = {
     val key: Column = if (hashed) xxhash64(col(textCol)) else col(textCol)
-    val d = docs.select(col(idCol), key.as("_tkey"))
+    val empties = docs.filter(col(textCol).isNull)
+      .select(col(idCol), lit("empty").as("reason"), lit(false).as("keep"))
+    val nonNull = docs.filter(col(textCol).isNotNull)
+    val d = nonNull.select(col(idCol), key.as("_tkey"))
     val surv = d.groupBy("_tkey").agg(min(idCol).as("_keep_id"))
     val withSurv = d.join(surv, Seq("_tkey"))
       .select(col(idCol), (col(idCol) === col("_keep_id")).as("_survivor"))
-    val contam = TextAnalysis.contamination(docs, idCol, textCol,
+    val contam = TextAnalysis.contamination(nonNull, idCol, textCol,
         benchmark, benchTextCol, n = 3, hashed = hashed)
       .select(col(idCol),
         floor(col("contamination") * 10000).cast("bigint").as("_contam_e4"))
-    val rep = TextAnalysis.repetitionMetrics(docs, idCol, textCol, hashed)
+    val rep = TextAnalysis.repetitionMetrics(nonNull, idCol, textCol, hashed)
       .select(col(idCol),
         (col("repetitive") && col("n_tokens") >= minRepetitionTokens)
           .as("_repetitive"))
-    val qual = docs.select(col(idCol),
+    val qual = nonNull.select(col(idCol),
       floor(TextAnalysis.qualityMetrics(col(textCol))
         .getField("quality_score") * 10000).cast("bigint").as("_quality_e4"))
     val reason = when(!col("_survivor"), "exact_dup")
@@ -66,5 +74,6 @@ object Curation {
       .join(qual, Seq(idCol))
       .select(col(idCol), reason.as("reason"))
       .withColumn("keep", col("reason") === "keep")
+      .unionByName(empties)
   }
 }

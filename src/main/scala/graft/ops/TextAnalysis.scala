@@ -93,11 +93,15 @@ object TextAnalysis {
                         else Dedup.shingles(t, nn)
     val eligible = df.filter(size(split(t, " ")) >= 3)
     def fracE4(c: Column): Column = floor(c * 10000).cast("bigint")
+    // totals are arithmetic, not a shingle pass: an eligible (≥3-token)
+    // doc has exactly n_tokens-1 bigram and n_tokens-2 trigram windows,
+    // so only the DISTINCT counts pay a byte pass
+    val nTok = size(split(t, " "))
     val base = eligible.select(col(idCol),
-      size(split(t, " ")).as("n_tokens"),
-      size(all(2)).cast("double").as("n2"),
+      nTok.as("n_tokens"),
+      (nTok - 1).cast("double").as("n2"),
       size(dist(2)).cast("double").as("d2"),
-      size(all(3)).cast("double").as("n3"),
+      (nTok - 2).cast("double").as("n3"),
       size(dist(3)).cast("double").as("d3"))
     val topBigram = eligible
       .select(col(idCol), explode(all(2)).as("sh"))
@@ -129,7 +133,12 @@ object TextAnalysis {
     * strings for SQL-oracle parity; the spec proves both identical. */
   def repeatedLineFraction(df: DataFrame, groupCol: String, textCol: String,
                            hashed: Boolean = true): DataFrame = {
-    val key = if (hashed) xxhash64(col(textCol)) else col(textCol)
+    // null-preserving hash: count_distinct ignores nulls, and a bare
+    // xxhash64(null) would return the seed (a countable value) — the
+    // hashed path must drop null turns from the distinct count exactly
+    // like the string path / SQL count(DISTINCT text) do
+    val key = if (hashed) when(col(textCol).isNotNull, xxhash64(col(textCol)))
+              else col(textCol)
     df.groupBy(groupCol)
       .agg(count(lit(1)).as("n_turns"),
         count_distinct(key).as("n_distinct"))

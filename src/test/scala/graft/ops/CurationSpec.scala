@@ -43,6 +43,23 @@ class CurationSpec extends SparkSpec {
     assert(got == want, s"got $got")
   }
 
+  test("curation decision: null-text docs get 'empty' on both paths") {
+    // without the explicit branch the two renderings disagree: xxhash64
+    // skips null children (both nulls share the seed → one 'keeps'),
+    // while the string equi-join silently drops null keys entirely
+    val withNulls = docs.unionByName(
+      Seq((8L, None: Option[String]), (9L, None: Option[String]))
+        .toDF("doc_id", "text"))
+    def run(h: Boolean) =
+      Curation.decide(withNulls, "doc_id", "text", bench, "text", hashed = h)
+        .as[(Long, String, Boolean)].collect().toSet
+    val hashed = run(true)
+    assert(hashed == run(false))
+    assert(hashed.filter(_._1 >= 8L) ==
+      Set((8L, "empty", false), (9L, "empty", false)))
+    assert(hashed.size == 9) // the 7 non-null verdicts are untouched
+  }
+
   test("curation decision: hashed production path ≡ string oracle path") {
     val str = Curation.decide(docs, "doc_id", "text", bench, "text",
         hashed = false)

@@ -90,6 +90,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(str == got)
   }
 
+  test("repeated-line fraction: null turns count as turns, not distinct values") {
+    // SQL count(DISTINCT text) ignores nulls; the hashed path must too
+    // (a bare xxhash64(null) would return the seed and be counted)
+    val df = Seq(("A", Some("a")), ("A", Some("b")), ("A", None), ("A", None))
+      .toDF("conv_id", "text")
+    def run(h: Boolean) =
+      TextAnalysis.repeatedLineFraction(df, "conv_id", "text", hashed = h)
+        .as[(String, Long, Long, Long, Boolean)].head()
+    val hashed = run(true)
+    assert(hashed == run(false))
+    assert(hashed == (("A", 4L, 2L, 5000L, true)))
+  }
+
   test("quality metrics are bounded and favor clean prose") {
     val df = Seq(
       ("clean", "the quick brown fox jumps over the lazy dog and it is a fine day for running"),
