@@ -874,6 +874,12 @@ object SparkEntry {
       TextAnalysis.repeatedLineFraction(t(s, dir), "conv_id", "text",
         hashed = true)),
 
+    "m04_blob_dedup" -> ((s, dir) =>
+      // content-hash dedup of media blobs; the blob is the doc's UTF-8
+      // text bytes, so DuckDB's md5(text) digests identical input
+      Multimodal.dedupByContent(
+        Multimodal.synthFromDocuments(documents(s, dir), "doc_id", "text"))),
+
     "m03_multimodal_meta" -> ((s, dir) =>
       // typed-metadata projection + blob byte length — metadata derives
       // from integer arithmetic so the oracle reproduces it exactly;
@@ -1613,6 +1619,11 @@ object SparkEntry {
         |        (doc_id*97) % 60000 + 1 AS dur_ms
         |      FROM documents)
         |GROUP BY 1""".stripMargin,
+
+    "m04_blob_dedup" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+        |  count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "m03_multimodal_meta" ->
       """SELECT doc_id AS media_id,

@@ -128,4 +128,16 @@ object Multimodal {
       .agg(count(lit(1)).as("n"),
         avg(col("meta.width")).as("avg_width"),
         avg(col("meta.dur_ms")).as("avg_dur_ms"))
+
+  /** Exact media dedup by content hash — the multimodal analog of the
+    * d01 text pass: byte-identical blobs collapse to one survivor
+    * regardless of id or metadata (re-uploaded/mirrored images are the
+    * dominant dup class in crawled media). The groupBy key is the
+    * 32-hex md5 of the blob, so the shuffle carries hashes + counts,
+    * never the blobs themselves, and a SQL oracle reproduces the digest
+    * (swap in xxhash64(bytes) to shrink the key to 8 bytes when no
+    * oracle needs to follow). */
+  def dedupByContent(media: DataFrame): DataFrame =
+    media.groupBy(md5(col("bytes")).as("content_md5"))
+      .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_dups"))
 }

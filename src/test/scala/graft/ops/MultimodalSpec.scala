@@ -15,6 +15,21 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.synthFromDocuments(docs, "doc_id", "text").cache()
   }
 
+  test("blob content dedup groups identical bytes, ignores id/metadata") {
+    val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (10L, "aaa"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.dedupByContent(
+        Multimodal.synthFromDocuments(docs, "doc_id", "text"))
+      .as[(String, Long, Long)].collect().toSet
+    // digest pinned to the JDK's md5 over the raw UTF-8 bytes — the
+    // exact value a SQL oracle's md5(text) must reproduce
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Set(
+      (md5hex("aaa"), 1L, 3L), // survivor = min id, metadata differences ignored
+      (md5hex("bbb"), 2L, 1L)))
+  }
+
   test("synth media matches the declared schema (names + types)") {
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType.sql.replace(" NOT NULL", ""))).toSeq
