@@ -478,6 +478,15 @@ object SparkEntry {
       Dedup.duplicatedSpans(documents(s, dir), "doc_id", "text",
         n = 3, minCount = 2, hashed = true)),
 
+    "d17_span_removal" -> ((s, dir) =>
+      // the REWRITE step of substring dedup: within-doc repeated
+      // trigram runs cut, first occurrence kept — exact string
+      // semantics (the expression compares window substrings, not
+      // hashes), so the SQL oracle reproduces it with no caveat
+      documents(s, dir).select(col("doc_id"),
+        Dedup.removeRepeatedSpans(col("text"), 3).as("clean_text"))
+        .withColumn("n_kept", size(split(col("clean_text"), " ")))),
+
     "d16_curation" -> ((s, dir) => {
       // the end-to-end curation verdict: exact-dup survivorship →
       // contamination → repetition → quality, first failing check wins.
@@ -1339,6 +1348,34 @@ object SparkEntry {
         |    AS dup_frac_e4
         |FROM w LEFT JOIN agg a USING (doc_id)
         |WHERE len(w.w) >= 3""".stripMargin,
+
+    // Span removal in SQL: first occurrence per in-doc window, later
+    // occurrences mark their token range covered, kept tokens re-join
+    // ordered by position (lossless: tokens are single-space splits).
+    // Short docs have no windows → LEFT JOINs pass them through.
+    "d17_span_removal" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id,
+        |          unnest(generate_series(0, len(w)-1)) AS i,
+        |          unnest(w) AS t
+        |        FROM w),
+        |gp AS (SELECT doc_id,
+        |         unnest(generate_series(0, len(w)-3)) AS pos,
+        |         unnest(list_transform(generate_series(1, len(w)-2),
+        |           i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |       FROM w WHERE len(w) >= 3),
+        |fo AS (SELECT doc_id, sh, min(pos) AS first_pos FROM gp GROUP BY 1, 2),
+        |dup AS (SELECT g.doc_id, g.pos
+        |        FROM gp g JOIN fo USING (doc_id, sh)
+        |        WHERE g.pos > fo.first_pos),
+        |cov AS (SELECT DISTINCT doc_id, i FROM
+        |          (SELECT doc_id, unnest(generate_series(pos, pos+2)) AS i FROM dup)),
+        |kept AS (SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.i) AS clean_text
+        |         FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
+        |         WHERE c.i IS NULL GROUP BY 1)
+        |SELECT w.doc_id, coalesce(k.clean_text, '') AS clean_text,
+        |  CAST(len(string_split(coalesce(k.clean_text, ''), ' ')) AS INT) AS n_kept
+        |FROM w LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     // The curation CTE chain is the d13 + d15 + d09 oracles composed:
     // survivors by text, trigram contamination vs the %97 bench set,

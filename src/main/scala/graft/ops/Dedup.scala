@@ -410,6 +410,15 @@ object Dedup {
           .cast("bigint").as("dup_frac_e4"))
   }
 
+  /** Within-doc repeated-span removal — the REWRITE step of substring
+    * dedup ([[graft.functions.DedupSpans]]): windows repeating an
+    * earlier in-doc occurrence are cut, kept tokens re-join on single
+    * spaces. Pure narrow map, exact string semantics (no hashes). */
+  def removeRepeatedSpans(textCol: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.DedupSpans(Bridge.expression(textCol), n))
+  }
+
   /** SimHash near-dup pairs: hamming distance ≤ maxHamming. Scale path:
     * block on the top `blockBits` bits so only same-block pairs compare
     * (near-dups agree on most bits, so high-bit blocking has high

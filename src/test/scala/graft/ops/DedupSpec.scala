@@ -269,6 +269,47 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("shingle_array"), s"codegen shingle missing:\n$plan")
   }
 
+  test("repeated-span removal: hand cases incl. overlap chains and spaces") {
+    val cases = Seq(
+      "a a a a" -> "a",                       // overlapping repeats chain
+      "x y x y x y" -> "x y",                 // alternating boilerplate
+      "hello world again hello world again extra"
+        -> "hello world again extra",         // verbatim re-emission cut
+      "one two" -> "one two",                 // short doc: byte-identical
+      "" -> "",
+      "a  b a  b a" -> "a  b",                // empty tokens participate
+      "p q r s t u v" -> "p q r s t u v")     // no repeats: unchanged
+    val got = cases.map(_._1).toDF("text")
+      .select(col("text"), Dedup.removeRepeatedSpans(col("text"), 3).as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"'$in' → '${got(in)}', wanted '$want'") }
+  }
+
+  test("repeated-span removal: expression ≡ plain Scala reference on corpus") {
+    def ref(text: String, n: Int): String = {
+      val toks = text.split(" ", -1)
+      if (toks.length < n) return text
+      val seen = scala.collection.mutable.Set[String]()
+      val covered = Array.fill(toks.length)(false)
+      for (w <- 0 to toks.length - n) {
+        val win = toks.slice(w, w + n).mkString(" ")
+        if (!seen.add(win)) (w until w + n).foreach(covered(_) = true)
+      }
+      toks.indices.filterNot(covered).map(toks).mkString(" ")
+    }
+    val planted = Seq((900L, ("lorem ipsum dolor " * 5).trim),
+      (901L, "héllo wörld héllo wörld héllo wörld"))
+    val rows = (corpus union planted.toDF("doc_id", "text"))
+      .select(col("text"), Dedup.removeRepeatedSpans(col("text"), 3).as("c"))
+      .as[(String, String)].collect()
+    assert(rows.length > 40 &&
+      rows.forall { case (in, out) => out == ref(in, 3) })
+    // the planted loop actually shrinks (the operator does real work)
+    val m = rows.toMap
+    assert(m(planted.head._2) == "lorem ipsum dolor")
+  }
+
   test("dedup groups: connected components, survivor, delete list") {
     // components: {1,2,3,4} (path — needs >1 propagation round),
     // {5,6}, {8,9,10}; 20..26 chain exercises diameter-6 convergence
