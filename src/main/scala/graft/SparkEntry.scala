@@ -1373,8 +1373,11 @@ object SparkEntry {
         |kept AS (SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.i) AS clean_text
         |         FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
         |         WHERE c.i IS NULL GROUP BY 1)
-        |SELECT w.doc_id, coalesce(k.clean_text, '') AS clean_text,
-        |  CAST(len(string_split(coalesce(k.clean_text, ''), ' ')) AS INT) AS n_kept
+        |SELECT w.doc_id,
+        |  CASE WHEN w.w IS NULL THEN NULL
+        |       ELSE coalesce(k.clean_text, '') END AS clean_text,
+        |  CAST(len(string_split(CASE WHEN w.w IS NULL THEN NULL
+        |    ELSE coalesce(k.clean_text, '') END, ' ')) AS INT) AS n_kept
         |FROM w LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     // The curation CTE chain is the d13 + d15 + d09 oracles composed:

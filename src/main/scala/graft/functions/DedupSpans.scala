@@ -41,25 +41,8 @@ case class DedupSpans(child: Expression, n: Int) extends UnaryExpression {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val nb = s.numBytes()
-    var tokCount = 1
-    var i = 0
-    while (i < nb) {
-      if (Platform.getByte(base, off + i) == 0x20) tokCount += 1
-      i += 1
-    }
+    val (starts, ends, tokCount) = TokenBounds.scan(base, off, nb)
     if (tokCount < n) return s.clone()
-    val starts = new Array[Int](tokCount)
-    val ends = new Array[Int](tokCount)
-    var t = 0
-    starts(0) = 0
-    i = 0
-    while (i < nb) {
-      if (Platform.getByte(base, off + i) == 0x20) {
-        ends(t) = i; t += 1; starts(t) = i + 1
-      }
-      i += 1
-    }
-    ends(t) = nb
     val windows = tokCount - n + 1
     val covered = new Array[Boolean](tokCount)
     // presize hint clamped like ShingleArray's (overflow-safe for
@@ -82,22 +65,24 @@ case class DedupSpans(child: Expression, n: Int) extends UnaryExpression {
     }
     if (!anyCovered) return s.clone()
     // rebuild: kept tokens joined by single spaces (exact, since source
-    // tokens are separated by exactly one 0x20 each)
-    val out = new java.io.ByteArrayOutputStream(nb)
+    // tokens are separated by exactly one 0x20 each); bulk range copies
+    // into a right-sized buffer — output can only shrink
+    val outBytes = new Array[Byte](nb)
+    var outLen = 0
     var first = true
-    t = 0
+    var t = 0
     while (t < tokCount) {
       if (!covered(t)) {
-        if (!first) out.write(0x20)
-        var b = starts(t)
-        while (b < ends(t)) {
-          out.write(Platform.getByte(base, off + b)); b += 1
-        }
+        if (!first) { outBytes(outLen) = 0x20; outLen += 1 }
+        val len = ends(t) - starts(t)
+        Platform.copyMemory(base, off + starts(t), outBytes,
+          Platform.BYTE_ARRAY_OFFSET + outLen, len)
+        outLen += len
         first = false
       }
       t += 1
     }
-    UTF8String.fromBytes(out.toByteArray)
+    UTF8String.fromBytes(outBytes, 0, outLen)
   }
 
   override def nullSafeEval(input: Any): Any =

@@ -74,24 +74,7 @@ case class ShingleArray(child: Expression, n: Int, hashed: Boolean,
     val off = s.getBaseOffset
     val nb = s.numBytes()
     // token boundaries: starts(t) .. ends(t) are byte offsets
-    var tokCount = 1
-    var i = 0
-    while (i < nb) {
-      if (Platform.getByte(base, off + i) == 0x20) tokCount += 1
-      i += 1
-    }
-    val starts = new Array[Int](tokCount)
-    val ends = new Array[Int](tokCount)
-    var t = 0
-    starts(0) = 0
-    i = 0
-    while (i < nb) {
-      if (Platform.getByte(base, off + i) == 0x20) {
-        ends(t) = i; t += 1; starts(t) = i + 1
-      }
-      i += 1
-    }
-    ends(t) = nb
+    val (starts, ends, tokCount) = TokenBounds.scan(base, off, nb)
     val windows = math.max(0, tokCount - n) + 1
     if (!distinct) return shingleAll(base, off, starts, ends, tokCount, windows)
     // presize hint only — clamp so a pathological token-dense giant doc
