@@ -770,6 +770,21 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))),
 
+    "e05_knn_join" -> ((s, dir) =>
+      // k-NN JOIN (top-3 neighbours for EVERY vector): the brute
+      // baseline is registered (oracle-checkable, N² codegen cosines);
+      // e06 is the bucketed scale path, measured at sf0.1
+      Similarity.knnJoinBrute(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 3)),
+
+    "e06_knn_join_lsh" -> ((s, dir) =>
+      // full oracle: same seeded planes as e02 rendered as SQL literals;
+      // the oracle reproduces bucket + hamming-1 probe ball + candidate
+      // equi-join + exact rerank, so parity is exact (not recall-bounded)
+      Similarity.knnJoinLsh(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        k = 3, dim = 64, signBits = 8)),
+
     // -- multimodal plumbing (stubbed decode behind the real
     // mapPartitions batch seam; stub arithmetic is modular → full oracle) --
     "m01_multimodal_decode" -> ((s, dir) =>
@@ -1699,6 +1714,51 @@ object SparkEntry {
         |  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
         |     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4""".stripMargin,
+
+    "e05_knn_join" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT id_a, id_b, c,
+        |        row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rk
+        |      FROM p)
+        |SELECT id_a, id_b, CAST(rk AS INT) AS rk,
+        |  CAST(floor(10000 * c) AS BIGINT) AS cos_e4
+        |FROM r WHERE rk <= 3""".stripMargin,
+
+    // LSH k-NN join: per-vector probe ball (own bucket + hamming-1 over
+    // the same literal planes as e02), candidate equi-join on bucket,
+    // exact cosine rerank top-3 (ties: cosine desc, id_b asc). A probe
+    // ball has distinct values, so a pair matches at most one probe.
+    "e06_knn_join_lsh" ->
+      s"""WITH planes(i, p) AS (VALUES
+         |$lshPlanesValues),
+         |b AS (SELECT e.vec_id,
+         |        CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], planes.p) >= 0
+         |                      THEN 1 << planes.i ELSE 0 END) AS BIGINT) AS bucket
+         |      FROM embeddings e, planes GROUP BY e.vec_id),
+         |probes AS (SELECT vec_id, bucket AS pb FROM b
+         |           UNION ALL
+         |           SELECT b.vec_id, xor(b.bucket, CAST(1 << t.i AS BIGINT))
+         |           FROM b, range(8) t(i)),
+         |cand AS (SELECT pa.vec_id AS id_a, bb.vec_id AS id_b,
+         |           list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+         |             (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+         |              * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) AS c
+         |         FROM probes pa
+         |         JOIN b bb ON bb.bucket = pa.pb AND bb.vec_id <> pa.vec_id
+         |         JOIN embeddings ea ON ea.vec_id = pa.vec_id
+         |         JOIN embeddings eb ON eb.vec_id = bb.vec_id),
+         |r AS (SELECT id_a, id_b, c,
+         |        row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rk
+         |      FROM cand)
+         |SELECT id_a, id_b, CAST(rk AS INT) AS rk,
+         |  CAST(floor(10000 * c) AS BIGINT) AS cos_e4
+         |FROM r WHERE rk <= 3""".stripMargin,
 
     "e01_ann_bruteforce" ->
       """SELECT vec_id,

@@ -97,6 +97,58 @@ object Similarity {
       .limit(k)
   }
 
+  /** Brute k-NN JOIN: top-k cosine neighbours for EVERY vector — the
+    * batch form behind near-dup clustering and retrieval-index seeding,
+    * vs the single-query [[bruteForceTopK]]. Deliberately quadratic (N²
+    * codegen cosines; the d05-style oracle-checkable baseline) —
+    * [[knnJoinLsh]] is the scale path. Deterministic tie-break: cosine
+    * desc, then neighbour id asc. */
+  def knnJoinBrute(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int): DataFrame = {
+    val dv = col(vecCol).cast("array<double>")
+    val a = df.select(col(idCol).as("id_a"), dv.as("va"))
+    val b = df.select(col(idCol).as("id_b"), dv.as("vb"))
+    val pairs = a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("id_a"), col("id_b"), col("rk"),
+        floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))
+  }
+
+  /** LSH-bucketed k-NN join — the scale path: each vector's probe side
+    * explodes its own bucket plus the hamming-1 ball, the candidate set
+    * is an equi-join on the bucket id, and only candidates pay an exact
+    * cosine + per-vector top-k. The N² pair space never materializes:
+    * candidates ≈ N × (signBits+1) × mean bucket occupancy, and the
+    * join shuffles on the 8-byte bucket key. Probe values within a ball
+    * are distinct, so a pair can match at most once — no dedup needed.
+    * Recall < 1 by construction (near neighbours usually share sign
+    * bits; the spec measures recall vs brute on planted clusters);
+    * raise `signBits` as N grows to hold occupancy flat. */
+  def knnJoinLsh(df: DataFrame, idCol: String, vecCol: String,
+                 k: Int, dim: Int, signBits: Int = 6,
+                 seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, signBits, seed)
+    val dv = col(vecCol).cast("array<double>")
+    val a = df.select(col(idCol).as("id_a"), dv.as("va"))
+      .withColumn("b0", lshBucket(col("va"), planes))
+    val probes = col("b0") +: (0 until signBits)
+      .map(i => col("b0").bitwiseXOR(lit(1L << i)))
+    val aa = a.withColumn("bucket", explode(array(probes: _*))).drop("b0")
+    val b = df.select(col(idCol).as("id_b"), dv.as("vb"))
+      .withColumn("bucket", lshBucket(col("vb"), planes))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))
+    aa.join(b, Seq("bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("id_a"), col("id_b"), col("rk"),
+        floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))
+  }
+
   /** IVF-style ANN: assign every vector to its nearest of `centroids`
     * (coarse quantizer); a query scans only the `nProbe` nearest cells.
     * Centroids here are caller-provided (e.g. KMeans or a seeded sample)

@@ -54,6 +54,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knn join: brute finds planted cluster co-members for every vector") {
+    // 10 clusters of 4 near-identical vectors: each vector's top-3
+    // neighbours must be exactly its 3 co-members
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    val centers = Seq.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val clustered = (for {
+      c <- 0 until 10; m <- 0 until 4
+    } yield ((c * 10 + m).toLong,
+        centers(c).map(x => (x + rnd.nextGaussian() * 0.01).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val brute = Similarity.knnJoinBrute(clustered, "vec_id", "embedding", 3)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(brute.length == 40 * 3)
+    val byId = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (c <- 0 until 10; m <- 0 until 4) {
+      val id = (c * 10 + m).toLong
+      val want = (0 until 4).map(x => (c * 10 + x).toLong).toSet - id
+      assert(byId(id) == want, s"vec $id neighbours ${byId(id)}, wanted $want")
+    }
+    // LSH scale path: recall vs brute on the same clustered corpus
+    val lsh = Similarity.knnJoinLsh(clustered, "vec_id", "embedding",
+        k = 3, dim = dim, signBits = 6)
+      .as[(Long, Long, Int, Long)].collect()
+    val lshPairs = lsh.map(r => (r._1, r._2)).toSet
+    val brutePairs = brute.map(r => (r._1, r._2)).toSet
+    val recall = (lshPairs & brutePairs).size.toDouble / brutePairs.size
+    assert(recall >= 0.9, s"LSH knn-join recall $recall < 0.9")
+    // and LSH never invents a better-than-brute neighbour: every LSH
+    // pair at rank r has cos_e4 <= the brute pair at the same rank
+    val bruteRank = brute.map(r => (r._1, r._3) -> r._4).toMap
+    assert(lsh.forall(r => r._4 <= bruteRank((r._1, r._3))))
+  }
+
   test("cosine codegen expression is bit-identical to the HOF rendering") {
     val dv = col("embedding").cast("array<double>")
     val diff = vectors.select(
