@@ -508,6 +508,35 @@ object SparkEntry {
       TextAnalysis.repetitionMetrics(documents(s, dir), "doc_id", "text",
         hashed = true)),
 
+    "d18_sequence_packing" -> ((s, dir) =>
+      // pack-then-split pretraining manifest: global token offsets via
+      // the two-phase distributed prefix sum (range partitions → P
+      // collected totals → per-partition window cumsum + broadcast
+      // offset); oracle is the single-window global cumsum, so equality
+      // proves two-phase ≡ global
+      Curation.packSequences(documents(s, dir), "doc_id", "text",
+        ctxLen = 512)),
+
+    "d19_mixing_sample" -> ((s, dir) =>
+      // dataset-mixing sampler: per-source keep rates as a literal map,
+      // deterministic Knuth-hash verdict (p23 idiom) — pure codegen
+      // filter, zero shuffle
+      Curation.mixingSample(documents(s, dir), "doc_id", "source",
+        ratesE4 = Map("src0" -> 2500, "src1" -> 5000, "src2" -> 7500),
+        defaultE4 = 1000)
+        .select(col("doc_id"), col("source"))),
+
+    "d20_source_cap" -> ((s, dir) =>
+      // per-source cap (keep the 10 longest docs per source, ties →
+      // smaller doc_id) via histogram selection — no per-source sort of
+      // corpus rows; the DuckDB oracle is the plain windowed rendering,
+      // so equality proves selection ≡ sort-rank including boundary ties
+      Curation.topNPerGroup(
+        documents(s, dir).select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens")),
+        "source", "n_tokens", "doc_id", n = 10)
+        .select(col("source"), col("doc_id"), col("n_tokens"))),
+
     "p33_parse_uri" -> ((s, dir) => {
       val url = concat(lit("https://svc-"), col("user_id").cast("string"),
         lit(".example.com/api/v"), (col("event_id") % 3).cast("string"),
@@ -785,6 +814,26 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         k = 3, dim = 64, signBits = 8)),
 
+    "e07_embedding_dedup_groups" -> ((s, dir) => {
+      // SEMANTIC dedup groups: d11's component formation over the
+      // embedding near-dup pair set instead of the MinHash one. Full
+      // oracle (no recall assumption): the DuckDB side recomputes the
+      // SAME 6-bit hyperplane buckets from literal planes, so its pair
+      // set is the LSH candidate set by construction, then closes over
+      // it with the recursive CTE. signBits=6 because the test corpus
+      // has no near-identical vectors (max pair cosine < 0.9): at the
+      // 0.4 verify threshold a 12-bit bucket would keep ~0 candidates.
+      val pairs = Dedup.nearDupEmbedding(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        threshold = 0.4, signBits = 6)
+      val groups = Dedup.dedupGroups(pairs)
+      groups.join(Dedup.dedupGroupSummary(groups),
+          groups("group") === col("keep_id"))
+        .select(col("id").cast("bigint").as("vec_id"),
+          col("group").cast("bigint").as("group_id"),
+          col("n_members"))
+    }),
+
     // -- multimodal plumbing (stubbed decode behind the real
     // mapPartitions batch seam; stub arithmetic is modular → full oracle) --
     "m01_multimodal_decode" -> ((s, dir) =>
@@ -938,8 +987,10 @@ object SparkEntry {
     * left-to-right like [[graft.functions.LshBucket64]]). Scala's
     * shortest-round-trip Double.toString parses back to the identical
     * IEEE double in DuckDB. */
-  private def lshPlanesValues: String =
-    graft.ops.Similarity.hyperplanes(dim = 64, signBits = 8).zipWithIndex
+  private def lshPlanesValues: String = lshPlanesValuesFor(8)
+
+  private def lshPlanesValuesFor(signBits: Int): String =
+    graft.ops.Similarity.hyperplanes(dim = 64, signBits = signBits).zipWithIndex
       .map { case (p, i) =>
         s"($i, ${p.mkString("[", ",", "]")}::DOUBLE[])"
       }.mkString(",\n")
@@ -1475,6 +1526,43 @@ object SparkEntry {
         |      AS top_bigram_frac_e4
         |  FROM b JOIN t USING (doc_id))""".stripMargin,
 
+    // sequence packing: the oracle is the GLOBAL single-window cumsum
+    // (fine over 500 rows); the Spark side computes the same totals with
+    // the two-phase distributed prefix sum — equality proves the phases
+    // compose to the global scan. sum() OVER widens to HUGEINT in
+    // DuckDB, hence the explicit BIGINT cast (the round-1 dtype trap).
+    "d18_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          - n_tokens AS token_start
+        |      FROM t)
+        |SELECT doc_id, n_tokens, token_start,
+        |  token_start // 512 AS bin_first,
+        |  (token_start + n_tokens - 1) // 512 AS bin_last
+        |FROM c""".stripMargin,
+
+    "d19_mixing_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ((doc_id & 2147483647) * 2654435761) % 10000 <
+        |  CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000
+        |              WHEN 'src2' THEN 7500 ELSE 1000 END""".stripMargin,
+
+    // per-source cap: the plain windowed rendering the Spark histogram
+    // selection must equal bit-for-bit, boundary ties included
+    "d20_source_cap" ->
+      """WITH t AS (SELECT source, doc_id,
+        |        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |      FROM documents),
+        |r AS (SELECT source, doc_id, n_tokens,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY n_tokens DESC, doc_id) AS rk
+        |      FROM t)
+        |SELECT source, doc_id, n_tokens FROM r WHERE rk <= 10""".stripMargin,
+
     "p33_parse_uri" ->
       """SELECT event_id,
         |  'svc-' || CAST(user_id AS VARCHAR) || '.example.com' AS host,
@@ -1759,6 +1847,37 @@ object SparkEntry {
          |SELECT id_a, id_b, CAST(rk AS INT) AS rk,
          |  CAST(floor(10000 * c) AS BIGINT) AS cos_e4
          |FROM r WHERE rk <= 3""".stripMargin,
+
+    // embedding dedup groups: recompute the 6-bit buckets from literal
+    // planes (so the pair set IS the LSH candidate set — no recall
+    // assumption), verify at cosine >= 0.4, then close over the pairs
+    // with the d11 recursive component CTE.
+    "e07_embedding_dedup_groups" ->
+      s"""WITH RECURSIVE planes(i, p) AS (VALUES
+         |${lshPlanesValuesFor(6)}),
+         |b AS (SELECT e.vec_id,
+         |        CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], planes.p) >= 0
+         |                      THEN 1 << planes.i ELSE 0 END) AS BIGINT) AS bucket
+         |      FROM embeddings e, planes GROUP BY e.vec_id),
+         |pr AS (SELECT ba.vec_id AS id_a, bb.vec_id AS id_b
+         |       FROM b ba
+         |       JOIN b bb ON bb.bucket = ba.bucket AND ba.vec_id < bb.vec_id
+         |       JOIN embeddings ea ON ea.vec_id = ba.vec_id
+         |       JOIN embeddings eb ON eb.vec_id = bb.vec_id
+         |       WHERE list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+         |         (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+         |          * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) >= 0.4),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |      UNION SELECT id_b, id_a FROM pr),
+         |r(n, m) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, r.m FROM e JOIN r ON e.dst = r.n
+         |),
+         |g AS (SELECT n AS vec_id, min(m) AS group_id FROM r GROUP BY n)
+         |SELECT g.vec_id, g.group_id, c.n_members
+         |FROM g JOIN (SELECT group_id, count(*) AS n_members
+         |             FROM g GROUP BY 1) c USING (group_id)""".stripMargin,
 
     "e01_ann_bruteforce" ->
       """SELECT vec_id,

@@ -76,4 +76,125 @@ object Curation {
       .withColumn("keep", col("reason") === "keep")
       .unionByName(empties)
   }
+
+  /** Dataset-mixing sampler: keep each row with a per-source rate — the
+    * curation step that turns a source-weighted mixture recipe ("10% of
+    * src0, 40% of src7, …") into a concrete keep set. The verdict is a
+    * DETERMINISTIC pure-column expression on (id, source): the same
+    * 31-bit-masked Knuth multiplicative hash as the probabilistic
+    * sampler (see p23 / ParseStage.dropRatioFilter), compared against
+    * the source's rate in e4 integer space. Zero shuffle, zero state —
+    * at 10^12 rows this is a codegen filter inside the scan stage, and
+    * re-running it (or running it per-partition, per-day, resumed after
+    * a kill) keeps exactly the same rows.
+    *
+    * `ratesE4` is a plan-time literal map (sources are a config-sized
+    * set, like the route table); unknown sources fall to `defaultE4`. */
+  def mixingSample(docs: DataFrame, idCol: String, sourceCol: String,
+                   ratesE4: Map[String, Int],
+                   defaultE4: Int = 0): DataFrame = {
+    val rate: Column = ratesE4.foldLeft(lit(defaultE4)) {
+      case (acc, (src, r)) => when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    docs.filter(
+      pmod(col(idCol).bitwiseAND(lit(0x7FFFFFFFL)) * 2654435761L,
+        lit(10000)) < rate)
+  }
+
+  /** Exact per-group top-N WITHOUT a per-group sort — the per-source
+    * cap ("keep at most N docs per domain, best score first") that a
+    * window `row_number() ≤ N` expresses but cannot survive at scale:
+    * ranking 10^9 rows inside one hot source is a single-task sort.
+    * Instead: selection via a score histogram.
+    *
+    *  1. `hist` = count per (group, score) — the only full-corpus
+    *     shuffle, and it carries counts, not rows (score is an e4-floored
+    *     int, so the histogram is bounded by |groups| × |score buckets|,
+    *     orders of magnitude smaller than the corpus).
+    *  2. A window cumsum over the HISTOGRAM (per group, score desc)
+    *     finds each group's threshold bucket: the score where the
+    *     running count crosses N, plus the residual quota inside it.
+    *     The window sorts buckets, never corpus rows.
+    *  3. Rows strictly above the threshold are kept by a broadcast-join
+    *     filter; rows AT the threshold take the residual quota by
+    *     `idCol` asc — a row_number restricted to the boundary bucket,
+    *     whose per-group size is one histogram bucket, not the corpus.
+    *
+    * Groups with fewer than N rows have no crossing bucket and keep
+    * everything. Ties are fully deterministic: score desc, then id asc
+    * — bit-identical to the plain windowed rendering (the DuckDB oracle
+    * runs exactly that). */
+  def topNPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                   idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"topNPerGroup: n must be positive, got $n")
+    val hist = df.groupBy(groupCol, scoreCol).agg(count(lit(1)).as("_c"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(scoreCol).desc)
+    val cum = hist.withColumn("_cum", sum("_c").over(wh))
+      .withColumn("_cum_above", col("_cum") - col("_c"))
+    val thr = cum.filter(col("_cum_above") < n && col("_cum") >= n)
+      .select(col(groupCol), col(scoreCol).as("_thr"),
+        (lit(n.toLong) - col("_cum_above")).as("_quota"))
+    val tagged = df.join(broadcast(thr), Seq(groupCol), "left")
+    val above = tagged.filter(col("_thr").isNull || col(scoreCol) > col("_thr"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(idCol))
+    val boundary = tagged.filter(col(scoreCol) === col("_thr"))
+      .withColumn("_r", row_number().over(wb))
+      .filter(col("_r") <= col("_quota")).drop("_r")
+    above.unionByName(boundary).drop("_thr", "_quota")
+  }
+
+  /** Sequence packing manifest: concatenate the corpus in `idCol` order
+    * and cut it into fixed `ctxLen`-token training windows; emit, per
+    * document, its global token offset and the first/last window it
+    * lands in (documents may straddle a window boundary — the usual
+    * pack-then-split pretraining layout). The manifest is what a reader
+    * needs to materialize any window: scan the docs whose
+    * [bin_first, bin_last] range covers it.
+    *
+    * The global running total is the textbook two-phase distributed
+    * prefix sum — a single-partition `Window.orderBy(id)` cumsum would
+    * serialize 10^12 rows through one task:
+    *  1. range-repartition by id (partition p holds an id range below
+    *     partition p+1's — RangePartitioner assigns ascending ranges to
+    *     ascending partition ids);
+    *  2. per-partition token totals — `parts` numbers, collected to the
+    *     driver, scanned into per-partition global offsets (the one
+    *     driver action, O(parts), same class as the IVF centroid pull);
+    *  3. within-partition cumsum (window keyed by partition id —
+    *     parallel across partitions) + the broadcast offset.
+    *
+    * Token counts use the d02 whitespace idiom (`split(text, " ")`,
+    * empties kept) so the manifest agrees with the suite's token
+    * accounting; null-text docs carry no tokens and are excluded. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    ctxLen: Int, parts: Int = 32): DataFrame = {
+    require(ctxLen > 0, s"packSequences: ctxLen must be positive, got $ctxLen")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast("bigint").as("n_tokens"))
+      .repartitionByRange(parts, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true) // pin rows to their measured partition:
+      // the per-pid totals below and the window cumsum must see the
+      // SAME row→pid mapping, and spark_partition_id is nondeterministic
+      // (a recompute after a lost partition could re-range differently)
+    val totals = toks.groupBy("_pid").agg(sum("n_tokens").as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L) {
+      (acc, p) => acc + totals.getOrElse(p, 0L)
+    }
+    val offCol = (0 until parts).foldLeft(lit(0L)) {
+      (acc, p) => when(col("_pid") === p, lit(offsets(p))).otherwise(acc)
+    }
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(col(idCol))
+    toks
+      .withColumn("token_start",
+        sum("n_tokens").over(wp) - col("n_tokens") + offCol)
+      .select(col(idCol), col("n_tokens"), col("token_start"),
+        expr(s"token_start div $ctxLen").as("bin_first"),
+        expr(s"(token_start + n_tokens - 1) div $ctxLen").as("bin_last"))
+  }
 }

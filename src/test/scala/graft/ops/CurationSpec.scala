@@ -68,4 +68,82 @@ class CurationSpec extends SparkSpec {
       .as[(Long, String, Boolean)].collect().toSet
     assert(hashed == str && hashed.size == 7)
   }
+
+  test("mixing sample: deterministic per-source rates, default for unknowns") {
+    val mix = (0L until 4000L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val rates = Map("src0" -> 10000, "src1" -> 0, "src2" -> 2500)
+    def run() = Curation.mixingSample(mix, "doc_id", "source", rates,
+        defaultE4 = 1000)
+      .as[(Long, String)].collect().toSet
+    val got = run()
+    assert(got == run()) // consistent: identical keep set on re-run
+    val bySrc = got.groupBy(_._2).view.mapValues(_.size).toMap
+      .withDefaultValue(0)
+    assert(bySrc("src0") == 1000) // rate 1.0 keeps every src0 row
+    assert(bySrc("src1") == 0)    // rate 0 keeps none
+    // hash-rate accuracy: 25% and the 10% default, each over 1000 rows
+    assert(math.abs(bySrc("src2") - 250) < 60, s"src2: ${bySrc("src2")}")
+    assert(math.abs(bySrc("src3") - 100) < 45, s"src3: ${bySrc("src3")}")
+  }
+
+  test("top-n per group: histogram selection ≡ windowed rank, ties included") {
+    // scores engineered so every group exercises a different branch:
+    // gA crosses the cap inside a tie bucket (boundary quota), gB is
+    // under the cap (no crossing bucket → keep all), gC crosses exactly
+    // at a bucket edge (quota consumes the whole boundary bucket)
+    val rows = Seq(
+      ("gA", 1L, 90), ("gA", 2L, 80), ("gA", 3L, 80), ("gA", 4L, 80),
+      ("gA", 5L, 70),
+      ("gB", 6L, 50), ("gB", 7L, 40),
+      ("gC", 8L, 60), ("gC", 9L, 60), ("gC", 10L, 60), ("gC", 11L, 55)
+    ).toDF("g", "id", "score")
+    val got = Curation.topNPerGroup(rows, "g", "score", "id", n = 3)
+      .select("g", "id", "score").as[(String, Long, Int)].collect().toSet
+    // windowed rendering (the oracle shape) on the same frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id"))
+    val want = rows.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).drop("rk")
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == want)
+    assert(got == Set(("gA", 1L, 90), ("gA", 2L, 80), ("gA", 3L, 80),
+      ("gB", 6L, 50), ("gB", 7L, 40),
+      ("gC", 8L, 60), ("gC", 9L, 60), ("gC", 10L, 60)))
+  }
+
+  test("sequence packing: two-phase prefix sum ≡ global cumsum") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 300L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))("tok").mkString(" "))
+    }
+    // shuffled input order + a null-text doc: the range repartition must
+    // restore id order and the null must be excluded
+    val docsDf = (rnd.shuffle(corpus) :+ ((300L, null: String)))
+      .toDF("doc_id", "text")
+    val got = Curation.packSequences(docsDf, "doc_id", "text",
+        ctxLen = 64, parts = 7)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // reference: sequential scan over the id-ordered corpus
+    var cum = 0L
+    val want = corpus.sortBy(_._1).map { case (id, text) =>
+      val n = text.split(" ", -1).length.toLong
+      val start = cum; cum += n
+      (id, n, start, start / 64, (start + n - 1) / 64)
+    }
+    assert(got.toSeq == want)
+    // windows partition the token stream: consecutive docs chain
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 + a._2 == b._3) // next start = prev start + prev len
+    }
+  }
+
+  test("sequence packing: more partitions than rows still sums globally") {
+    val tiny = Seq((1L, "a b"), (2L, "c"), (3L, "d e f")).toDF("doc_id", "text")
+    val got = Curation.packSequences(tiny, "doc_id", "text",
+        ctxLen = 4, parts = 32)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 0L, 0L, 0L), (2L, 1L, 2L, 0L, 0L),
+      (3L, 3L, 3L, 0L, 1L)))
+  }
 }

@@ -96,6 +96,17 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(brute), "LSH produced unverified pairs")
     assert(planted.subsetOf(lsh), s"LSH missed planted: ${planted -- lsh}")
+    // semantic dedup groups (e07 compose): each planted pair becomes a
+    // 2-member component surviving as its min id
+    val groups = Dedup.dedupGroups(
+      Dedup.nearDupEmbedding(df, "vec_id", "embedding", 0.99))
+    val summary = Dedup.dedupGroupSummary(groups)
+      .as[(Long, Long)].collect().toMap
+    for (i <- 0 until 5) assert(summary(i.toLong) == 2L,
+      s"group $i: ${summary.get(i.toLong)}")
+    val deletes = Dedup.dedupDeleteList(groups)
+      .as[(Long, Long)].collect().toSet
+    assert((0 until 5).map(i => (500L + i, i.toLong)).toSet.subsetOf(deletes))
   }
 
   test("minhash codegen expression is bit-identical to the HOF rendering") {
