@@ -123,7 +123,9 @@ object Curation {
     * Groups with fewer than N rows have no crossing bucket and keep
     * everything. Ties are fully deterministic: score desc, then id asc
     * — bit-identical to the plain windowed rendering (the DuckDB oracle
-    * runs exactly that). */
+    * runs exactly that). Assumes non-null scores and unique ids within
+    * a group (null scores would also diverge from a SQL oracle: Spark
+    * sorts DESC nulls-last, DuckDB nulls-first). */
   def topNPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
                    idCol: String, n: Int): DataFrame = {
     require(n > 0, s"topNPerGroup: n must be positive, got $n")
@@ -135,6 +137,9 @@ object Curation {
     val thr = cum.filter(col("_cum_above") < n && col("_cum") >= n)
       .select(col(groupCol), col(scoreCol).as("_thr"),
         (lit(n.toLong) - col("_cum_above")).as("_quota"))
+      // one row per capped group — materialize so the above/boundary
+      // branches don't each recompute the full-corpus histogram
+      .localCheckpoint(true)
     val tagged = df.join(broadcast(thr), Seq(groupCol), "left")
     val above = tagged.filter(col("_thr").isNull || col(scoreCol) > col("_thr"))
     val wb = org.apache.spark.sql.expressions.Window
@@ -185,14 +190,16 @@ object Curation {
     val offsets = (0 until parts).scanLeft(0L) {
       (acc, p) => acc + totals.getOrElse(p, 0L)
     }
-    val offCol = (0 until parts).foldLeft(lit(0L)) {
-      (acc, p) => when(col("_pid") === p, lit(offsets(p))).otherwise(acc)
-    }
+    // offsets ride a broadcast join, not a when-chain: at cluster scale
+    // `parts` is thousands and a case expression that wide breaks codegen
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = (0 until parts).map(p => (p, offsets(p))).toDF("_pid", "_off")
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy("_pid").orderBy(col(idCol))
-    toks
+    toks.join(broadcast(offDf), Seq("_pid"))
       .withColumn("token_start",
-        sum("n_tokens").over(wp) - col("n_tokens") + offCol)
+        sum("n_tokens").over(wp) - col("n_tokens") + col("_off"))
       .select(col(idCol), col("n_tokens"), col("token_start"),
         expr(s"token_start div $ctxLen").as("bin_first"),
         expr(s"(token_start + n_tokens - 1) div $ctxLen").as("bin_last"))
