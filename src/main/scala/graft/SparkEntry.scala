@@ -212,10 +212,8 @@ object SparkEntry {
       // (probabilisticsamplerprocessor/logsprocessor.go:61-82) — same key
       // always samples the same way; 25% target
       events(s, dir)
-        // 31-bit mask before the Knuth multiply: ANSI-safe at any key
-        // magnitude (see ParseStage.dropRatioFilter)
-        .filter(pmod(col("event_id").bitwiseAND(lit(0x7FFFFFFFL))
-          * 2654435761L, lit(1000)) < 250)
+        .filter(graft.functions.ConsistentHash
+          .knuthBucket(col("event_id"), 1000) < 250)
         .groupBy("event_type").agg(count(lit(1)).as("n"))),
 
     "p24_transform_set_where" -> ((s, dir) => {
@@ -435,14 +433,10 @@ object SparkEntry {
       // p = 1-(1-0.85^4)^16 ≈ 0.9997, and the test corpus's dup pairs
       // sit well above the threshold — a miss would also fail d07, so
       // an oracle mismatch HERE isolates group formation, not recall.
-      val pairs = Dedup.nearDupMinhashLsh(documents(s, dir), "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.85)
-      val groups = Dedup.dedupGroups(pairs)
-      groups.join(Dedup.dedupGroupSummary(groups),
-          groups("group") === col("keep_id"))
-        .select(col("id").cast("bigint").as("doc_id"),
-          col("group").cast("bigint").as("group_id"),
-          col("n_members"))
+      Dedup.groupsWithSummary(
+        Dedup.nearDupMinhashLsh(documents(s, dir), "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.85),
+        idName = "doc_id")
     }),
 
     "d08_simhash_signatures" -> ((s, dir) => { // golden-vector oracle
@@ -823,15 +817,11 @@ object SparkEntry {
       // it with the recursive CTE. signBits=6 because the test corpus
       // has no near-identical vectors (max pair cosine < 0.9): at the
       // 0.4 verify threshold a 12-bit bucket would keep ~0 candidates.
-      val pairs = Dedup.nearDupEmbedding(
-        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
-        threshold = 0.4, signBits = 6)
-      val groups = Dedup.dedupGroups(pairs)
-      groups.join(Dedup.dedupGroupSummary(groups),
-          groups("group") === col("keep_id"))
-        .select(col("id").cast("bigint").as("vec_id"),
-          col("group").cast("bigint").as("group_id"),
-          col("n_members"))
+      Dedup.groupsWithSummary(
+        Dedup.nearDupEmbedding(
+          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          threshold = 0.4, signBits = 6),
+        idName = "vec_id")
     }),
 
     // -- multimodal plumbing (stubbed decode behind the real

@@ -41,8 +41,11 @@ case class DedupSpans(child: Expression, n: Int) extends UnaryExpression {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val nb = s.numBytes()
-    val (starts, ends, tokCount) = TokenBounds.scan(base, off, nb)
-    if (tokCount < n) return s.clone()
+    // count-only early-out: short docs (the common case corpus-wide)
+    // skip the boundary pass and its two array allocations
+    val tc = TokenBounds.count(base, off, nb)
+    if (tc < n) return s.clone()
+    val (starts, ends, tokCount) = TokenBounds.scan(base, off, nb, tc)
     val windows = tokCount - n + 1
     val covered = new Array[Boolean](tokCount)
     // presize hint clamped like ShingleArray's (overflow-safe for

@@ -12,20 +12,32 @@ import org.apache.spark.unsafe.Platform
   */
 private[functions] object TokenBounds {
 
-  /** Returns (starts, ends, tokenCount) as byte offsets into the
-    * string: token t spans [starts(t), ends(t)). */
-  def scan(base: AnyRef, off: Long, nb: Int): (Array[Int], Array[Int], Int) = {
+  /** Token count alone (the scan's first pass) — lets callers with a
+    * minimum-token threshold early-out before paying the boundary pass
+    * and its two array allocations (DedupSpans does, per short doc on
+    * the full-corpus d17 path). */
+  def count(base: AnyRef, off: Long, nb: Int): Int = {
     var tokCount = 1
     var i = 0
     while (i < nb) {
       if (Platform.getByte(base, off + i) == 0x20) tokCount += 1
       i += 1
     }
+    tokCount
+  }
+
+  /** Returns (starts, ends, tokenCount) as byte offsets into the
+    * string: token t spans [starts(t), ends(t)). Pass a
+    * `precomputedCount` from [[count]] to skip the counting pass. */
+  def scan(base: AnyRef, off: Long, nb: Int,
+           precomputedCount: Int = -1): (Array[Int], Array[Int], Int) = {
+    val tokCount =
+      if (precomputedCount >= 0) precomputedCount else count(base, off, nb)
     val starts = new Array[Int](tokCount)
     val ends = new Array[Int](tokCount)
     var t = 0
     starts(0) = 0
-    i = 0
+    var i = 0
     while (i < nb) {
       if (Platform.getByte(base, off + i) == 0x20) {
         ends(t) = i; t += 1; starts(t) = i + 1

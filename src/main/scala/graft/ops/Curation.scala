@@ -97,8 +97,7 @@ object Curation {
       case (acc, (src, r)) => when(col(sourceCol) === src, lit(r)).otherwise(acc)
     }
     docs.filter(
-      pmod(col(idCol).bitwiseAND(lit(0x7FFFFFFFL)) * 2654435761L,
-        lit(10000)) < rate)
+      graft.functions.ConsistentHash.knuthBucket(col(idCol), 10000) < rate)
   }
 
   /** Exact per-group top-N WITHOUT a per-group sort — the per-source
@@ -123,13 +122,19 @@ object Curation {
     * Groups with fewer than N rows have no crossing bucket and keep
     * everything. Ties are fully deterministic: score desc, then id asc
     * — bit-identical to the plain windowed rendering (the DuckDB oracle
-    * runs exactly that). Assumes non-null scores and unique ids within
-    * a group (null scores would also diverge from a SQL oracle: Spark
-    * sorts DESC nulls-last, DuckDB nulls-first). */
+    * runs exactly that). Null scores never qualify and are filtered up
+    * front — ranking them would both diverge from a SQL oracle (Spark
+    * sorts DESC nulls-last, DuckDB nulls-first) and collide with the
+    * `_thr IS NULL` = "group under cap" branch below, silently
+    * over-keeping. Ids are assumed unique within a group. */
   def topNPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
                    idCol: String, n: Int): DataFrame = {
     require(n > 0, s"topNPerGroup: n must be positive, got $n")
-    val hist = df.groupBy(groupCol, scoreCol).agg(count(lit(1)).as("_c"))
+    val reserved = Seq("_c", "_cum", "_cum_above", "_thr", "_quota", "_r")
+    require(!df.columns.exists(reserved.contains),
+      s"topNPerGroup: input must not carry internal columns $reserved")
+    val rows = df.filter(col(scoreCol).isNotNull)
+    val hist = rows.groupBy(groupCol, scoreCol).agg(count(lit(1)).as("_c"))
     val wh = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col(scoreCol).desc)
     val cum = hist.withColumn("_cum", sum("_c").over(wh))
@@ -140,7 +145,7 @@ object Curation {
       // one row per capped group — materialize so the above/boundary
       // branches don't each recompute the full-corpus histogram
       .localCheckpoint(true)
-    val tagged = df.join(broadcast(thr), Seq(groupCol), "left")
+    val tagged = rows.join(broadcast(thr), Seq(groupCol), "left")
     val above = tagged.filter(col("_thr").isNull || col(scoreCol) > col("_thr"))
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col(idCol))
@@ -176,6 +181,8 @@ object Curation {
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     ctxLen: Int, parts: Int = 32): DataFrame = {
     require(ctxLen > 0, s"packSequences: ctxLen must be positive, got $ctxLen")
+    require(!docs.columns.exists(Seq("_pid", "_off").contains),
+      "packSequences: input must not carry internal columns _pid/_off")
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
         size(split(col(textCol), " ")).cast("bigint").as("n_tokens"))

@@ -201,15 +201,7 @@ object Dedup {
   def nearDupEmbedding(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, signBits: Int = 12,
                        dim: Int = 64, seed: Long = 42L): DataFrame = {
-    // fail LOUD on a dim mismatch (one-row probe, reads one row group):
-    // a wrong `dim` leaves every LSH bit unset, so all rows share bucket
-    // 0 and the candidate join silently degrades to the full O(n²) pair
-    // matrix — results stay correct, only the runtime explodes
-    df.select(size(col(vecCol)).as("d")).limit(1).collect().headOption
-      .foreach { r =>
-        require(r.getInt(0) == dim,
-          s"nearDupEmbedding: dim=$dim but $vecCol has ${r.getInt(0)} elements")
-      }
+    Similarity.requireDim(df, vecCol, dim, "nearDupEmbedding")
     val planes = Similarity.hyperplanes(dim, signBits, seed)
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
@@ -347,6 +339,17 @@ object Dedup {
   def dedupDeleteList(groups: DataFrame): DataFrame =
     groups.filter(col("id") =!= col("group"))
       .select(col("id").as("delete_id"), col("group").as("keep_id"))
+
+  /** Group formation + per-member summary row in one call — the
+    * (member, group, group size) frame the d11/e07 queries render;
+    * shared so the survivor-join shape and casts stay one fact. */
+  def groupsWithSummary(pairs: DataFrame, idName: String): DataFrame = {
+    val groups = dedupGroups(pairs)
+    groups.join(dedupGroupSummary(groups), groups("group") === col("keep_id"))
+      .select(col("id").cast("bigint").as(idName),
+        col("group").cast("bigint").as("group_id"),
+        col("n_members"))
+  }
 
   /** Duplicated-span detection: per document, the maximal token spans
     * covered by n-grams that occur ≥ `minCount` times ACROSS THE CORPUS

@@ -97,6 +97,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Fail LOUD on a dim mismatch (one-row probe, reads one row group):
+    * a wrong `dim` leaves every LSH bit unset, so all rows share bucket
+    * 0 and a bucketed join silently degrades to the full O(n²) pair
+    * matrix — results stay correct, only the runtime explodes. */
+  private[ops] def requireDim(df: DataFrame, vecCol: String, dim: Int,
+                              op: String): Unit =
+    df.select(size(col(vecCol)).as("d")).limit(1).collect().headOption
+      .foreach { r =>
+        require(r.getInt(0) == dim,
+          s"$op: dim=$dim but $vecCol has ${r.getInt(0)} elements")
+      }
+
+  /** Shared per-vector rerank: exact top-k by cosine with the
+    * deterministic tie-break (cosine desc, then neighbour id asc) and
+    * the e4-floored output contract both e05/e06 oracles pin. */
+  private def rerankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("id_a"), col("id_b"), col("rk"),
+        floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))
+  }
+
   /** Brute k-NN JOIN: top-k cosine neighbours for EVERY vector — the
     * batch form behind near-dup clustering and retrieval-index seeding,
     * vs the single-query [[bruteForceTopK]]. Deliberately quadratic (N²
@@ -108,13 +131,9 @@ object Similarity {
     val dv = col(vecCol).cast("array<double>")
     val a = df.select(col(idCol).as("id_a"), dv.as("va"))
     val b = df.select(col(idCol).as("id_b"), dv.as("vb"))
-    val pairs = a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))
-    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("id_a"), col("id_b"), col("rk"),
-        floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))
+    rerankTopK(a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("cosine")), k)
   }
 
   /** LSH-bucketed k-NN join — the scale path: each vector's probe side
@@ -130,6 +149,7 @@ object Similarity {
   def knnJoinLsh(df: DataFrame, idCol: String, vecCol: String,
                  k: Int, dim: Int, signBits: Int = 6,
                  seed: Long = 42L): DataFrame = {
+    requireDim(df, vecCol, dim, "knnJoinLsh")
     val planes = hyperplanes(dim, signBits, seed)
     val dv = col(vecCol).cast("array<double>")
     val a = df.select(col(idCol).as("id_a"), dv.as("va"))
@@ -139,14 +159,10 @@ object Similarity {
     val aa = a.withColumn("bucket", explode(array(probes: _*))).drop("b0")
     val b = df.select(col(idCol).as("id_b"), dv.as("vb"))
       .withColumn("bucket", lshBucket(col("vb"), planes))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))
-    aa.join(b, Seq("bucket"))
+    rerankTopK(aa.join(b, Seq("bucket"))
       .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("id_a"), col("id_b"), col("rk"),
-        floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("cosine")), k)
   }
 
   /** IVF-style ANN: assign every vector to its nearest of `centroids`

@@ -164,16 +164,12 @@ object ParseStage {
   def dropRatioFilter(df: DataFrame, predicate: Column, dropRatio: Double,
                       key: Column): DataFrame = {
     val cutoff = math.round(dropRatio * 1000).toInt
-    // mask the key to 31 bits BEFORE the Knuth multiply: 2^31 · 2654435761
-    // ≈ 5.7e18 < Long.Max, so the product can't overflow — an unmasked
-    // key ≥ ~3.47e9 (inevitable at 10^12 rows, or any hash-valued key)
-    // would throw ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode
-    // (the scheme originally assumed wrapping arithmetic). A null key
+    // overflow-safe masked Knuth bucket — see ConsistentHash. A null key
     // KEEPS the row (the sampler can't decide → conservative, and `null
     // >= cutoff` would otherwise silently drop every null-keyed row).
-    val masked = key.cast("bigint").bitwiseAND(lit(0x7FFFFFFFL))
     df.filter(!coalesce(predicate, lit(false)) ||
-      coalesce(pmod(masked * 2654435761L, lit(1000)) >= cutoff, lit(true)))
+      coalesce(graft.functions.ConsistentHash.knuthBucket(key, 1000)
+        >= cutoff, lit(true)))
   }
 
   /** JSON body parse (`parser/json/parser.go:23-39`). */

@@ -1,18 +1,17 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
 
 /** Subset Verify: `runMain graft.tools.VerifyOne <sfDir> <outDir> <name>...`
   * dumps only the named [[graft.SparkEntry.queries]] entries (plus a
-  * filtered oracle_sql.json) so tools/check_oracle.py can gate one new
-  * query without paying the full 86-query Verify pass. Same session
-  * config and write shape as [[graft.Verify]]. */
+  * filtered oracle_sql.json via [[graft.Verify.writeOracleJson]]) so
+  * tools/check_oracle.py can gate one new query without paying the full
+  * Verify pass. Same session config and write shape as [[graft.Verify]]. */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: VerifyOne <sfDir> <outDir> <name>...")
     val sfDir = args(0); val outDir = args(1); val names = args.drop(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,18 +24,7 @@ object VerifyOne {
       graft.SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.Verify.writeOracleJson(outDir, Some(names.toSet))
     spark.stop()
   }
 }
