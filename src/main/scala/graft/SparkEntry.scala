@@ -520,6 +520,12 @@ object SparkEntry {
         defaultE4 = 1000)
         .select(col("doc_id"), col("source"))),
 
+    "d21_shuffle_order" -> ((s, dir) =>
+      // deterministic corpus shuffle for training order: stable rank
+      // under sort-by-(knuth(id), id), computed with the same two-phase
+      // prefix sum as d18; oracle is the global row_number rendering
+      Curation.shuffleOrder(documents(s, dir), "doc_id")),
+
     "d20_source_cap" -> ((s, dir) =>
       // per-source cap (keep the 10 longest docs per source, ties →
       // smaller doc_id) via histogram selection — no per-source sort of
@@ -1540,6 +1546,13 @@ object SparkEntry {
         |WHERE ((doc_id & 2147483647) * 2654435761) % 10000 <
         |  CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000
         |              WHEN 'src2' THEN 7500 ELSE 1000 END""".stripMargin,
+
+    "d21_shuffle_order" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY
+        |    ((doc_id & 2147483647) * 2654435761) % 1048573, doc_id) - 1
+        |    AS shuffle_rank
+        |FROM documents""".stripMargin,
 
     // per-source cap: the plain windowed rendering the Spark histogram
     // selection must equal bit-for-bit, boundary ties included

@@ -181,34 +181,74 @@ object Curation {
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     ctxLen: Int, parts: Int = 32): DataFrame = {
     require(ctxLen > 0, s"packSequences: ctxLen must be positive, got $ctxLen")
-    require(!docs.columns.exists(Seq("_pid", "_off").contains),
-      "packSequences: input must not carry internal columns _pid/_off")
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
         size(split(col(textCol), " ")).cast("bigint").as("n_tokens"))
-      .repartitionByRange(parts, col(idCol))
+    cumBefore(toks, Seq(col(idCol)), col("n_tokens"), parts)
+      .withColumnRenamed("_cum_before", "token_start")
+      .select(col(idCol), col("n_tokens"), col("token_start"),
+        expr(s"token_start div $ctxLen").as("bin_first"),
+        expr(s"(token_start + n_tokens - 1) div $ctxLen").as("bin_last"))
+  }
+
+  /** Deterministic global shuffle order for training: every row gets a
+    * stable 0-based `shuffle_rank` under the pseudo-random permutation
+    * `sort by (knuthBucket(id), id)` — the corpus-shuffle step before
+    * packing, reproducible across retries/resumes because the key is a
+    * pure function of the row (no rand(), which would break recompute
+    * determinism and resumability at 10^12 rows). The rank is the same
+    * two-phase prefix sum as [[packSequences]] with value 1 — a global
+    * `row_number()` window would serialize the corpus through one task.
+    * Feed the ranked frame to [[packSequences]]' idCol = shuffle_rank
+    * to pack in shuffled order. */
+  def shuffleOrder(docs: DataFrame, idCol: String,
+                   parts: Int = 32): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      graft.functions.ConsistentHash.knuthBucket(col(idCol), 1048573)
+        .as("_k"))
+    cumBefore(keyed, Seq(col("_k"), col(idCol)), lit(1L), parts)
+      .select(col(idCol), col("_cum_before").as("shuffle_rank"))
+  }
+
+  /** The two-phase distributed prefix sum shared by [[packSequences]]
+    * and [[shuffleOrder]]: appends `_cum_before` = sum of `valueCol`
+    * over all rows STRICTLY before this one in the global `orderCols`
+    * ordering. A single-partition `Window.orderBy` cumsum would
+    * serialize 10^12 rows through one task; instead:
+    *  1. range-repartition by the order keys (partition p holds a key
+    *     range below partition p+1's — RangePartitioner assigns
+    *     ascending ranges to ascending partition ids);
+    *  2. per-partition value totals — `parts` numbers, collected to the
+    *     driver, scanned into per-partition global offsets (the one
+    *     driver action, O(parts), same class as the IVF centroid pull);
+    *  3. within-partition cumsum (window keyed by partition id —
+    *     parallel across partitions) + the offset via broadcast join
+    *     (not a when-chain: at cluster scale `parts` is thousands and a
+    *     case expression that wide breaks codegen). */
+  private def cumBefore(df: DataFrame, orderCols: Seq[Column],
+                        valueCol: Column, parts: Int): DataFrame = {
+    require(!df.columns.exists(Seq("_pid", "_off", "_v").contains),
+      "cumBefore: input must not carry internal columns _pid/_off/_v")
+    val ranged = df.withColumn("_v", valueCol)
+      .repartitionByRange(parts, orderCols: _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true) // pin rows to their measured partition:
       // the per-pid totals below and the window cumsum must see the
       // SAME row→pid mapping, and spark_partition_id is nondeterministic
       // (a recompute after a lost partition could re-range differently)
-    val totals = toks.groupBy("_pid").agg(sum("n_tokens").as("_t"))
+    val totals = ranged.groupBy("_pid").agg(sum("_v").as("_t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts).scanLeft(0L) {
       (acc, p) => acc + totals.getOrElse(p, 0L)
     }
-    // offsets ride a broadcast join, not a when-chain: at cluster scale
-    // `parts` is thousands and a case expression that wide breaks codegen
-    val spark = docs.sparkSession
+    val spark = df.sparkSession
     import spark.implicits._
     val offDf = (0 until parts).map(p => (p, offsets(p))).toDF("_pid", "_off")
     val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy("_pid").orderBy(col(idCol))
-    toks.join(broadcast(offDf), Seq("_pid"))
-      .withColumn("token_start",
-        sum("n_tokens").over(wp) - col("n_tokens") + col("_off"))
-      .select(col(idCol), col("n_tokens"), col("token_start"),
-        expr(s"token_start div $ctxLen").as("bin_first"),
-        expr(s"(token_start + n_tokens - 1) div $ctxLen").as("bin_last"))
+      .partitionBy("_pid").orderBy(orderCols: _*)
+    ranged.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("_cum_before",
+        sum("_v").over(wp) - col("_v") + col("_off"))
+      .drop("_pid", "_off", "_v")
   }
 }

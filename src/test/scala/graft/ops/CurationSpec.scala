@@ -138,6 +138,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("shuffle order: a stable permutation, ≡ the global windowed rank") {
+    val ids = (0L until 500L).toDF("doc_id")
+    def run() = Curation.shuffleOrder(ids, "doc_id", parts = 9)
+      .as[(Long, Long)].collect().toSet
+    val got = run()
+    // a permutation of 0..499, stable across runs
+    assert(got.map(_._2) == (0L until 500L).toSet)
+    assert(got == run())
+    // ≡ the single-window rendering (the oracle shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(graft.functions.ConsistentHash
+        .knuthBucket(col("doc_id"), 1048573), col("doc_id"))
+    val want = ids.select(col("doc_id"),
+        (row_number().over(w) - 1).cast("bigint").as("r"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // and it actually shuffles: identity order would chain ranks
+    assert(got.count { case (id, r) => id == r } < 25)
+  }
+
   test("sequence packing: more partitions than rows still sums globally") {
     val tiny = Seq((1L, "a b"), (2L, "c"), (3L, "d e f")).toDF("doc_id", "text")
     val got = Curation.packSequences(tiny, "doc_id", "text",
