@@ -520,6 +520,14 @@ object SparkEntry {
         defaultE4 = 1000)
         .select(col("doc_id"), col("source"))),
 
+    "d22_pack_windows" -> ((s, dir) =>
+      // the reader plan for d18's manifest: (window, doc, token range)
+      // rows; oracle composes the d18 CTE with unnest(generate_series)
+      Curation.packWindows(
+        Curation.packSequences(documents(s, dir), "doc_id", "text",
+          ctxLen = 512),
+        "doc_id", ctxLen = 512)),
+
     "d21_shuffle_order" -> ((s, dir) =>
       // deterministic corpus shuffle for training order: stable rank
       // under sort-by-(knuth(id), id), computed with the same two-phase
@@ -1546,6 +1554,24 @@ object SparkEntry {
         |WHERE ((doc_id & 2147483647) * 2654435761) % 10000 <
         |  CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000
         |              WHEN 'src2' THEN 7500 ELSE 1000 END""".stripMargin,
+
+    "d22_pack_windows" ->
+      """WITH t AS (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          - n_tokens AS token_start
+        |      FROM t),
+        |x AS (SELECT doc_id, n_tokens, token_start,
+        |        unnest(generate_series(token_start // 512,
+        |          (token_start + n_tokens - 1) // 512)) AS bin_id
+        |      FROM c)
+        |SELECT bin_id, doc_id,
+        |  greatest(CAST(0 AS BIGINT), bin_id * 512 - token_start) AS tok_from,
+        |  least(n_tokens, (bin_id + 1) * 512 - token_start) AS tok_to
+        |FROM x""".stripMargin,
 
     "d21_shuffle_order" ->
       """SELECT doc_id,

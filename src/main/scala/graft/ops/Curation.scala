@@ -191,6 +191,27 @@ object Curation {
         expr(s"(token_start + n_tokens - 1) div $ctxLen").as("bin_last"))
   }
 
+  /** The reader side of [[packSequences]]: explode the manifest into
+    * one row per (training window, document) pair — window `bin_id`
+    * reads doc-local tokens [tok_from, tok_to). This is the exact read
+    * plan a window materializer executes; rows per doc = number of
+    * windows it straddles (almost always 1-2), so the explode is
+    * output-proportional, not quadratic. Per-bin `tok_to - tok_from`
+    * sums to exactly ctxLen for every full window — the no-padding
+    * invariant the spec asserts. */
+  def packWindows(manifest: DataFrame, idCol: String,
+                  ctxLen: Int): DataFrame = {
+    require(ctxLen > 0, s"packWindows: ctxLen must be positive, got $ctxLen")
+    manifest
+      .withColumn("bin_id",
+        explode(sequence(col("bin_first"), col("bin_last"))))
+      .select(col("bin_id"), col(idCol),
+        greatest(lit(0L), col("bin_id") * ctxLen - col("token_start"))
+          .as("tok_from"),
+        least(col("n_tokens"),
+          (col("bin_id") + 1) * ctxLen - col("token_start")).as("tok_to"))
+  }
+
   /** Deterministic global shuffle order for training: every row gets a
     * stable 0-based `shuffle_rank` under the pseudo-random permutation
     * `sort by (knuthBucket(id), id)` — the corpus-shuffle step before

@@ -138,6 +138,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pack windows: read plan covers every token exactly once, no padding") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 200L)
+      .map(i => (i, Seq.fill(1 + rnd.nextInt(50))("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ctx = 32
+    val manifest = Curation.packSequences(corpus, "doc_id", "text", ctx)
+    val win = Curation.packWindows(manifest, "doc_id", ctx)
+      .as[(Long, Long, Long, Long)].collect()
+    val totalTokens = manifest.agg(sum("n_tokens")).as[Long].head()
+    // every token is read exactly once across all windows
+    assert(win.map(r => r._4 - r._3).sum == totalTokens)
+    // every full window reads exactly ctx tokens; the final partial
+    // window reads the remainder
+    val byBin = win.groupBy(_._1).view
+      .mapValues(_.map(r => r._4 - r._3).sum).toMap
+    val lastBin = byBin.keys.max
+    byBin.foreach { case (b, n) =>
+      if (b < lastBin) assert(n == ctx, s"bin $b read $n tokens")
+      else assert(n == totalTokens - lastBin * ctx)
+    }
+    // ranges are doc-local and non-empty
+    assert(win.forall(r => r._3 >= 0 && r._3 < r._4))
+  }
+
   test("shuffle order: a stable permutation, ≡ the global windowed rank") {
     val ids = (0L until 500L).toDF("doc_id")
     def run() = Curation.shuffleOrder(ids, "doc_id", parts = 9)
