@@ -245,7 +245,15 @@ object Curation {
     *  3. within-partition cumsum (window keyed by partition id —
     *     parallel across partitions) + the offset via broadcast join
     *     (not a when-chain: at cluster scale `parts` is thousands and a
-    *     case expression that wide breaks codegen). */
+    *     case expression that wide breaks codegen).
+    *
+    * The `_pid` exchange before the window re-moves rows already
+    * clustered by pid (Catalyst can't see the checkpoint's physical
+    * distribution) — accepted: it shuffles only the narrow manifest
+    * (id + two longs per DOCUMENT, not the corpus text). `orderCols`
+    * must be a total order (no ties): the window's default RangeFrame
+    * treats tied keys as peers and would include them in "before".
+    * Both callers order by a unique id. */
   private def cumBefore(df: DataFrame, orderCols: Seq[Column],
                         valueCol: Column, parts: Int): DataFrame = {
     require(!df.columns.exists(Seq("_pid", "_off", "_v").contains),
