@@ -520,6 +520,12 @@ object SparkEntry {
         defaultE4 = 1000)
         .select(col("doc_id"), col("source"))),
 
+    "d23_holdout_split" -> ((s, dir) =>
+      // stable train/val labels: pure function of doc_id (5% holdout) —
+      // a doc never migrates between splits as the corpus grows
+      Curation.holdoutSplit(documents(s, dir), "doc_id", valE4 = 500)
+        .select(col("doc_id"), col("split"))),
+
     "d22_pack_windows" -> ((s, dir) =>
       // the reader plan for d18's manifest: (window, doc, token range)
       // rows; oracle composes the d18 CTE with unnest(generate_series)
@@ -1554,6 +1560,12 @@ object SparkEntry {
         |WHERE ((doc_id & 2147483647) * 2654435761) % 10000 <
         |  CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000
         |              WHEN 'src2' THEN 7500 ELSE 1000 END""".stripMargin,
+
+    "d23_holdout_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN ((doc_id & 2147483647) * 2654435761) % 10000 < 500
+        |       THEN 'val' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
 
     "d22_pack_windows" ->
       """WITH t AS (SELECT doc_id,

@@ -100,6 +100,22 @@ object Curation {
       graft.functions.ConsistentHash.knuthBucket(col(idCol), 10000) < rate)
   }
 
+  /** Stable train/validation holdout labels: a document's split is a
+    * pure function of its id (the same Knuth verdict as
+    * [[mixingSample]]), so the assignment survives corpus growth,
+    * reshuffles, retries, and resumes — a doc NEVER migrates between
+    * train and val as the corpus evolves, which is the property that
+    * keeps a held-out set honest across dataset versions. Zero shuffle:
+    * a codegen projection in the scan stage. */
+  def holdoutSplit(docs: DataFrame, idCol: String,
+                   valE4: Int): DataFrame = {
+    require(valE4 >= 0 && valE4 <= 10000,
+      s"holdoutSplit: valE4 must be in [0, 10000], got $valE4")
+    docs.withColumn("split",
+      when(graft.functions.ConsistentHash.knuthBucket(col(idCol), 10000)
+        < valE4, "val").otherwise("train"))
+  }
+
   /** Exact per-group top-N WITHOUT a per-group sort — the per-source
     * cap ("keep at most N docs per domain, best score first") that a
     * window `row_number() ≤ N` expresses but cannot survive at scale:

@@ -138,6 +138,21 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("holdout split: total, stable, and frozen under corpus growth") {
+    val v1 = (0L until 2000L).toDF("doc_id")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      Curation.holdoutSplit(df, "doc_id", valE4 = 1000)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val l1 = labels(v1)
+    assert(l1.size == 2000 && l1.values.forall(Set("train", "val")))
+    // ~10% val at valE4=1000
+    val nVal = l1.values.count(_ == "val")
+    assert(math.abs(nVal - 200) < 60, s"val count $nVal")
+    // corpus growth: every v1 doc keeps its label in the grown corpus
+    val l2 = labels((0L until 4000L).toDF("doc_id"))
+    assert(l1.forall { case (id, s) => l2(id) == s })
+  }
+
   test("pack windows: read plan covers every token exactly once, no padding") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 200L)
