@@ -8,6 +8,7 @@ import graft.agg.{CountStage, Rollup, Stateful}
 import graft.enrich.EnrichStage
 import graft.model.PipelineConfig._
 import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.TextAnalysis.{piiEmail, piiIpv4, piiPhone}
 import graft.parse.ParseStage
 import graft.route.RouteStage
 import graft.run.Pipeline
@@ -520,6 +521,32 @@ object SparkEntry {
         defaultE4 = 1000)
         .select(col("doc_id"), col("source"))),
 
+    "d25_unigram_quality" -> ((s, dir) =>
+      // corpus-level unigram-LM quality (perplexity proxy): global
+      // token counts (one vocab-sized shuffle) broadcast back over the
+      // corpus; hashed columns are exact integers + one floored ln
+      TextAnalysis.unigramFreqScore(documents(s, dir), "doc_id", "text")),
+
+    "d24_pii_scrub" -> ((s, dir) => {
+      // the synthetic corpus carries no PII, so the query PLANTS a
+      // deterministic specimen per doc_id class (email / dotted-quad
+      // pair / phone pair / none) and scrubs it; the oracle plants the
+      // identical text. Masking order (email→ip→phone) is part of the
+      // operator contract — see TextAnalysis.piiScrub.
+      val planted = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit(" reach me at user.name+tag@example-host.co for details"))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit(" src=10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+            lit(" dst=192.168.1.1")))
+        .when(col("doc_id") % 4 === 2,
+          lit(" call 555-867-5309 or 555.123.4567 today"))
+        .otherwise(lit("")))
+      TextAnalysis.piiScrub(
+        documents(s, dir).withColumn("text", planted), "doc_id", "text")
+    }),
+
     "d23_holdout_split" -> ((s, dir) =>
       // stable train/val labels: pure function of doc_id (5% holdout) —
       // a doc never migrates between splits as the corpus grows
@@ -844,6 +871,17 @@ object SparkEntry {
         idName = "vec_id")
     }),
 
+    "e08_ann_recall" -> ((s, dir) => {
+      // recall@10 of the LSH multi-probe path against brute-force
+      // ground truth — the harness that prices the bucketing trade
+      val q = embeddingQuery(s, dir)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.recallAtK(
+        Similarity.lshTopK(emb, "vec_id", "embedding", q, k = 10, signBits = 8),
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k = 10),
+        "vec_id", k = 10)
+    }),
+
     // -- multimodal plumbing (stubbed decode behind the real
     // mapPartitions batch seam; stub arithmetic is modular → full oracle) --
     "m01_multimodal_decode" -> ((s, dir) =>
@@ -1004,6 +1042,44 @@ object SparkEntry {
       .map { case (p, i) =>
         s"($i, ${p.mkString("[", ",", "]")}::DOUBLE[])"
       }.mkString(",\n")
+
+  /** e01/e02 oracle derivations as vals so e08's recall oracle can
+    * compose both verbatim as CTEs. */
+  private def e01BruteSql: String =
+    """SELECT vec_id,
+      |  CAST(floor(10000 * list_dot_product(embedding::DOUBLE[], q) /
+      |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |     * sqrt(list_dot_product(q, q)))) AS BIGINT) AS cos_e4
+      |FROM embeddings,
+      |  (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+      |ORDER BY list_dot_product(embedding::DOUBLE[], q) /
+      |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |     * sqrt(list_dot_product(q, q))) DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  private def e02LshSql: String =
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |planes(i, p) AS (VALUES
+       |$lshPlanesValues),
+       |qb AS (SELECT CAST(sum(CASE WHEN list_dot_product(q.qv, planes.p) >= 0
+       |                            THEN 1 << planes.i ELSE 0 END) AS BIGINT) AS qbucket
+       |       FROM planes, q),
+       |b AS (SELECT e.vec_id,
+       |        CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], planes.p) >= 0
+       |                      THEN 1 << planes.i ELSE 0 END) AS BIGINT) AS bucket
+       |      FROM embeddings e, planes GROUP BY e.vec_id),
+       |probes AS (SELECT qbucket AS pb FROM qb
+       |           UNION ALL SELECT xor(qbucket, CAST(1 << t.i AS BIGINT)) FROM qb, range(8) t(i))
+       |SELECT e.vec_id,
+       |  CAST(floor(10000 * list_dot_product(e.embedding::DOUBLE[], q.qv) /
+       |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+       |     * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_e4
+       |FROM embeddings e JOIN b ON e.vec_id = b.vec_id, q
+       |WHERE b.bucket IN (SELECT pb FROM probes)
+       |ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv) /
+       |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+       |     * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+       |LIMIT 10""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p01_parse_tool_calls" -> withT(
@@ -1561,6 +1637,48 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000
         |              WHEN 'src2' THEN 7500 ELSE 1000 END""".stripMargin,
 
+    // unigram-LM quality: DuckDB recomputes the vocabulary, corpus
+    // total and per-doc reduction independently; hashed columns are
+    // exact integers plus ONE floored ln of a deterministically-rounded
+    // double (ln ulp divergence at the 1e-6 floor boundary: ~4e-10/doc)
+    "d25_unigram_quality" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM c),
+        |d AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |        CAST(sum(c.c) AS BIGINT) AS sum_tok_count
+        |      FROM tok t JOIN c USING (tok) GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, sum_tok_count,
+        |  CAST(floor(1e6 * ln(CAST(sum_tok_count AS DOUBLE) /
+        |    (CAST(n_tokens AS DOUBLE) * total))) AS BIGINT) AS logmeanfreq_micro
+        |FROM d, tot""".stripMargin,
+
+    // PII scrub: same planted specimens, same sequential email→ip→phone
+    // mask order (regexes are the Java∩RE2 intersection — see
+    // TextAnalysis.pii*; 'g' = global replace, DuckDB defaults to first)
+    "d24_pii_scrub" ->
+      s"""WITH planted AS (SELECT doc_id, text ||
+         |    CASE CAST(doc_id % 4 AS INT)
+         |      WHEN 0 THEN ' reach me at user.name+tag@example-host.co for details'
+         |      WHEN 1 THEN ' src=10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |                  CAST((doc_id * 7) % 256 AS VARCHAR) || ' dst=192.168.1.1'
+         |      WHEN 2 THEN ' call 555-867-5309 or 555.123.4567 today'
+         |      ELSE '' END AS text
+         |  FROM documents),
+         |m AS (SELECT doc_id, text AS raw,
+         |        regexp_replace(text, '$piiEmail', '<EMAIL>', 'g') AS m1
+         |      FROM planted),
+         |m2t AS (SELECT doc_id, raw, m1,
+         |          regexp_replace(m1, '$piiIpv4', '<IP>', 'g') AS m2
+         |        FROM m)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '$piiEmail')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(m1, '$piiIpv4')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(m2, '$piiPhone')) AS BIGINT) AS n_phones,
+         |  regexp_replace(m2, '$piiPhone', '<PHONE>', 'g') AS scrubbed
+         |FROM m2t""".stripMargin,
+
     "d23_holdout_split" ->
       """SELECT doc_id,
         |  CASE WHEN ((doc_id & 2147483647) * 2654435761) % 10000 < 500
@@ -1920,44 +2038,22 @@ object SparkEntry {
          |FROM g JOIN (SELECT group_id, count(*) AS n_members
          |             FROM g GROUP BY 1) c USING (group_id)""".stripMargin,
 
-    "e01_ann_bruteforce" ->
-      """SELECT vec_id,
-        |  CAST(floor(10000 * list_dot_product(embedding::DOUBLE[], q) /
-        |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-        |     * sqrt(list_dot_product(q, q)))) AS BIGINT) AS cos_e4
-        |FROM embeddings,
-        |  (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
-        |ORDER BY list_dot_product(embedding::DOUBLE[], q) /
-        |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-        |     * sqrt(list_dot_product(q, q))) DESC, vec_id
-        |LIMIT 10""".stripMargin,
+    "e01_ann_bruteforce" -> e01BruteSql,
 
     // LSH ANN: hyperplanes are plan-time constants rendered as literals;
     // bucket(v) = Σ 2^i [plane_i·v ≥ 0]; probe set = query bucket plus
     // all hamming-1 neighbours; exact rerank of the candidates.
-    "e02_ann_lsh" ->
-      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-         |planes(i, p) AS (VALUES
-         |$lshPlanesValues),
-         |qb AS (SELECT CAST(sum(CASE WHEN list_dot_product(q.qv, planes.p) >= 0
-         |                            THEN 1 << planes.i ELSE 0 END) AS BIGINT) AS qbucket
-         |       FROM planes, q),
-         |b AS (SELECT e.vec_id,
-         |        CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], planes.p) >= 0
-         |                      THEN 1 << planes.i ELSE 0 END) AS BIGINT) AS bucket
-         |      FROM embeddings e, planes GROUP BY e.vec_id),
-         |probes AS (SELECT qbucket AS pb FROM qb
-         |           UNION ALL SELECT xor(qbucket, CAST(1 << t.i AS BIGINT)) FROM qb, range(8) t(i))
-         |SELECT e.vec_id,
-         |  CAST(floor(10000 * list_dot_product(e.embedding::DOUBLE[], q.qv) /
-         |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-         |     * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_e4
-         |FROM embeddings e JOIN b ON e.vec_id = b.vec_id, q
-         |WHERE b.bucket IN (SELECT pb FROM probes)
-         |ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv) /
-         |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-         |     * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
-         |LIMIT 10""".stripMargin,
+    "e02_ann_lsh" -> e02LshSql,
+
+    // recall@10 of the LSH path vs brute ground truth: composes the two
+    // oracle derivations above verbatim as CTEs, so the recall number is
+    // judged against fully independent SQL renderings of both sides
+    "e08_ann_recall" ->
+      s"""WITH brute AS ($e01BruteSql),
+         |lshres AS ($e02LshSql)
+         |SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_hits,
+         |  CAST(floor(count(*) * 10000 / 10) AS BIGINT) AS recall_e4
+         |FROM lshres JOIN brute USING (vec_id)""".stripMargin,
 
     // IVF ANN: centroids = embeddings with vec_id % 37 = 1 ordered by
     // vec_id (first 16) — cell assignment ties break to the larger cell

@@ -97,6 +97,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k of an approximate ANN result against the exact one —
+    * "measure, don't guess": every bucketed index (LSH probes, IVF
+    * cells) trades recall for scan reduction, and this is the harness
+    * that puts a NUMBER on that trade so the trade-off knob (signBits,
+    * probe radius, nProbe) is tuned on evidence. Both inputs are top-k
+    * frames keyed by `idCol`; `k` is the ground-truth size (recall
+    * denominator). The join is k×k rows — driver-trivial at any corpus
+    * size, because the heavy lifting already happened in the two ANN
+    * queries. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, idCol: String,
+                k: Int): DataFrame = {
+    require(k > 0, s"recallAtK: k must be positive, got $k")
+    approx.select(idCol).join(exact.select(idCol), Seq(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k).cast("bigint").as("k"), col("n_hits"),
+        floor(col("n_hits") * 10000 / k).cast("bigint").as("recall_e4"))
+  }
+
   /** Fail LOUD on a dim mismatch (one-row probe, reads one row group):
     * a wrong `dim` leaves every LSH bit unset, so all rows share bucket
     * 0 and a bucketed join silently degrades to the full O(n²) pair

@@ -229,6 +229,78 @@ object TextAnalysis {
       score.as("quality_score"))
   }
 
+  // ---- PII detection & scrubbing ----
+
+  /** PII patterns shared by the scrubber and its SQL oracle. Restricted
+    * to the regex intersection of Java's engine and RE2 (no lookaround,
+    * no backrefs) so any SQL engine reproduces the match set exactly:
+    * emails, dotted-quad IPv4 literals, and NNN[-. ]NNN[-. ]NNNN phone
+    * shapes. Deliberately high-recall/low-precision — the standard
+    * pre-training scrub errs toward masking. */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiPhone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII scrub: per document, counts of detected emails / IPv4 / phone
+    * numbers plus the masked text. Matching is SEQUENTIAL on
+    * progressively-masked text (emails first — their local parts can
+    * embed digit runs; then IPv4 — a dotted quad must not half-match as
+    * a phone; then phones), so each character is claimed by exactly one
+    * category and the count/mask pair is unambiguous.
+    *
+    * Scale design: a pure narrow map — six codegen regex passes
+    * (3 counts + 3 replaces over shared intermediates), no shuffle, no
+    * UDFs; Catalyst collapses the chain into one projection inside
+    * WholeStageCodegen. At 10^12 docs this is scan-bound, exactly like
+    * [[normalizeForDedup]]. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val raw = col(textCol)
+    val m1 = regexp_replace(raw, piiEmail, "<EMAIL>")
+    val m2 = regexp_replace(m1, piiIpv4, "<IP>")
+    val m3 = regexp_replace(m2, piiPhone, "<PHONE>")
+    df.select(col(idCol),
+      regexp_count(raw, lit(piiEmail)).cast("bigint").as("n_emails"),
+      regexp_count(m1, lit(piiIpv4)).cast("bigint").as("n_ipv4"),
+      regexp_count(m2, lit(piiPhone)).cast("bigint").as("n_phones"),
+      m3.as("scrubbed"))
+  }
+
+  // ---- corpus-level unigram LM quality (perplexity proxy) ----
+
+  /** Unigram-LM document quality score — the cheap perplexity proxy of
+    * the CCNet/Gopher lineage: documents made of corpus-rare tokens
+    * (garbled text, hex dumps, boilerplate IDs) score low and are cut.
+    * Two passes: (1) global unigram counts — ONE shuffle keyed by token
+    * with map-side partials, output is vocab-sized (~10^7-10^8 rows at
+    * web scale, orders below the corpus); (2) tokens re-joined to the
+    * counts via `broadcast` — the 10^12-doc side never shuffles — and
+    * reduced per doc.
+    *
+    * Hash-stability: the per-doc reduction carries only exact integers
+    * (`sum_tok_count` is a bigint sum — no float reduction whose order
+    * could differ across engines); the one inexact step is a single
+    * ln() on one deterministically-rounded double per doc, floored at
+    * 1e-6 granularity: `logmeanfreq_micro = floor(1e6 * ln(sum_c /
+    * (n_tok * total)))` — ln of the doc's mean token corpus-frequency.
+    */
+  def unigramFreqScore(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // corpus total = sum over the vocab — one tiny driver-side scalar,
+    // folded into the projection as a literal (same class as the IVF
+    // centroid pull: O(1) rows, not corpus data)
+    val total = counts.agg(sum("c")).head().getLong(0)
+    toks.join(broadcast(counts), Seq("tok"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("c").as("sum_tok_count"))
+      .select(col(idCol), col("n_tokens"), col("sum_tok_count"),
+        floor(lit(1e6) * log(col("sum_tok_count").cast("double") /
+          (col("n_tokens").cast("double") * lit(total.toDouble))))
+          .cast("bigint").as("logmeanfreq_micro"))
+  }
+
   // ---- fingerprinting ----
 
   /** Polynomial rolling-hash fingerprint over the raw characters

@@ -134,4 +134,20 @@ class SimilaritySpec extends SparkSpec {
     val sizes = bucketed.groupBy("bucket").count().as[(Long, Long)].collect()
     assert(sizes.length > 50, s"only ${sizes.length} buckets for 300 vecs — no spread")
   }
+
+  test("recallAtK: overlap fraction of approx vs exact top-k") {
+    val exact = Seq(1L, 2L, 3L, 4L, 5L).toDF("vec_id")
+    val approx = Seq(1L, 3L, 5L, 7L, 9L).toDF("vec_id") // 3 of 5 right
+    val r = Similarity.recallAtK(approx, exact, "vec_id", k = 5)
+      .as[(Long, Long, Long)].head()
+    assert(r == ((5L, 3L, 6000L)), s"got $r")
+    // disjoint result sets → recall 0 (count over an empty join, not no-row)
+    val zero = Similarity.recallAtK(Seq(8L).toDF("vec_id"), exact, "vec_id", 5)
+      .as[(Long, Long, Long)].head()
+    assert(zero == ((5L, 0L, 0L)))
+    // an exact-subset approx result → recall 1
+    val full = Similarity.recallAtK(exact, exact, "vec_id", 5)
+      .as[(Long, Long, Long)].head()
+    assert(full == ((5L, 5L, 10000L)))
+  }
 }

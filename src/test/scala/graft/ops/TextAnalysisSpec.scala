@@ -189,4 +189,50 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.normalizeForDedup(col("text"))).as[String].head()
     assert(other == "hello there")
   }
+
+  test("piiScrub: sequential email→ip→phone claim, counts match masks") {
+    val docs = Seq(
+      (1L, "mail a.b+c@host.org and x@y.io now"),          // 2 emails
+      (2L, "src=10.0.3.21 dst=192.168.1.1 up"),            // 2 IPs
+      (3L, "call 555-867-5309 or 555.123.4567"),           // 2 phones (dots ≠ IP)
+      (4L, "a@b.co from 10.1.2.3 ring 555 123 4567"),      // one of each
+      (5L, "no pii here just words 12345"),                // none (bare digits stay)
+      (6L, "v1.2.3.4000 is a version not an ip")           // \b guard: 4000 > 3 digits
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._4 == "mail <EMAIL> and <EMAIL> now")
+    assert(out(2L)._2 == 2 && out(2L)._4 == "src=<IP> dst=<IP> up")
+    assert(out(3L)._3 == 2 && out(3L)._4 == "call <PHONE> or <PHONE>")
+    assert(out(4L) == ((1L, 1L, 1L, "<EMAIL> from <IP> ring <PHONE>")))
+    assert(out(5L) == ((0L, 0L, 0L, "no pii here just words 12345")))
+    // 1.2.3.400 would need a ≤3-digit final group with a word boundary;
+    // "4000" denies it — nothing masked
+    assert(out(6L) == ((0L, 0L, 0L, "v1.2.3.4000 is a version not an ip")))
+  }
+
+  test("unigramFreqScore: rare-token docs score below common-token docs") {
+    // vocabulary: "the" ×6, "cat"/"dog" ×2 each, "zyx"/"qwv" ×1 → total 12
+    val docs = Seq(
+      (1L, "the the the cat"),    // common tokens → high mean freq
+      (2L, "zyx qwv cat dog"),    // two singletons + two mid → low
+      (3L, "the the the dog")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramFreqScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val total = 12L // 3 docs × 4 tokens
+    // doc1: the=6 ×3 + cat=2 → sum 20 over 4 tokens
+    assert(out(1L)._1 == 4L && out(1L)._2 == 20L)
+    // doc2: 1+1+2+2 = 6
+    assert(out(2L)._2 == 6L)
+    assert(out(3L)._2 == 20L)
+    // exact floored-ln check against driver-side arithmetic
+    def micro(sumC: Long, n: Long): Long =
+      math.floor(1e6 * math.log(sumC.toDouble / (n.toDouble * total))).toLong
+    assert(out(1L)._3 == micro(20, 4))
+    assert(out(2L)._3 == micro(6, 4))
+    assert(out(2L)._3 < out(1L)._3) // the quality ordering the cut relies on
+  }
 }
