@@ -871,6 +871,23 @@ object SparkEntry {
         idName = "vec_id")
     }),
 
+    "e09_ann_recall_ivf" -> ((s, dir) => {
+      // recall@10 of the IVF 4-of-16-cell probe vs brute ground truth —
+      // the second measured point on the recall/scan-reduction curve
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val centroids = emb.filter(col("vec_id") % 37 === 1)
+        .orderBy("vec_id").limit(16)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+      val q = embeddingQuery(s, dir)
+      Similarity.recallAtK(
+        Similarity.ivfTopK(
+          Similarity.ivfAssign(emb, "embedding", centroids),
+          "vec_id", "embedding", q, centroids, k = 10, nProbe = 4),
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k = 10),
+        "vec_id", k = 10)
+    }),
+
     "e08_ann_recall" -> ((s, dir) => {
       // recall@10 of the LSH multi-probe path against brute-force
       // ground truth — the harness that prices the bucketing trade
@@ -1080,6 +1097,39 @@ object SparkEntry {
        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
        |     * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
        |LIMIT 10""".stripMargin
+
+  private def e03IvfSql: String =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+      |                embedding::DOUBLE[] AS c
+      |         FROM (SELECT vec_id, embedding FROM embeddings
+      |               WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT 16)),
+      |assign AS (SELECT vec_id, cell,
+      |             row_number() OVER (PARTITION BY vec_id
+      |                                ORDER BY sim DESC, cell DESC) AS rn
+      |           FROM (SELECT e.vec_id, cent.cell,
+      |                   list_dot_product(e.embedding::DOUBLE[], cent.c) /
+      |                     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      |                      * sqrt(list_dot_product(cent.c, cent.c))) AS sim
+      |                 FROM embeddings e, cent)),
+      |probe AS (SELECT cell FROM
+      |            (SELECT cent.cell,
+      |               list_dot_product(cent.c, q.qv) /
+      |                 (sqrt(list_dot_product(cent.c, cent.c))
+      |                  * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      |             FROM cent, q)
+      |          ORDER BY sim DESC, cell ASC LIMIT 4)
+      |SELECT e.vec_id,
+      |  CAST(floor(10000 * list_dot_product(e.embedding::DOUBLE[], q.qv) /
+      |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      |     * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_e4
+      |FROM embeddings e
+      |JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1
+      |             AND a.cell IN (SELECT cell FROM probe), q
+      |ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv) /
+      |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      |     * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+      |LIMIT 10""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p01_parse_tool_calls" -> withT(
@@ -2059,38 +2109,17 @@ object SparkEntry {
     // vec_id (first 16) — cell assignment ties break to the larger cell
     // (Spark `greatest` over struct(sim, cell)), probe ties to the
     // SMALLER cell (stable sortBy on the driver).
-    "e03_ann_ivf" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-        |                embedding::DOUBLE[] AS c
-        |         FROM (SELECT vec_id, embedding FROM embeddings
-        |               WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT 16)),
-        |assign AS (SELECT vec_id, cell,
-        |             row_number() OVER (PARTITION BY vec_id
-        |                                ORDER BY sim DESC, cell DESC) AS rn
-        |           FROM (SELECT e.vec_id, cent.cell,
-        |                   list_dot_product(e.embedding::DOUBLE[], cent.c) /
-        |                     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-        |                      * sqrt(list_dot_product(cent.c, cent.c))) AS sim
-        |                 FROM embeddings e, cent)),
-        |probe AS (SELECT cell FROM
-        |            (SELECT cent.cell,
-        |               list_dot_product(cent.c, q.qv) /
-        |                 (sqrt(list_dot_product(cent.c, cent.c))
-        |                  * sqrt(list_dot_product(q.qv, q.qv))) AS sim
-        |             FROM cent, q)
-        |          ORDER BY sim DESC, cell ASC LIMIT 4)
-        |SELECT e.vec_id,
-        |  CAST(floor(10000 * list_dot_product(e.embedding::DOUBLE[], q.qv) /
-        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-        |     * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_e4
-        |FROM embeddings e
-        |JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1
-        |             AND a.cell IN (SELECT cell FROM probe), q
-        |ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv) /
-        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-        |     * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
-        |LIMIT 10""".stripMargin,
+    "e03_ann_ivf" -> e03IvfSql,
+
+    // recall@10 of the IVF cell-probe path vs brute ground truth — the
+    // second point on the recall/scan-reduction trade curve (e08 prices
+    // the LSH path); both sides composed verbatim from the vals above
+    "e09_ann_recall_ivf" ->
+      s"""WITH brute AS ($e01BruteSql),
+         |ivfres AS ($e03IvfSql)
+         |SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_hits,
+         |  CAST(floor(count(*) * 10000 / 10) AS BIGINT) AS recall_e4
+         |FROM ivfres JOIN brute USING (vec_id)""".stripMargin,
 
     "p55_span_rename" -> withT(
       s"""SELECT conv_id, turn_idx,
