@@ -823,10 +823,7 @@ object SparkEntry {
       // round 2's unordered limit(16) was why this was rows-only), so the
       // oracle recomputes cells + probe set from the same data
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val centroids = emb.filter(col("vec_id") % 37 === 1)
-        .orderBy("vec_id").limit(16)
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+      val centroids = ivfCentroids(emb)
       val q = embeddingQuery(s, dir)
       Similarity.ivfTopK(
         Similarity.ivfAssign(emb, "embedding", centroids),
@@ -875,10 +872,7 @@ object SparkEntry {
       // recall@10 of the IVF 4-of-16-cell probe vs brute ground truth —
       // the second measured point on the recall/scan-reduction curve
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val centroids = emb.filter(col("vec_id") % 37 === 1)
-        .orderBy("vec_id").limit(16)
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+      val centroids = ivfCentroids(emb)
       val q = embeddingQuery(s, dir)
       Similarity.recallAtK(
         Similarity.ivfTopK(
@@ -1044,6 +1038,17 @@ object SparkEntry {
     s.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") === 0).select("embedding")
       .collect().head.getSeq[Float](0).map(_.toDouble).toArray
+
+  /** Deterministic IVF centroid pick shared by e03 and e09 (and encoded
+    * once more in [[e03IvfSql]]): embeddings with vec_id % 37 = 1,
+    * first 16 by vec_id. One fact, one place — a drift between the two
+    * query entries would make e09's recall compare an index built from
+    * different centroids than its oracle assumes. */
+  private def ivfCentroids(emb: DataFrame): Seq[Array[Double]] =
+    emb.filter(col("vec_id") % 37 === 1)
+      .orderBy("vec_id").limit(16)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
 
   /** The e02 hyperplanes as a DuckDB VALUES list — the planes are
     * plan-time constants (seeded `Random(42)`, dim 64 in the testdata),
@@ -2102,8 +2107,10 @@ object SparkEntry {
       s"""WITH brute AS ($e01BruteSql),
          |lshres AS ($e02LshSql)
          |SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_hits,
-         |  CAST(floor(count(*) * 10000 / 10) AS BIGINT) AS recall_e4
-         |FROM lshres JOIN brute USING (vec_id)""".stripMargin,
+         |  CAST(floor(count(*) * 10000 / greatest(1, least(10,
+         |    (SELECT count(DISTINCT vec_id) FROM brute)))) AS BIGINT) AS recall_e4
+         |FROM (SELECT DISTINCT vec_id FROM lshres) l
+         |JOIN (SELECT DISTINCT vec_id FROM brute) b USING (vec_id)""".stripMargin,
 
     // IVF ANN: centroids = embeddings with vec_id % 37 = 1 ordered by
     // vec_id (first 16) — cell assignment ties break to the larger cell
@@ -2118,8 +2125,10 @@ object SparkEntry {
       s"""WITH brute AS ($e01BruteSql),
          |ivfres AS ($e03IvfSql)
          |SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_hits,
-         |  CAST(floor(count(*) * 10000 / 10) AS BIGINT) AS recall_e4
-         |FROM ivfres JOIN brute USING (vec_id)""".stripMargin,
+         |  CAST(floor(count(*) * 10000 / greatest(1, least(10,
+         |    (SELECT count(DISTINCT vec_id) FROM brute)))) AS BIGINT) AS recall_e4
+         |FROM (SELECT DISTINCT vec_id FROM ivfres) i
+         |JOIN (SELECT DISTINCT vec_id FROM brute) b USING (vec_id)""".stripMargin,
 
     "p55_span_rename" -> withT(
       s"""SELECT conv_id, turn_idx,

@@ -109,10 +109,18 @@ object Similarity {
   def recallAtK(approx: DataFrame, exact: DataFrame, idCol: String,
                 k: Int): DataFrame = {
     require(k > 0, s"recallAtK: k must be positive, got $k")
-    approx.select(idCol).join(exact.select(idCol), Seq(idCol))
+    // distinct both sides: a duplicated id would multiply join rows and
+    // push recall past 1; denominator = min(k, |ground truth|) — the
+    // standard recall@k when the corpus has fewer than k answers —
+    // clamped to ≥1 so an empty ground truth reads 0, not a div-by-zero
+    val ex = exact.select(idCol).distinct()
+    approx.select(idCol).distinct().join(ex, Seq(idCol))
       .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(ex.agg(count(lit(1)).as("n_gt"))))
       .select(lit(k).cast("bigint").as("k"), col("n_hits"),
-        floor(col("n_hits") * 10000 / k).cast("bigint").as("recall_e4"))
+        floor(col("n_hits") * 10000 /
+          greatest(lit(1L), least(lit(k.toLong), col("n_gt"))))
+          .cast("bigint").as("recall_e4"))
   }
 
   /** Fail LOUD on a dim mismatch (one-row probe, reads one row group):

@@ -149,5 +149,20 @@ class SimilaritySpec extends SparkSpec {
     val full = Similarity.recallAtK(exact, exact, "vec_id", 5)
       .as[(Long, Long, Long)].head()
     assert(full == ((5L, 5L, 10000L)))
+    // ground truth smaller than k: denominator is min(k, |GT|), so a
+    // perfect answer on a 5-vector corpus at k=10 reads 1.0, not 0.5
+    val subK = Similarity.recallAtK(exact, exact, "vec_id", 10)
+      .as[(Long, Long, Long)].head()
+    assert(subK == ((10L, 5L, 10000L)), s"got $subK")
+    // duplicated ids must not multiply join rows past 1.0
+    val dup = Similarity.recallAtK(
+      Seq(1L, 1L, 1L, 2L, 3L).toDF("vec_id"), exact, "vec_id", 5)
+      .as[(Long, Long, Long)].head()
+    assert(dup == ((5L, 3L, 6000L)), s"got $dup")
+    // empty ground truth → 0 hits over a clamped denominator, not a crash
+    val emptyGt = Similarity.recallAtK(
+      approx, exact.filter(col("vec_id") > 99), "vec_id", 5)
+      .as[(Long, Long, Long)].head()
+    assert(emptyGt == ((5L, 0L, 0L)))
   }
 }
