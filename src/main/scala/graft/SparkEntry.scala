@@ -1006,6 +1006,17 @@ object SparkEntry {
       TextAnalysis.repeatedLineFraction(t(s, dir), "conv_id", "text",
         hashed = true)),
 
+    "p58_sessionize" -> ((s, dir) =>
+      // gap-based sessionization over the events stream via the native
+      // session_window aggregate (batch mode of the streaming operator —
+      // p56 pattern); 120-minute inactivity gap, inclusive merge (an
+      // exactly-gap-later event still joins; only diff > gap splits),
+      // session_end = last ts + gap. One shuffle on user_id at any scale.
+      graft.streaming.StreamingPipeline.sessionize(
+        events(s, dir), "user_id", "ts", "120 minutes", "0 seconds",
+        Seq(sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors")))),
+
     "m04_blob_dedup" -> ((s, dir) =>
       // content-hash dedup of media blobs; the blob is the doc's UTF-8
       // text bytes, so DuckDB's md5(text) digests identical input
@@ -2174,6 +2185,29 @@ object SparkEntry {
         |    CAST(floor(((count(*) - count(DISTINCT text)) / count(*)) * 10000)
         |      AS BIGINT) AS dup_turn_frac_e4
         |  FROM transcripts GROUP BY conv_id)""".stripMargin),
+
+    // gaps-and-islands rendering of session_window: a new island starts
+    // when the inter-arrival gap is STRICTLY > 120 min (Spark merges
+    // while next_ts <= prev_ts + gap, inclusive), session_end = last
+    // ts + gap
+    "p58_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 120 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |i AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_errors,
+        |  min(ts) AS session_start,
+        |  max(ts) + INTERVAL 120 MINUTE AS session_end
+        |FROM i GROUP BY user_id, sid""".stripMargin,
 
     "p54_ottl_duration_unix" ->
       """SELECT event_id,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -31,6 +31,36 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n"))
       .select((col("window.start").as("window_start") +: col("n").as("n")
         +: attrs.map(col)): _*)
+  }
+
+  /** Gap-based sessionization — recombine/groupbytrace's inactivity-gap
+    * semantics (`transformer/recombine/transformer.go:95-227` force-flush
+    * timeout in `/root/reference`) rendered as the engine-managed merging
+    * `session_window` aggregate. Two events of one key share a session
+    * iff the later arrives within `gap` of the earlier INCLUSIVE
+    * (windows merge while next_ts <= prev_ts + gap — an exactly-gap-
+    * later event still joins; only diff > gap starts a new session).
+    * `session_start` = first event ts, `session_end` = last event
+    * ts + gap.
+    *
+    * Runs identically in batch (the watermark is a no-op) and streaming
+    * (state evicted `lateness` behind max event time) — the p56
+    * one-operator-two-modes pattern. Scale: ONE shuffle on the key;
+    * within-partition session merge is sort-based (UpdatingSessionsExec),
+    * no per-key driver state, state size O(open sessions).
+    *
+    * `extraAggs` are pre-aliased aggregate columns appended after
+    * `n_events`. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gap: String, lateness: String,
+                 extraAggs: Seq[Column] = Nil): DataFrame = {
+    val aggs = count(lit(1)).as("n_events") +: extraAggs
+    events.withWatermark(tsCol, lateness)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("sw.start"))
+      .withColumn("session_end", col("sw.end"))
+      .drop("sw")
   }
 
   /** One finished conversation (recombine output). */

@@ -348,9 +348,84 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(all.filter(col("route") === "default").count() == 1)
     } finally q.stop()
   }
+
+  private def tsm(min: Int): Timestamp = new Timestamp(ts(0).getTime + min * 60000L)
+
+  test("sessionize (batch): gap merge, inclusive boundary, strict-> split, end = last + gap") {
+    import StreamingPipelineSpec.Ev
+    val events = Seq(
+      Ev(1L, tsm(0), "view"), Ev(1L, tsm(110), "error"), // 110m < 120m -> merge
+      Ev(1L, tsm(230), "view"), // exactly 120m after 110 -> still merges (inclusive)
+      Ev(1L, tsm(351), "view"), // 121m after 230 -> NEW session
+      Ev(2L, tsm(30), "view")).toDS().toDF()
+    val out = StreamingPipeline.sessionize(events, "user_id", "ts",
+        "120 minutes", "0 seconds",
+        Seq(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(col("event_type") === "error", 1L)
+            .otherwise(0L)).as("n_errors")))
+      .select("user_id", "n_events", "n_errors", "session_start", "session_end")
+      .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSet
+    assert(out == Set(
+      (1L, 3L, 1L, tsm(0), tsm(350)),   // end = 230 + 120
+      (1L, 1L, 0L, tsm(351), tsm(471)),
+      (2L, 1L, 0L, tsm(30), tsm(150))), s"got $out")
+  }
+
+  test("sessionize (batch): session_window ≡ lag/cumsum gaps-and-islands rendering") {
+    import StreamingPipelineSpec.Ev
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random corpus: 400 events, 17 users, minute
+    // offsets folded over one day so real merges and splits both occur
+    val events = (0 until 400).map { i =>
+      val u = (i * 2654435761L) % 17
+      val m = ((i * 40503L + u * 977L) % 1440L).toInt
+      Ev(u, tsm(m), if (i % 7 == 0) "error" else "view")
+    }.toDS().toDF()
+    val got = StreamingPipeline.sessionize(events, "user_id", "ts",
+        "45 minutes", "0 seconds")
+      .select("user_id", "n_events", "session_start", "session_end")
+      .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val want = events
+      .withColumn("new_s", when(lag("ts", 1).over(w).isNull
+        .or(col("ts").cast("long") - lag("ts", 1).over(w).cast("long") > 45 * 60L), 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"),
+        (max("ts").cast("long") + 45 * 60L).cast("timestamp").as("session_end"))
+      .select("user_id", "n_events", "session_start", "session_end")
+      .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+    assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
+  }
+
+  test("sessionize (streaming): sessions finalize in append mode once the watermark passes") {
+    import StreamingPipelineSpec.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingPipeline.sessionize(mem.toDF(), "user_id", "ts",
+      "10 minutes", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_win")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Ev(1L, tsm(1), "view"), Ev(1L, tsm(5), "view"))
+      q.processAllAvailable()
+      assert(spark.table("sess_win").isEmpty) // wm=5 < session end 15: still open
+      mem.addData(Ev(9L, tsm(40), "view"))    // wm -> 40 > 15: finalize u1
+      q.processAllAvailable()
+      val rows = spark.table("sess_win")
+        .select("user_id", "n_events", "session_start", "session_end")
+        .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+      assert(rows == Set((1L, 2L, tsm(1), tsm(15))), s"got $rows")
+    } finally q.stop()
+  }
 }
 
 object StreamingPipelineSpec {
+  /** sessionize input row (top-level: MemoryStream needs a stable encoder). */
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
   // servicegraph half-edge rows (top-level case classes: MemoryStream
   // needs a stable encoder)
   final case class CHalf(conv_id: String, corr_id: Long, client_service: String,
