@@ -63,6 +63,21 @@ object StreamingPipeline {
       .drop("sw")
   }
 
+  /** Streaming log dedup — the upstream logdedup processor's semantics
+    * (suppress duplicate records, re-admit after the flush interval)
+    * rendered with the engine-managed dedup state operator: duplicates
+    * on `keyCols` are dropped while their key is inside the watermark
+    * delay; once the watermark moves `lateness` past the first-seen
+    * occurrence the key's state is evicted and a later duplicate is
+    * emitted again — the streaming analog of the processor's per-interval
+    * unique-emit (batch exact dedup is `ops.Dedup.exact`, d01).
+    * State is O(distinct keys within the delay window), never the
+    * record bodies of suppressed rows. */
+  def dedupStream(records: DataFrame, keyCols: Seq[String], tsCol: String,
+                  lateness: String): DataFrame =
+    records.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** One finished conversation (recombine output). */
   final case class ConvSession(conv_id: String, n_turns: Int,
                                first_ts: Timestamp, last_ts: Timestamp,

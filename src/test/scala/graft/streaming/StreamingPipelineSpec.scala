@@ -400,6 +400,29 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
   }
 
+  test("streaming dedup: duplicates suppressed inside the delay, re-admitted after state eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val out = StreamingPipeline.dedupStream(mem.toDF(), Seq("text"), "ts", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(turn("c1", 0, 1, "dup"), turn("c2", 0, 2, "dup"),
+        turn("c3", 0, 2, "uniq"))
+      q.processAllAvailable()
+      val first = spark.table("dedup_stream").as[Turn].collect()
+      assert(first.count(_.text == "dup") == 1, s"got ${first.toSeq}") // 2nd copy dropped
+      assert(first.count(_.text == "uniq") == 1)
+      // move the watermark far past min 1 + 5m -> "dup" state evicted
+      mem.addData(turn("c4", 0, 30, "wm push"))
+      q.processAllAvailable()
+      mem.addData(turn("c5", 0, 31, "dup")) // later duplicate: re-admitted
+      q.processAllAvailable()
+      val all = spark.table("dedup_stream").as[Turn].collect()
+      assert(all.count(_.text == "dup") == 2, s"got ${all.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionize (streaming): sessions finalize in append mode once the watermark passes") {
     import StreamingPipelineSpec.Ev
     implicit val sqlCtx = spark.sqlContext
