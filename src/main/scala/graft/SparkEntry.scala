@@ -1017,6 +1017,19 @@ object SparkEntry {
         Seq(sum(when(col("event_type") === "error", 1L).otherwise(0L))
           .as("n_errors")))),
 
+    "p59_latency_summary" -> ((s, dir) =>
+      // Summary-type data points (the OTLP Summary sibling of p28's
+      // histograms): exact nearest-rank p50/p95/p99 per tool. The raw
+      // span set collapses map-side to a (tool, dur_ms) histogram and
+      // the order statistics run over that tiny frame — no raw-row
+      // sort at any scale; ranks are pure integer arithmetic so the
+      // oracle agrees bitwise (see SpanMetrics.summaryQuantiles).
+      graft.agg.SpanMetrics.summaryQuantiles(
+        parsedT(s, dir).filter(col("pattern") === "tool_call")
+          .withColumn("dur_ms", col("parsed").getItem("dur_ms").cast("bigint"))
+          .filter(col("dur_ms") > 0),
+        Seq("tool"), "dur_ms", Seq(50, 95, 99))),
+
     "m04_blob_dedup" -> ((s, dir) =>
       // content-hash dedup of media blobs; the blob is the doc's UTF-8
       // text bytes, so DuckDB's md5(text) digests identical input
@@ -2208,6 +2221,27 @@ object SparkEntry {
         |  min(ts) AS session_start,
         |  max(ts) + INTERVAL 120 MINUTE AS session_end
         |FROM i GROUP BY user_id, sid""".stripMargin,
+
+    "p59_latency_summary" -> withT(
+      s"""SELECT tool, CAST(max(n) AS BIGINT) AS calls,
+         |  min(CASE WHEN cum >= floor((50*n + 99)/100) THEN dur_ms END) AS p50_dur_ms,
+         |  min(CASE WHEN cum >= floor((95*n + 99)/100) THEN dur_ms END) AS p95_dur_ms,
+         |  min(CASE WHEN cum >= floor((99*n + 99)/100) THEN dur_ms END) AS p99_dur_ms,
+         |  max(dur_ms) AS max_dur_ms
+         |FROM cum GROUP BY tool""".stripMargin,
+      Seq(
+        s"""d AS (
+           |  SELECT tool, CAST(regexp_extract(text, '$P1', 3) AS BIGINT) AS dur_ms
+           |  FROM transcripts
+           |  WHERE regexp_matches(text, '$P1')
+           |    AND CAST(regexp_extract(text, '$P1', 3) AS BIGINT) > 0)""".stripMargin,
+        """h AS (SELECT tool, dur_ms, count(*) AS c FROM d GROUP BY 1, 2)""",
+        """cum AS (
+          |  SELECT tool, dur_ms,
+          |    SUM(c) OVER (PARTITION BY tool ORDER BY dur_ms
+          |      ROWS UNBOUNDED PRECEDING) AS cum,
+          |    SUM(c) OVER (PARTITION BY tool) AS n
+          |  FROM h)""".stripMargin)),
 
     "p54_ottl_duration_unix" ->
       """SELECT event_id,

@@ -65,6 +65,49 @@ object SpanMetrics {
       .select((keys :+ col("calls") :+ col("sum_dur") :+ col("exemplars")): _*)
   }
 
+  /** Summary-type data points: exact nearest-rank latency quantiles per
+    * dimension group (the OTLP Summary sibling of the explicit/exponential
+    * histograms — `connector/spanmetricsconnector/connector.go:328` renders
+    * histograms; a Summary carries quantile values instead of buckets).
+    *
+    * Scale design: the raw span set collapses map-side to a
+    * `(dims, value)` histogram — bounded by the VALUE DOMAIN, not the row
+    * count — and the order statistics run over that tiny frame. The
+    * 10^12-row input is never range-partitioned or sorted; the only
+    * full-input exchange is the partial-aggregate shuffle of 8-byte keys.
+    *
+    * Quantile definition is nearest-rank: `q_p` = the smallest value whose
+    * cumulative count reaches `ceil(p/100 · n)`. The rank is computed in
+    * pure integer arithmetic, `floor((p·n + 99) / 100)` — no `0.95 · n`
+    * double product anywhere — so any engine reproduces it bitwise
+    * (`percentile_cont`-style interpolation would hang the contract on
+    * cross-engine double rounding).
+    *
+    * @param ps percentiles as integers in (0, 100], e.g. `Seq(50, 95, 99)`;
+    *           emitted as `p{P}_{valueCol}` columns.
+    */
+  def summaryQuantiles(spans: DataFrame, dims: Seq[String], valueCol: String,
+                       ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 100),
+      s"percentiles must be in (0,100]: $ps")
+    val keys = dims.map(col)
+    val hist = spans.groupBy((keys :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("_c"))
+    val byKey = Window.partitionBy(keys: _*)
+    val cum = hist
+      .withColumn("_cum", sum("_c").over(
+        byKey.orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum("_c").over(byKey))
+    def rank(p: Int): Column =
+      floor((lit(p.toLong) * col("_n") + lit(99L)) / lit(100)).cast("bigint")
+    val qCols = ps.map(p =>
+      min(when(col("_cum") >= rank(p), col(valueCol))).as(s"p${p}_$valueCol"))
+    val aggs = (max("_n").cast("bigint").as("calls") +: qCols) :+
+      max(valueCol).as(s"max_$valueCol")
+    cum.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** metrics_expiration (`config.go:72`): groups receiving no spans for
     * `expiration` before the dataset's max timestamp are stale and not
     * exported. 0 = never expire (reference default). */

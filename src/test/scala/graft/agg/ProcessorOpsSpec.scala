@@ -66,6 +66,44 @@ class ProcessorOpsSpec extends SparkSpec {
     assert(out == Map("ab" -> 3L, "c" -> 4L))
   }
 
+  test("summary quantiles: exact nearest-rank on a hand-computed corpus") {
+    // n=10, values 10..100: nearest-rank k_p = ceil(p*n/100) →
+    // k50=5 → 50, k95=ceil(9.5)=10 → 100, k99=10 → 100
+    val spans = (1 to 10).map(i => ("t1", i * 10L)) :+ (("t2", 7L))
+    val out = SpanMetrics.summaryQuantiles(spans.toDF("tool", "dur"),
+      Seq("tool"), "dur", Seq(50, 95, 99))
+    assert(out.columns.toSeq ==
+      Seq("tool", "calls", "p50_dur", "p95_dur", "p99_dur", "max_dur"))
+    val t1 = out.filter(col("tool") === "t1").head()
+    assert(t1.getAs[Long]("calls") == 10)
+    assert(t1.getAs[Long]("p50_dur") == 50)
+    assert(t1.getAs[Long]("p95_dur") == 100)
+    assert(t1.getAs[Long]("p99_dur") == 100)
+    assert(t1.getAs[Long]("max_dur") == 100)
+    // a 1-row group: every quantile is the single value
+    val t2 = out.filter(col("tool") === "t2").head()
+    assert(Seq("p50_dur", "p95_dur", "p99_dur", "max_dur")
+      .forall(c => t2.getAs[Long](c) == 7L) && t2.getAs[Long]("calls") == 1)
+  }
+
+  test("summary quantiles: histogram rendering ≡ per-row sort rendering (ties included)") {
+    // duplicates force the histogram's cumulative counts to carry
+    // multiplicity; differential check vs the naive sorted-row selection
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(400)(i => (s"t${i % 3}", (rnd.nextInt(40) + 1).toLong))
+    val df = rows.toDF("tool", "dur")
+    val fast = SpanMetrics.summaryQuantiles(df, Seq("tool"), "dur", Seq(50, 90, 99))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val naive = rows.groupBy(_._1).map { case (t, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = sorted.size
+      def q(p: Int) = sorted((p * n + 99) / 100 - 1)
+      t -> ((n.toLong, q(50), q(90), q(99), sorted.last))
+    }
+    assert(fast == naive, s"fast=$fast naive=$naive")
+  }
+
   test("spanmetrics exemplars: bounded top-k per group, largest durations") {
     val spans = Seq(
       ("t1", 10L, "s1"), ("t1", 30L, "s2"), ("t1", 20L, "s3"), ("t1", 5L, "s4"),
