@@ -78,6 +78,54 @@ object StreamingPipeline {
     records.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** One delta data point of a metric series (streaming metric input). */
+  final case class MetricPoint(series: String, ts: Timestamp, value: Double)
+
+  /** [[MetricPoint]] with the running total attached. */
+  final case class CumulativePoint(series: String, ts: Timestamp,
+                                   value: Double, cumulative: Double)
+
+  /** Streaming deltatocumulative — the reference processor's per-series
+    * running sum (`processor/deltatocumulativeprocessor/processor.go:30-138`
+    * in `/root/reference`; batch rendering is `agg.Stateful.deltaToCumulative`,
+    * p16) carried in engine-managed state across micro-batches.
+    *
+    * State is ONE double per live series (O(1) per key — never the
+    * points). Within a micro-batch a series' rows fold in (ts, value)
+    * order, matching the batch rendering's deterministic order; across
+    * micro-batches accumulation is arrival-ordered like the reference's
+    * heap map. Series quiet for `maxStaleMs` past the watermark are
+    * evicted (the processor's `max_stale` staleness sweep,
+    * `internal/streams/expiry` semantics): a revived series restarts its
+    * sum from zero, matching the reference's stale-series drop. */
+  def deltaToCumulativeStream(points: Dataset[MetricPoint], lateness: String,
+                              maxStaleMs: Long): Dataset[CumulativePoint] = {
+    import points.sparkSession.implicits._
+    points.withWatermark("ts", lateness)
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[Double, CumulativePoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (series: String, rows: Iterator[MetricPoint], state: GroupState[Double]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var total = state.getOption.getOrElse(0.0)
+            // one micro-batch of one series is the buffering unit — the
+            // state that persists is only the scalar total
+            val out = rows.toVector.sortBy(p => (p.ts.getTime, p.value)).map { p =>
+              total += p.value
+              CumulativePoint(series, p.ts, p.value, total)
+            }
+            state.update(total)
+            val newestMs = out.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(newestMs, state.getCurrentWatermarkMs()) + maxStaleMs)
+            out.iterator
+          }
+      }
+  }
+
   /** One finished conversation (recombine output). */
   final case class ConvSession(conv_id: String, n_turns: Int,
                                first_ts: Timestamp, last_ts: Timestamp,

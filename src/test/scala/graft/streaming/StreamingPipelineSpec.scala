@@ -423,6 +423,80 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming deltatocumulative: running sum carried across micro-batches, O(1) state") {
+    import StreamingPipeline.{CumulativePoint, MetricPoint}
+    implicit val sqlCtx = spark.sqlContext
+    def mp(s: String, min: Long, v: Double) =
+      MetricPoint(s, new Timestamp(ts(0).getTime + min * 60000L), v)
+    val mem = MemoryStream[MetricPoint]
+    val out = StreamingPipeline.deltaToCumulativeStream(
+      mem.toDS(), "5 minutes", maxStaleMs = 30 * 60000L)
+    val q = out.writeStream.format("memory").queryName("d2c_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: out-of-order arrival inside the batch → folded in ts order
+      mem.addData(mp("a", 2, 2.0), mp("a", 1, 1.0), mp("b", 1, 10.0))
+      q.processAllAvailable()
+      // batch 2: state carries the total forward
+      mem.addData(mp("a", 3, 4.0))
+      q.processAllAvailable()
+      val got = spark.table("d2c_stream").as[CumulativePoint].collect()
+        .map(p => (p.series, p.ts.getTime / 60000 % 60, p.cumulative)).toSet
+      assert(got == Set(("a", 1L, 1.0), ("a", 2L, 3.0), ("a", 3L, 7.0),
+        ("b", 1L, 10.0)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("streaming deltatocumulative: stale series evicted, revived series restarts from zero") {
+    import StreamingPipeline.{CumulativePoint, MetricPoint}
+    implicit val sqlCtx = spark.sqlContext
+    def mp(s: String, min: Long, v: Double) =
+      MetricPoint(s, new Timestamp(ts(0).getTime + min * 60000L), v)
+    val mem = MemoryStream[MetricPoint]
+    val out = StreamingPipeline.deltaToCumulativeStream(
+      mem.toDS(), "1 minutes", maxStaleMs = 10 * 60000L)
+    val q = out.writeStream.format("memory").queryName("d2c_stale")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(mp("a", 1, 5.0))
+      q.processAllAvailable()
+      // push the watermark far past a's timeout (1 + 10 stale), then one
+      // more batch so the timeout actually fires (timeouts are evaluated
+      // against the PREVIOUS batch's watermark)
+      mem.addData(mp("wm", 60, 0.0))
+      q.processAllAvailable()
+      mem.addData(mp("wm", 61, 0.0))
+      q.processAllAvailable()
+      mem.addData(mp("a", 62, 3.0)) // revived: starts over, not 5+3
+      q.processAllAvailable()
+      val a = spark.table("d2c_stale").as[CumulativePoint].collect()
+        .filter(_.series == "a").map(p => p.value -> p.cumulative).toSet
+      assert(a == Set(5.0 -> 5.0, 3.0 -> 3.0), s"got $a")
+    } finally q.stop()
+  }
+
+  test("interval processor (streaming): batch intervalLast composes with a watermark, append mode") {
+    import StreamingPipeline.MetricPoint
+    implicit val sqlCtx = spark.sqlContext
+    def mp(s: String, min: Long, v: Double) =
+      MetricPoint(s, new Timestamp(ts(0).getTime + min * 60000L), v)
+    val mem = MemoryStream[MetricPoint]
+    val out = graft.agg.Stateful.intervalLast(
+      mem.toDF().withWatermark("ts", "2 minutes"),
+      Seq("series"), "ts", "value", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("interval_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(mp("a", 1, 1.0), mp("a", 7, 2.0), mp("a", 4, 9.0))
+      q.processAllAvailable()
+      mem.addData(mp("a", 25, 0.0)) // watermark 23min → [0,10) finalizes
+      q.processAllAvailable()
+      val rows = spark.table("interval_stream")
+        .select("series", "last_value").as[(String, Double)].collect().toSet
+      assert(rows == Set(("a", 2.0)), s"got $rows") // last by ts, not max
+    } finally q.stop()
+  }
+
   test("sessionize (streaming): sessions finalize in append mode once the watermark passes") {
     import StreamingPipelineSpec.Ev
     implicit val sqlCtx = spark.sqlContext
