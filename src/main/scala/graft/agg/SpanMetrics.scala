@@ -83,6 +83,11 @@ object SpanMetrics {
     * (`percentile_cont`-style interpolation would hang the contract on
     * cross-engine double rounding).
     *
+    * Null values are not observations (SQL aggregate semantics — they are
+    * excluded here explicitly: left in, they'd inflate the cumulative
+    * histogram NULLS-FIRST while the quantile selection skipped them,
+    * shifting every rank by the null count).
+    *
     * @param ps percentiles as integers in (0, 100], e.g. `Seq(50, 95, 99)`;
     *           emitted as `p{P}_{valueCol}` columns.
     */
@@ -91,7 +96,8 @@ object SpanMetrics {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 100),
       s"percentiles must be in (0,100]: $ps")
     val keys = dims.map(col)
-    val hist = spans.groupBy((keys :+ col(valueCol)): _*)
+    val hist = spans.filter(col(valueCol).isNotNull)
+      .groupBy((keys :+ col(valueCol)): _*)
       .agg(count(lit(1)).as("_c"))
     val byKey = Window.partitionBy(keys: _*)
     val cum = hist

@@ -86,6 +86,15 @@ class ProcessorOpsSpec extends SparkSpec {
       .forall(c => t2.getAs[Long](c) == 7L) && t2.getAs[Long]("calls") == 1)
   }
 
+  test("summary quantiles: nulls are not observations (ranks unshifted)") {
+    val spans = Seq(("t1", Some(1L)), ("t1", None), ("t1", Some(3L)))
+      .toDF("tool", "dur")
+    val r = SpanMetrics.summaryQuantiles(spans, Seq("tool"), "dur", Seq(50)).head()
+    // n=2 observed → k50=1 → 1; a counted-but-unselectable null would
+    // have made n=3, k50=2 → 3
+    assert(r.getAs[Long]("calls") == 2 && r.getAs[Long]("p50_dur") == 1)
+  }
+
   test("summary quantiles: histogram rendering ≡ per-row sort rendering (ties included)") {
     // duplicates force the histogram's cumulative counts to carry
     // multiplicity; differential check vs the naive sorted-row selection
