@@ -386,6 +386,28 @@ object SparkEntry {
           floor(col("contamination") * 10000).cast("bigint").as("contamination_e4"))
     }),
 
+    "d26_contamination_neardup" -> ((s, dir) => {
+      // NEAR-DUP decontamination: MinHash-LSH between the corpus and
+      // the stand-in eval set (every 97th doc) — catches paraphrased
+      // leakage d13's exact-trigram check misses. The bench side is
+      // banded + broadcast, so the corpus side never shuffles.
+      // ORACLE RECALL ASSUMPTION (same as d11): the DuckDB oracle is
+      // the brute-force corpus×bench jaccard>=0.85 cross join while
+      // this side verifies LSH candidates, so equality additionally
+      // asserts 100% LSH recall here — at 64 hashes / 16 bands a true
+      // pair at j=0.85 collides in ≥1 band with p ≈ 0.9997, and the
+      // corpus's dup pairs sit well above the threshold (established
+      // by d07's green oracle on the same parameters).
+      val docs = documents(s, dir)
+      Dedup.contaminationNearDup(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0)
+            .select(col("doc_id").as("bench_id"), col("text")),
+          "bench_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.85)
+        .select(col("doc_id"), col("bench_id"),
+          floor(col("jaccard") * 10000).cast("bigint").as("jaccard_e4"))
+    }),
+
     "d02_token_count" -> ((s, dir) =>
       documents(s, dir)
         .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))),
@@ -1430,6 +1452,23 @@ object SparkEntry {
         |  coalesce(h.n_cont, 0) AS n_contaminated,
         |  CAST(floor((coalesce(h.n_cont, 0) / len(s.s)) * 10000) AS BIGINT) AS contamination_e4
         |FROM sh s LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // Brute corpus×bench jaccard as the oracle for the broadcast-LSH
+    // path — valid for the same recall argument as d07/d11 (banding
+    // miss ~1e-5/pair at j>=0.85; the exact-verify step makes LSH a
+    // subset of brute by construction, so equality checks recall).
+    "d26_contamination_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+        |), bench AS (
+        |  SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0
+        |)
+        |SELECT d.doc_id, b.bench_id,
+        |  CAST(floor(10000 * (len(list_intersect(d.s, b.s)) /
+        |    (len(d.s) + len(b.s) - len(list_intersect(d.s, b.s))))) AS BIGINT) AS jaccard_e4
+        |FROM sh d, bench b
+        |WHERE len(list_intersect(d.s, b.s)) /
+        |      (len(d.s) + len(b.s) - len(list_intersect(d.s, b.s))) >= 0.85""".stripMargin,
 
     "d12_dedup_normalized" ->
       """SELECT trim(regexp_replace(regexp_replace(lower(text),

@@ -181,6 +181,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate benchmark decontamination: MinHash-LSH candidate
+    * pairs between the corpus and a small benchmark/eval set, verified
+    * with exact Jaccard — catches PARAPHRASED eval leakage the exact
+    * n-gram check ([[TextAnalysis.contamination]]) misses. Returns
+    * (docId, benchId, jaccard) for every cross-corpus pair with
+    * jaccard ≥ threshold (a benchmark doc present verbatim in the
+    * corpus matches itself at 1.0).
+    *
+    * Scale design — the cross-corpus asymmetry is the whole point: the
+    * BENCHMARK side (eval suites: ~10^4-10^6 docs) is shingled, banded
+    * and `broadcast`; the corpus side computes signatures in a narrow
+    * codegen map and broadcast-joins on (band, band_hash), so the
+    * 10^12-doc side NEVER shuffles — unlike the self-join dedup path
+    * ([[nearDupMinhashLsh]]), which must shuffle by bucket. Only the
+    * candidate hits (≈ contaminated docs × bands, orders below the
+    * corpus) pay the multi-band-dedup shuffle before the exact verify.
+    */
+  def contaminationNearDup(docs: DataFrame, idCol: String, textCol: String,
+                           benchmark: DataFrame, benchIdCol: String,
+                           benchTextCol: String,
+                           numHashes: Int = 64, bands: Int = 16,
+                           shingleSize: Int = 1,
+                           threshold: Double = 0.85): DataFrame = {
+    require(idCol != benchIdCol,
+      s"idCol and benchIdCol must differ (both '$idCol'): the output carries one column per side")
+    def banded(df: DataFrame, id: Column, idName: String, t: Column,
+               shName: String): DataFrame =
+      df.select(id.as(idName), shingleHashes(t, shingleSize).as(shName))
+        .withColumn("sig", minhashSignature(col(shName), numHashes))
+        .select(col(idName), col(shName),
+          posexplode(bandHashes(col("sig"), numHashes, bands))
+            .as(Seq("band", "bh")))
+    val corpus = banded(docs, col(idCol), "doc_id_c", col(textCol), "sh_d")
+    val bench = banded(benchmark, col(benchIdCol), "bench_id_c",
+      col(benchTextCol), "sh_b")
+    corpus.join(broadcast(bench), Seq("band", "bh"))
+      // a true near-dup shares most of its bands — dedup pair hits
+      // before the exact-Jaccard verify, same as the self-join path
+      .groupBy("doc_id_c", "bench_id_c")
+      .agg(first("sh_d").as("sh_d"), first("sh_b").as("sh_b"))
+      .select(col("doc_id_c").as(idCol), col("bench_id_c").as(benchIdCol),
+        jaccard(col("sh_d"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs, brute-force (small-scale
     * oracle path): all pairs with cosine ≥ threshold. */
   def nearDupEmbeddingBrute(df: DataFrame, idCol: String, vecCol: String,

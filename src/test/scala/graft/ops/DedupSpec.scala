@@ -50,6 +50,41 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute, s"LSH missed: ${brute -- lsh}")
   }
 
+  test("cross-corpus near-dup contamination: broadcast-LSH ≡ brute cross join") {
+    val bench = corpus.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000L).as("bench_id"), col("text"))
+    val result = Dedup.contaminationNearDup(corpus, "doc_id", "text",
+      bench, "bench_id", "text", shingleSize = 1, threshold = 0.5)
+    val lsh = result
+      .select(col("doc_id"), col("bench_id"),
+        floor(col("jaccard") * 10000).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    // independent rendering: STRING shingles, HOF jaccard, plain cross
+    // join — proves hashed-verify ≡ string AND full LSH recall here
+    val d = corpus.select(col("doc_id"), Dedup.shingles(col("text"), 1).as("sa"))
+    val b = bench.select(col("bench_id"), Dedup.shingles(col("text"), 1).as("sb"))
+    val brute = d.crossJoin(b)
+      .select(col("doc_id"), col("bench_id"),
+        Dedup.jaccardHof(col("sa"), col("sb")).as("j"))
+      .filter(col("j") >= 0.5)
+      .select(col("doc_id"), col("bench_id"), floor(col("j") * 10000).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(lsh == brute,
+      s"missed: ${brute -- lsh}; unverified leaked: ${lsh -- brute}")
+    // planted: doc 0 and its exact dup 200 match bench copy of doc 0 at
+    // j=1.0; each near-dup 100+i matches bench copy of doc i
+    assert(lsh.contains((0L, 1000L, 10000L)) && lsh.contains((200L, 1000L, 10000L)))
+    assert((0 until 5).forall(i =>
+      lsh.exists(p => p._1 == 100L + i && p._2 == 1000L + i)))
+    // scale gate: the candidate join must be broadcast (corpus side
+    // never shuffles for the join; only candidate dedup shuffles after)
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    intercept[IllegalArgumentException] {
+      Dedup.contaminationNearDup(corpus, "doc_id", "text", bench, "doc_id", "text")
+    }
+  }
+
   test("simhash: hamming 0 for identical, small for near-dup, large for random") {
     val sigs = corpus.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
       .as[(Long, Long)].collect().toMap
