@@ -33,6 +33,33 @@ object StreamingPipeline {
         +: attrs.map(col)): _*)
   }
 
+  /** Streaming spanmetrics — the RED-metrics connector rendered over
+    * event-time windows (`connector/spanmetricsconnector/connector.go:
+    * 328-406` in `/root/reference` aggregates under lock and flushes on
+    * a processing-time ticker; here window assignment is event-time-
+    * deterministic and state evicts `lateness` behind max event time —
+    * the streaming analog of metrics_expiration). Emits one row per
+    * (window, dims…, lin_bucket): calls + duration sum — the explicit-
+    * buckets histogram in DELTA temporality (each window's counts are
+    * independent, exactly the connector's delta mode; deltatocumulative
+    * downstream composes for cumulative).
+    *
+    * Scale: ONE shuffle keyed by (window, dims, bucket) with map-side
+    * partial aggregation; state is one count+sum per open
+    * (window, group, bucket) — bounded by `lateness`, not the stream. */
+  def spanMetricsStream(spans: DataFrame, windowDur: String, lateness: String,
+                        dims: Seq[String], durCol: String,
+                        bucketWidthMs: Long): DataFrame = {
+    require(bucketWidthMs > 0, s"bucketWidthMs must be positive: $bucketWidthMs")
+    val keys = (window(col("ts"), windowDur) +: dims.map(col)) :+
+      floor(col(durCol) / bucketWidthMs).cast("bigint").as("lin_bucket")
+    spans.withWatermark("ts", lateness)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("calls"), sum(durCol).as("sum_dur"))
+      .select(col("window.start").as("window_start") +: dims.map(col) ++:
+        Seq(col("lin_bucket"), col("calls"), col("sum_dur")): _*)
+  }
+
   /** Gap-based sessionization — recombine/groupbytrace's inactivity-gap
     * semantics (`transformer/recombine/transformer.go:95-227` force-flush
     * timeout in `/root/reference`) rendered as the engine-managed merging

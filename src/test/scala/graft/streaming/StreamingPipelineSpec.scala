@@ -37,6 +37,34 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming spanmetrics: windowed delta histograms finalize per bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val metrics = StreamingPipeline.spanMetricsStream(
+      mem.toDF().toDF("ts", "tool", "dur_ms"),
+      "10 minutes", "5 minutes", Seq("tool"), "dur_ms", bucketWidthMs = 1000L)
+    val q = metrics.writeStream.format("memory").queryName("sm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [0,10): search 500ms ×2 (bucket 0), search 2500ms (bucket 2),
+      // fetch 500ms (bucket 0); late-but-in-watermark arrival included
+      mem.addData((ts(1), "search", 500L), (ts(2), "search", 2500L),
+        (ts(3), "fetch", 500L))
+      q.processAllAvailable()
+      mem.addData((ts(4), "search", 700L)) // late within watermark, same window
+      q.processAllAvailable()
+      mem.addData((ts(25), "search", 100L)) // watermark → 20min, finalizes [0,10)
+      q.processAllAvailable()
+      val rows = spark.table("sm")
+        .select("window_start", "tool", "lin_bucket", "calls", "sum_dur")
+        .as[(Timestamp, String, Long, Long, Long)].collect().toSet
+      assert(rows == Set(
+        (ts(0), "search", 0L, 2L, 1200L),
+        (ts(0), "search", 2L, 1L, 2500L),
+        (ts(0), "fetch", 0L, 1L, 500L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming recombine emits one ordered rollup per conversation on session timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Turn]
