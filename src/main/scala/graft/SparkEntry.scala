@@ -397,7 +397,12 @@ object SparkEntry {
       // asserts 100% LSH recall here — at 64 hashes / 16 bands a true
       // pair at j=0.85 collides in ≥1 band with p ≈ 0.9997, and the
       // corpus's dup pairs sit well above the threshold (established
-      // by d07's green oracle on the same parameters).
+      // by d07's green oracle on the same parameters). It also assumes
+      // no intra-document xxhash64 token collision (the verify runs
+      // Jaccard over HASHED shingle sets, the oracle over strings; a
+      // collision shrinks one side's set by 1 and can flip a boundary
+      // pair) — probability ~|tokens|²/2^65 per doc, same argument as
+      // d07/d13's hashed ≡ string contracts.
       val docs = documents(s, dir)
       Dedup.contaminationNearDup(docs, "doc_id", "text",
           docs.filter(col("doc_id") % 97 === 0)
@@ -2263,9 +2268,9 @@ object SparkEntry {
 
     "p59_latency_summary" -> withT(
       s"""SELECT tool, CAST(max(n) AS BIGINT) AS calls,
-         |  min(CASE WHEN cum >= floor((50*n + 99)/100) THEN dur_ms END) AS p50_dur_ms,
-         |  min(CASE WHEN cum >= floor((95*n + 99)/100) THEN dur_ms END) AS p95_dur_ms,
-         |  min(CASE WHEN cum >= floor((99*n + 99)/100) THEN dur_ms END) AS p99_dur_ms,
+         |  min(CASE WHEN cum >= (50*n + 99)//100 THEN dur_ms END) AS p50_dur_ms,
+         |  min(CASE WHEN cum >= (95*n + 99)//100 THEN dur_ms END) AS p95_dur_ms,
+         |  min(CASE WHEN cum >= (99*n + 99)//100 THEN dur_ms END) AS p99_dur_ms,
          |  max(dur_ms) AS max_dur_ms
          |FROM cum GROUP BY tool""".stripMargin,
       Seq(

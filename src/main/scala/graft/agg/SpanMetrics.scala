@@ -78,10 +78,11 @@ object SpanMetrics {
     *
     * Quantile definition is nearest-rank: `q_p` = the smallest value whose
     * cumulative count reaches `ceil(p/100 · n)`. The rank is computed in
-    * pure integer arithmetic, `floor((p·n + 99) / 100)` — no `0.95 · n`
-    * double product anywhere — so any engine reproduces it bitwise
-    * (`percentile_cont`-style interpolation would hang the contract on
-    * cross-engine double rounding).
+    * pure integer arithmetic, `(p·n + 99) div 100` (integral divide — no
+    * `0.95 · n` double product and no double DIVISION either, which would
+    * silently re-hang the contract on float rounding past ~2^47), so any
+    * engine reproduces it bitwise (`percentile_cont`-style interpolation
+    * would hang the contract on cross-engine double rounding).
     *
     * Null values are not observations (SQL aggregate semantics — they are
     * excluded here explicitly: left in, they'd inflate the cumulative
@@ -106,7 +107,7 @@ object SpanMetrics {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("_n", sum("_c").over(byKey))
     def rank(p: Int): Column =
-      floor((lit(p.toLong) * col("_n") + lit(99L)) / lit(100)).cast("bigint")
+      call_function("div", lit(p.toLong) * col("_n") + lit(99L), lit(100L))
     val qCols = ps.map(p =>
       min(when(col("_cum") >= rank(p), col(valueCol))).as(s"p${p}_$valueCol"))
     val aggs = (max("_n").cast("bigint").as("calls") +: qCols) :+

@@ -49,11 +49,11 @@ object StreamingPipeline {
     * (window, group, bucket) — bounded by `lateness`, not the stream. */
   def spanMetricsStream(spans: DataFrame, windowDur: String, lateness: String,
                         dims: Seq[String], durCol: String,
-                        bucketWidthMs: Long): DataFrame = {
+                        bucketWidthMs: Long, tsCol: String = "ts"): DataFrame = {
     require(bucketWidthMs > 0, s"bucketWidthMs must be positive: $bucketWidthMs")
-    val keys = (window(col("ts"), windowDur) +: dims.map(col)) :+
+    val keys = (window(col(tsCol), windowDur) +: dims.map(col)) :+
       floor(col(durCol) / bucketWidthMs).cast("bigint").as("lin_bucket")
-    spans.withWatermark("ts", lateness)
+    spans.withWatermark(tsCol, lateness)
       .groupBy(keys: _*)
       .agg(count(lit(1)).as("calls"), sum(durCol).as("sum_dur"))
       .select(col("window.start").as("window_start") +: dims.map(col) ++:
@@ -117,35 +117,41 @@ object StreamingPipeline {
     * in `/root/reference`; batch rendering is `agg.Stateful.deltaToCumulative`,
     * p16) carried in engine-managed state across micro-batches.
     *
-    * State is ONE double per live series (O(1) per key — never the
-    * points). Within a micro-batch a series' rows fold in (ts, value)
-    * order, matching the batch rendering's deterministic order; across
-    * micro-batches accumulation is arrival-ordered like the reference's
-    * heap map. Series quiet for `maxStaleMs` past the watermark are
-    * evicted (the processor's `max_stale` staleness sweep,
-    * `internal/streams/expiry` semantics): a revived series restarts its
-    * sum from zero, matching the reference's stale-series drop. */
+    * State is one (total, newest-event-ms) pair per live series (O(1)
+    * per key — never the points). Within a micro-batch a series' rows
+    * fold in (ts, value) order, matching the batch rendering's
+    * deterministic order; across micro-batches accumulation is
+    * arrival-ordered like the reference's heap map. Series quiet for
+    * `maxStaleMs` past the watermark are evicted (the processor's
+    * `max_stale` staleness sweep, `internal/streams/expiry` semantics):
+    * a revived series restarts its sum from zero, matching the
+    * reference's stale-series drop. The eviction deadline is anchored
+    * at the HISTORICAL newest event time carried in state — computing
+    * it from the current batch alone would let a late (in-watermark)
+    * point move the deadline backwards and evict a live series early,
+    * silently restarting its running sum. */
   def deltaToCumulativeStream(points: Dataset[MetricPoint], lateness: String,
                               maxStaleMs: Long): Dataset[CumulativePoint] = {
     import points.sparkSession.implicits._
     points.withWatermark("ts", lateness)
       .groupByKey(_.series)
-      .flatMapGroupsWithState[Double, CumulativePoint](
+      .flatMapGroupsWithState[(Double, Long), CumulativePoint](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (series: String, rows: Iterator[MetricPoint], state: GroupState[Double]) =>
+        (series: String, rows: Iterator[MetricPoint],
+         state: GroupState[(Double, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var total = state.getOption.getOrElse(0.0)
+            var (total, newestMs) = state.getOption.getOrElse((0.0, Long.MinValue))
             // one micro-batch of one series is the buffering unit — the
-            // state that persists is only the scalar total
+            // state that persists is only the (total, newest-ts) pair
             val out = rows.toVector.sortBy(p => (p.ts.getTime, p.value)).map { p =>
               total += p.value
               CumulativePoint(series, p.ts, p.value, total)
             }
-            state.update(total)
-            val newestMs = out.iterator.map(_.ts.getTime).max
+            newestMs = math.max(newestMs, out.iterator.map(_.ts.getTime).max)
+            state.update((total, newestMs))
             state.setTimeoutTimestamp(
               math.max(newestMs, state.getCurrentWatermarkMs()) + maxStaleMs)
             out.iterator

@@ -503,6 +503,36 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming deltatocumulative: late in-watermark point cannot drag the eviction deadline backwards") {
+    import StreamingPipeline.{CumulativePoint, MetricPoint}
+    implicit val sqlCtx = spark.sqlContext
+    def mp(s: String, min: Long, v: Double) =
+      MetricPoint(s, new Timestamp(ts(0).getTime + min * 60000L), v)
+    val mem = MemoryStream[MetricPoint]
+    val out = StreamingPipeline.deltaToCumulativeStream(
+      mem.toDS(), "40 minutes", maxStaleMs = 10 * 60000L)
+    val q = out.writeStream.format("memory").queryName("d2c_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(mp("a", 100, 1.0)) // deadline anchored at 100+10=110min
+      q.processAllAvailable()        // watermark → 60min
+      // late but in-watermark: must NOT re-anchor the deadline at 70+10
+      mem.addData(mp("a", 70, 2.0))
+      q.processAllAvailable()
+      // watermark → 90min, then one more batch so timeouts are checked
+      // against it: a deadline wrongly moved to 80min would evict here
+      mem.addData(mp("wm", 130, 0.0))
+      q.processAllAvailable()
+      mem.addData(mp("wm", 131, 0.0))
+      q.processAllAvailable()
+      mem.addData(mp("a", 95, 5.0)) // alive: 1+2+5, not a restart at 5
+      q.processAllAvailable()
+      val a = spark.table("d2c_late").as[CumulativePoint].collect()
+        .filter(_.series == "a").map(p => p.value -> p.cumulative).toSet
+      assert(a == Set(1.0 -> 1.0, 2.0 -> 3.0, 5.0 -> 8.0), s"got $a")
+    } finally q.stop()
+  }
+
   test("interval processor (streaming): batch intervalLast composes with a watermark, append mode") {
     import StreamingPipeline.MetricPoint
     implicit val sqlCtx = spark.sqlContext
