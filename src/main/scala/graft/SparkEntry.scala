@@ -858,6 +858,24 @@ object SparkEntry {
         .select(col("vec_id"), floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))
     }),
 
+    "e10_ann_pq" -> ((s, dir) => {
+      // product-quantization ANN — the third standard index family
+      // (brute e01, LSH e02, IVF e03, PQ here): 64-dim float vectors
+      // compress to 8 one-byte codes; search is 8 integer table lookups
+      // per row, no float math. Full oracle: the codebook seeds are a
+      // deterministic data pick (vec_id % 41 = 1, first 4 by vec_id)
+      // and EVERY distance is floor(1e6·L2²) integer-quantized at the
+      // subspace level, so the SQL oracle reproduces codes, distance
+      // tables, and the final integer ranking bitwise — no
+      // float-sum-order hazard anywhere (the e02/e03 parity lesson
+      // applied to PQ, whose real implementations quantize the lookup
+      // tables anyway).
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val codebook = Similarity.pqCodebook(pqSeeds(emb), m = 8)
+      Similarity.pqTopK(emb, "vec_id", "embedding",
+        embeddingQuery(s, dir), codebook, k = 10)
+    }),
+
     "e04_embedding_neardup" -> ((s, dir) =>
       Dedup.nearDupEmbeddingBrute(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 0.4)
@@ -1100,6 +1118,51 @@ object SparkEntry {
       .orderBy("vec_id").limit(16)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+
+  /** Deterministic PQ codebook seeds shared by e10 and [[e10PqSql]]:
+    * embeddings with vec_id % 41 = 1, first 4 by vec_id. */
+  private def pqSeeds(emb: DataFrame): Seq[Array[Double]] =
+    emb.filter(col("vec_id") % 41 === 1)
+      .orderBy("vec_id").limit(4)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+
+  /** e10's oracle, generated: unrolled per-subspace integer-quantized
+    * L2² (8 explicit left-associative terms per subspace — no SQL SUM
+    * over floats whose accumulation order an engine could choose), for
+    * both the query→centroid tables and the corpus encode; the final
+    * ADT is an integer SUM (order-free by exactness). */
+  private def e10PqSql: String = {
+    val m = 8; val sub = 8
+    def l2(j: Int, a: String, b: String): String =
+      (0 until sub).map { i =>
+        val d = j * sub + i + 1
+        s"($a[$d] - $b[$d]) * ($a[$d] - $b[$d])"
+      }.mkString(" + ")
+    val dtabArms = (0 until m).map(j =>
+      s"SELECT $j AS j, s.c AS c, CAST(floor(1000000 * (${l2(j, "q.qv", "s.v")})) AS BIGINT) AS d_e6 FROM seeds s, q"
+    ).mkString("\nUNION ALL\n")
+    val encArms = (0 until m).map(j =>
+      s"SELECT e.vec_id, $j AS j, s.c AS c, CAST(floor(1000000 * (${l2(j, "e.ev", "s.v")})) AS BIGINT) AS d_e6 FROM emb e, seeds s"
+    ).mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+       |                 embedding::DOUBLE[] AS v
+       |          FROM (SELECT vec_id, embedding FROM embeddings
+       |                WHERE vec_id % 41 = 1 ORDER BY vec_id LIMIT 4)),
+       |dtab AS ($dtabArms),
+       |dd AS ($encArms),
+       |codes AS (SELECT vec_id, j, c FROM
+       |            (SELECT vec_id, j, c, row_number() OVER
+       |               (PARTITION BY vec_id, j ORDER BY d_e6 ASC, c ASC) AS rn
+       |             FROM dd)
+       |          WHERE rn = 1),
+       |adt AS (SELECT codes.vec_id, CAST(SUM(dtab.d_e6) AS BIGINT) AS adt_e6
+       |        FROM codes JOIN dtab ON codes.j = dtab.j AND codes.c = dtab.c
+       |        GROUP BY codes.vec_id)
+       |SELECT vec_id, adt_e6 FROM adt ORDER BY adt_e6 ASC, vec_id ASC LIMIT 10""".stripMargin
+  }
 
   /** The e02 hyperplanes as a DuckDB VALUES list — the planes are
     * plan-time constants (seeded `Random(42)`, dim 64 in the testdata),
@@ -2185,6 +2248,7 @@ object SparkEntry {
     // (Spark `greatest` over struct(sim, cell)), probe ties to the
     // SMALLER cell (stable sortBy on the driver).
     "e03_ann_ivf" -> e03IvfSql,
+    "e10_ann_pq" -> e10PqSql,
 
     // recall@10 of the IVF cell-probe path vs brute ground truth — the
     // second point on the recall/scan-reduction trade curve (e08 prices

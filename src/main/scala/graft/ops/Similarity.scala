@@ -123,6 +123,88 @@ object Similarity {
           .cast("bigint").as("recall_e4"))
   }
 
+  // ---- product quantization (PQ) ----
+
+  /** Product-quantization codebook from `seeds` (full-dim vectors, e.g.
+    * a deterministic data sample): subspace `j`'s centroid `c` is seed
+    * `c`'s j-th slice. Returned as codebook(j)(c) = subvector. */
+  def pqCodebook(seeds: Seq[Array[Double]], m: Int): Seq[Seq[Array[Double]]] = {
+    require(seeds.nonEmpty, "pqCodebook needs at least one seed vector")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map(j => seeds.map(_.slice(j * sub, (j + 1) * sub)).toSeq)
+  }
+
+  /** Integer-quantized squared-L2 between a subvector of `dv` (subspace
+    * `j`) and a literal centroid: `floor(1e6 · Σ (v_d − c_d)²)` with a
+    * LEFT-ASSOCIATIVE term sum — the quantization (a) makes downstream
+    * sums order-free exact integer arithmetic (bitwise reproducible in
+    * any engine), (b) mirrors real PQ, whose distance tables are
+    * quantized lookups, not float math. */
+  private def pqDistE6(dv: Column, j: Int, centroid: Array[Double]): Column = {
+    val sub = centroid.length
+    val terms = (0 until sub).map { i =>
+      val el = element_at(dv, j * sub + i + 1)
+      (el - lit(centroid(i))) * (el - lit(centroid(i)))
+    }
+    floor(lit(1e6) * terms.reduceLeft(_ + _)).cast("bigint")
+  }
+
+  /** PQ-encode: adds `code_0 … code_{m-1}` int columns — per subspace
+    * the index of the nearest centroid (quantized L2, ties → smaller
+    * code). A narrow codegen map: at 10^12 vectors the encoded index is
+    * m small ints per row (64-dim float → m=8 codes ≈ 32× smaller), the
+    * compression that lets a PQ index sit in memory where raw vectors
+    * cannot. */
+  def pqEncode(df: DataFrame, vecCol: String,
+               codebook: Seq[Seq[Array[Double]]]): DataFrame = {
+    val dv = col(vecCol).cast("array<double>")
+    codebook.zipWithIndex.foldLeft(df) { case (acc, (cents, j)) =>
+      val scored = cents.zipWithIndex.map { case (c, ci) =>
+        struct(pqDistE6(dv, j, c).as("d"), lit(ci).as("c"))
+      }
+      val best = if (scored.size == 1) scored.head else least(scored: _*)
+      acc.withColumn(s"code_$j", best.getField("c"))
+    }
+  }
+
+  /** PQ ANN top-k: asymmetric-distance search over the encoded index.
+    * The query precomputes one integer distance table per subspace
+    * (`floor(1e6·L2²(query_sub, centroid))`, plan-time literals); each
+    * row's approximate distance is m ARRAY LOOKUPS + an integer sum — no
+    * per-row float math at all, the PQ trick. Smallest `adt_e6` wins
+    * (ties → smaller id); exactness of the integer arithmetic is what
+    * lets a SQL oracle reproduce the ranking bitwise.
+    *
+    * Scale: narrow map over the encoded index + TakeOrderedAndProject
+    * (local top-k per partition, driver merges k·partitions rows); at
+    * 10^12 scale compose with [[ivfAssign]] cells so only probed
+    * partitions scan. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             query: Array[Double], codebook: Seq[Seq[Array[Double]]],
+             k: Int): DataFrame = {
+    val m = codebook.size
+    val sub = codebook.head.head.length
+    require(query.length == m * sub,
+      s"query dim ${query.length} != m*sub ${m * sub}")
+    // Scala-side table build mirrors pqDistE6's arithmetic exactly:
+    // left-fold term sum, floor(1e6·) quantization
+    val dtab: Seq[Array[Long]] = codebook.zipWithIndex.map { case (cents, j) =>
+      cents.map { c =>
+        val qs = query.slice(j * sub, (j + 1) * sub)
+        math.floor(1e6 * qs.zip(c).map { case (q, w) => (q - w) * (q - w) }
+          .reduceLeft(_ + _)).toLong
+      }.toArray
+    }
+    val adt = codebook.indices.map(j =>
+      element_at(lit(dtab(j)), col(s"code_$j") + 1)).reduceLeft(_ + _)
+    pqEncode(df, vecCol, codebook)
+      .select(col(idCol), adt.as("adt_e6"))
+      .orderBy(col("adt_e6").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Fail LOUD on a dim mismatch (one-row probe, reads one row group):
     * a wrong `dim` leaves every LSH bit unset, so all rows share bucket
     * 0 and a bucketed join silently degrades to the full O(n²) pair

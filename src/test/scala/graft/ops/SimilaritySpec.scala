@@ -54,6 +54,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ top-k ≡ plain-Scala reference (codes, tables, integer ranking)") {
+    val m = 4 // dim 16 → 4 subspaces of 4
+    val seeds = vectors.filter(col("vec_id") % 30 === 1)
+      .orderBy("vec_id").limit(4)
+      .select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray).toSeq
+    val codebook = Similarity.pqCodebook(seeds, m)
+    val got = Similarity.pqTopK(vectors, "vec_id", "embedding", query, codebook, 10)
+      .as[(Long, Long)].collect().toSeq
+    // reference: same float→double inputs, same left-fold quantized L2
+    val sub = dim / m
+    def dE6(a: Array[Double], c: Array[Double]): Long =
+      math.floor(1e6 * a.zip(c).map { case (x, y) => (x - y) * (x - y) }
+        .reduceLeft(_ + _)).toLong
+    val dtab = (0 until m).map(j =>
+      codebook(j).map(c => dE6(query.slice(j * sub, (j + 1) * sub), c)))
+    val expected = vectors.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, vf) =>
+        val v = vf.map(_.toDouble).toArray
+        val adt = (0 until m).map { j =>
+          val ds = codebook(j).map(c => dE6(v.slice(j * sub, (j + 1) * sub), c))
+          dtab(j)(ds.zipWithIndex.minBy { case (d, ci) => (d, ci) }._2)
+        }.sum
+        (id, adt)
+      }.sortBy { case (id, adt) => (adt, id) }.take(10).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("PQ encode: duplicate centroids tie toward the smaller code") {
+    val seed = Array.fill(dim)(0.5)
+    val codebook = Similarity.pqCodebook(Seq(seed, seed.clone()), m = 4)
+    val codes = Similarity.pqEncode(vectors, "embedding", codebook)
+      .select("code_0", "code_1", "code_2", "code_3")
+      .as[(Int, Int, Int, Int)].collect()
+    assert(codes.forall(c => c == ((0, 0, 0, 0))), "tie must pick code 0")
+  }
+
   test("knn join: brute finds planted cluster co-members for every vector") {
     // 10 clusters of 4 near-identical vectors: each vector's top-3
     // neighbours must be exactly its 3 co-members
