@@ -159,6 +159,96 @@ object StreamingPipeline {
       }
   }
 
+  /** [[MetricPoint]] with the pairwise delta attached (null for the
+    * first point of a (re)started series — the reference's drop-first,
+    * kept as a null row like the batch rendering's lag). */
+  final case class DeltaPoint(series: String, ts: Timestamp,
+                              value: Double, delta: Option[Double])
+
+  /** Streaming cumulativetodelta — pairwise difference vs the previous
+    * point per series (`processor/cumulativetodeltaprocessor/processor.
+    * go:42-162` in `/root/reference`; batch rendering is
+    * `agg.Stateful.cumulativeToDelta`, p17). State is one
+    * (last value, newest-event-ms) pair per live series; rows fold in
+    * (ts, value) order within a micro-batch, arrival-ordered across
+    * batches like the reference's heap map. Eviction and the
+    * historical-newest anchor follow [[deltaToCumulativeStream]]; a
+    * revived series re-emits a null first delta (the reference's
+    * restart-on-stale). */
+  def cumulativeToDeltaStream(points: Dataset[MetricPoint], lateness: String,
+                              maxStaleMs: Long): Dataset[DeltaPoint] = {
+    import points.sparkSession.implicits._
+    points.withWatermark("ts", lateness)
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[(Double, Long), DeltaPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (series: String, rows: Iterator[MetricPoint],
+         state: GroupState[(Double, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var prev: Option[Double] = state.getOption.map(_._1)
+            var newestMs = state.getOption.map(_._2).getOrElse(Long.MinValue)
+            val out = rows.toVector.sortBy(p => (p.ts.getTime, p.value)).map { p =>
+              val d = prev.map(p.value - _)
+              prev = Some(p.value)
+              newestMs = math.max(newestMs, p.ts.getTime)
+              DeltaPoint(series, p.ts, p.value, d)
+            }
+            state.update((prev.get, newestMs))
+            state.setTimeoutTimestamp(
+              math.max(newestMs, state.getCurrentWatermarkMs()) + maxStaleMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** [[MetricPoint]] with the per-second rate attached (null for the
+    * first point of a series and for a non-positive inter-point gap). */
+  final case class RatePoint(series: String, ts: Timestamp,
+                             value: Double, rate: Option[Double])
+
+  /** Streaming deltatorate — delta value / seconds since the previous
+    * point per series (`processor/deltatorateprocessor/processor.go`;
+    * batch rendering is `agg.Stateful.deltaToRate`, p18). State is one
+    * (last-point-ms, newest-event-ms) pair; a zero or negative gap
+    * (timestamp collision, or an out-of-order arrival processed after a
+    * newer point) yields a null rate rather than a division blow-up or
+    * a negative-interval artifact — the same guard as the batch
+    * rendering's dt=0 null. */
+  def deltaToRateStream(points: Dataset[MetricPoint], lateness: String,
+                        maxStaleMs: Long): Dataset[RatePoint] = {
+    import points.sparkSession.implicits._
+    points.withWatermark("ts", lateness)
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[(Long, Long), RatePoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (series: String, rows: Iterator[MetricPoint],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var prevMs: Option[Long] = state.getOption.map(_._1)
+            var newestMs = state.getOption.map(_._2).getOrElse(Long.MinValue)
+            val out = rows.toVector.sortBy(p => (p.ts.getTime, p.value)).map { p =>
+              val ms = p.ts.getTime
+              val rate = prevMs.collect {
+                case pm if ms > pm => p.value / ((ms - pm) / 1000.0)
+              }
+              prevMs = Some(ms)
+              newestMs = math.max(newestMs, ms)
+              RatePoint(series, p.ts, p.value, rate)
+            }
+            state.update((prevMs.get, newestMs))
+            state.setTimeoutTimestamp(
+              math.max(newestMs, state.getCurrentWatermarkMs()) + maxStaleMs)
+            out.iterator
+          }
+      }
+  }
+
   /** One finished conversation (recombine output). */
   final case class ConvSession(conv_id: String, n_turns: Int,
                                first_ts: Timestamp, last_ts: Timestamp,

@@ -533,6 +533,57 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cumulativetodelta: null first delta, cross-batch continuation, stale restart") {
+    import StreamingPipeline.{DeltaPoint, MetricPoint}
+    implicit val sqlCtx = spark.sqlContext
+    def mp(s: String, min: Long, v: Double) =
+      MetricPoint(s, new Timestamp(ts(0).getTime + min * 60000L), v)
+    val mem = MemoryStream[MetricPoint]
+    val out = StreamingPipeline.cumulativeToDeltaStream(
+      mem.toDS(), "1 minutes", maxStaleMs = 10 * 60000L)
+    val q = out.writeStream.format("memory").queryName("c2d_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(mp("a", 2, 7.0), mp("a", 1, 5.0)) // in-batch ts order
+      q.processAllAvailable()
+      mem.addData(mp("a", 3, 10.0)) // continues from state (7 → 10)
+      q.processAllAvailable()
+      // stale eviction: watermark far past a's 3+10min deadline
+      mem.addData(mp("wm", 60, 0.0))
+      q.processAllAvailable()
+      mem.addData(mp("wm", 61, 0.0))
+      q.processAllAvailable()
+      mem.addData(mp("a", 62, 12.0)) // revived: first delta null again
+      q.processAllAvailable()
+      val a = spark.table("c2d_stream").as[DeltaPoint].collect()
+        .filter(_.series == "a").map(p => p.value -> p.delta).toSet
+      assert(a == Set(5.0 -> None, 7.0 -> Some(2.0), 10.0 -> Some(3.0),
+        12.0 -> None), s"got $a")
+    } finally q.stop()
+  }
+
+  test("streaming deltatorate: per-second rate, null on first point and non-positive gap") {
+    import StreamingPipeline.{MetricPoint, RatePoint}
+    implicit val sqlCtx = spark.sqlContext
+    def mp(s: String, min: Long, v: Double) =
+      MetricPoint(s, new Timestamp(ts(0).getTime + min * 60000L), v)
+    val mem = MemoryStream[MetricPoint]
+    val out = StreamingPipeline.deltaToRateStream(
+      mem.toDS(), "5 minutes", maxStaleMs = 60 * 60000L)
+    val q = out.writeStream.format("memory").queryName("d2r_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 120 over 2 min = 1.0/s; duplicate-ts point → null rate
+      mem.addData(mp("a", 1, 5.0), mp("a", 3, 120.0))
+      q.processAllAvailable()
+      mem.addData(mp("a", 3, 120.0)) // same ts as state's last → null
+      q.processAllAvailable()
+      val a = spark.table("d2r_stream").as[RatePoint].collect()
+        .filter(_.series == "a").map(p => p.rate).toSet
+      assert(a == Set(None, Some(1.0)), s"got $a")
+    } finally q.stop()
+  }
+
   test("interval processor (streaming): batch intervalLast composes with a watermark, append mode") {
     import StreamingPipeline.MetricPoint
     implicit val sqlCtx = spark.sqlContext
