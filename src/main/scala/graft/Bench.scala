@@ -46,7 +46,8 @@ object Bench {
   // pathologically self-similar synthetic corpus at sf≥0.1 (same reason
   // d07 itself is skipped; the 10× scale point measures the LSH path)
   private val HeavyAtScale = Set("d05_jaccard_pairs_brute", "d07_minhash_lsh_neardups",
-    "e04_embedding_neardup", "d11_dedup_groups", "e05_knn_join")
+    "e04_embedding_neardup", "d11_dedup_groups", "d27_dedup_groups_star",
+    "e05_knn_join")
 
   private def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()

@@ -467,6 +467,19 @@ object SparkEntry {
         idName = "doc_id")
     }),
 
+    "d27_dedup_groups_star" -> ((s, dir) => {
+      // Same component formation as d11 but via alternating
+      // large-star/small-star contraction (O(log² n) rounds on ANY
+      // graph shape vs propagation's diameter rounds) — the scale path
+      // for chain-shaped dup graphs. Same oracle as d11: the recursive
+      // transitive closure over the brute-force pair set; equality here
+      // asserts star ≡ propagation ≡ the true closure on this corpus.
+      Dedup.groupsWithSummary(
+        Dedup.nearDupMinhashLsh(documents(s, dir), "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.85),
+        idName = "doc_id", star = true)
+    }),
+
     "d08_simhash_signatures" -> ((s, dir) => { // golden-vector oracle
       // SimHash64 golden vectors: a fixed corpus whose signatures are
       // pinned in the oracle as literals (the HOF differential in
@@ -604,6 +617,22 @@ object SparkEntry {
           size(split(col("text"), " ")).as("n_tokens")),
         "source", "n_tokens", "doc_id", n = 10)
         .select(col("source"), col("doc_id"), col("n_tokens"))),
+
+    "d28_token_budget" -> ((s, dir) => {
+      // mixture-by-token-budget: per source, best-quality docs first
+      // until 600 tokens are spent (prefix cut: the straddling doc is
+      // kept). Histogram selection — the corpus never sorts by source;
+      // the DuckDB oracle is the plain windowed-cumsum rendering, so
+      // equality proves the two-phase selection ≡ the global prefix
+      // cut, boundary ties included.
+      val scored = documents(s, dir).select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        floor(TextAnalysis.qualityMetrics(col("text"))
+          .getField("quality_score") * 10000).cast("bigint").as("score_e4"))
+      Curation.tokenBudgetPerGroup(scored, "source", "score_e4", "doc_id",
+          "n_tokens", budget = 600L)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("score_e4"))
+    }),
 
     "p33_parse_uri" -> ((s, dir) => {
       val url = concat(lit("https://svc-"), col("user_id").cast("string"),
@@ -874,6 +903,19 @@ object SparkEntry {
       val codebook = Similarity.pqCodebook(pqSeeds(emb), m = 8)
       Similarity.pqTopK(emb, "vec_id", "embedding",
         embeddingQuery(s, dir), codebook, k = 10)
+    }),
+
+    "e12_ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ composed (FAISS IVFADC): integer-L2 coarse cells (e03's
+      // centroid pick), probe the 4 nearest, PQ ADT ranking inside
+      // (e10's codebook). Full oracle: every distance in BOTH layers is
+      // the same per-subspace floor(1e6·L2²) integer quantization, so
+      // the SQL reproduces assignment, probe set, codes, and ranking
+      // bitwise.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        embeddingQuery(s, dir), ivfCentroids(emb),
+        Similarity.pqCodebook(pqSeeds(emb), m = 8), k = 10, nProbe = 4)
     }),
 
     "e04_embedding_neardup" -> ((s, dir) =>
@@ -1196,6 +1238,55 @@ object SparkEntry {
        |                 embedding::DOUBLE[] AS v
        |          FROM (SELECT vec_id, embedding FROM embeddings
        |                WHERE vec_id % 7 = 1 ORDER BY vec_id LIMIT 16)),
+       |dtab AS ($dtabArms),
+       |dd AS ($encArms),
+       |codes AS (SELECT vec_id, j, c FROM
+       |            (SELECT vec_id, j, c, row_number() OVER
+       |               (PARTITION BY vec_id, j ORDER BY d_e6 ASC, c ASC) AS rn
+       |             FROM dd)
+       |          WHERE rn = 1),
+       |adt AS (SELECT codes.vec_id, CAST(SUM(dtab.d_e6) AS BIGINT) AS adt_e6
+       |        FROM codes JOIN dtab ON codes.j = dtab.j AND codes.c = dtab.c
+       |        GROUP BY codes.vec_id)
+       |SELECT vec_id, adt_e6 FROM adt ORDER BY adt_e6 ASC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** e12's oracle, generated: e03's centroid pick assigned by the SAME
+    * per-subspace integer-quantized L2² as the PQ layer (one
+    * quantization contract across both index layers), probe-4 by the
+    * same metric, then e10's codes/dtab/ADT restricted to probed
+    * cells. */
+  private def e12IvfPqSql: String = {
+    val m = 8
+    def dist(a: String, b: String): String =
+      (0 until m).map(j => pqL2Term(j, a, b)).mkString(" + ")
+    val dtabArms = (0 until m).map(j =>
+      s"SELECT $j AS j, s.c AS c, ${pqL2Term(j, "q.qv", "s.v")} AS d_e6 FROM seeds s, q"
+    ).mkString("\nUNION ALL\n")
+    val encArms = (0 until m).map(j =>
+      s"SELECT e.vec_id, $j AS j, s.c AS c, ${pqL2Term(j, "e.ev", "s.v")} AS d_e6 FROM probed e, seeds s"
+    ).mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |                embedding::DOUBLE[] AS v
+       |         FROM (SELECT vec_id, embedding FROM embeddings
+       |               WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT 16)),
+       |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+       |                 embedding::DOUBLE[] AS v
+       |          FROM (SELECT vec_id, embedding FROM embeddings
+       |                WHERE vec_id % 7 = 1 ORDER BY vec_id LIMIT 16)),
+       |assign AS (SELECT vec_id, cell FROM
+       |             (SELECT e.vec_id, cent.cell,
+       |                row_number() OVER (PARTITION BY e.vec_id
+       |                  ORDER BY ${dist("e.ev", "cent.v")} ASC, cent.cell ASC) AS rn
+       |              FROM emb e, cent)
+       |           WHERE rn = 1),
+       |probe AS (SELECT cell FROM cent, q
+       |          ORDER BY ${dist("cent.v", "q.qv")} ASC, cell ASC LIMIT 4),
+       |probed AS (SELECT e.vec_id, e.ev FROM emb e
+       |           JOIN assign a ON e.vec_id = a.vec_id
+       |           WHERE a.cell IN (SELECT cell FROM probe)),
        |dtab AS ($dtabArms),
        |dd AS ($encArms),
        |codes AS (SELECT vec_id, j, c FROM
@@ -1649,6 +1740,31 @@ object SparkEntry {
         |FROM g JOIN (SELECT group_id, count(*) AS n_members
         |             FROM g GROUP BY 1) c USING (group_id)""".stripMargin,
 
+    // star contraction computes the same components as propagation; one
+    // oracle (the recursive closure) gates both renderings
+    "d27_dedup_groups_star" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+        |),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s)) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85
+        |),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r(n, m) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, r.m FROM e JOIN r ON e.dst = r.n
+        |),
+        |g AS (SELECT n AS doc_id, min(m) AS group_id FROM r GROUP BY n)
+        |SELECT g.doc_id, g.group_id, c.n_members
+        |FROM g JOIN (SELECT group_id, count(*) AS n_members
+        |             FROM g GROUP BY 1) c USING (group_id)""".stripMargin,
+
     "d05_jaccard_pairs_brute" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
@@ -1952,6 +2068,34 @@ object SparkEntry {
         |                           ORDER BY n_tokens DESC, doc_id) AS rk
         |      FROM t)
         |SELECT source, doc_id, n_tokens FROM r WHERE rk <= 10""".stripMargin,
+
+    // token-budget cap: plain windowed-cumsum prefix cut (keep while
+    // tokens strictly before < 600 in score desc, id asc order) — the
+    // rendering the Spark histogram selection must equal bit-for-bit
+    "d28_token_budget" ->
+      """WITH q AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(floor((
+        |      least(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (1.0 - least(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g'))
+        |          / CAST(length(text) AS DOUBLE) * 5, 1.0)) * 0.2
+        |      + least(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |          x -> x IN ('the','and','of','to','a','in','is','that','it','for')))
+        |          / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) * 4, 1.0) * 0.2
+        |      + (1.0 - least(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |          / CAST(length(text) AS DOUBLE) * 5, 1.0)) * 0.2
+        |    ) * 10000) AS BIGINT) AS score_e4
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens, score_e4,
+        |    sum(n_tokens) OVER (PARTITION BY source
+        |        ORDER BY score_e4 DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS cum_before
+        |  FROM q)
+        |SELECT source, doc_id, n_tokens, score_e4
+        |FROM c WHERE cum_before < 600""".stripMargin,
 
     "p33_parse_uri" ->
       """SELECT event_id,
@@ -2294,6 +2438,7 @@ object SparkEntry {
     // SMALLER cell (stable sortBy on the driver).
     "e03_ann_ivf" -> e03IvfSql,
     "e10_ann_pq" -> e10PqSql,
+    "e12_ann_ivfpq" -> e12IvfPqSql,
 
     // recall@10 of the IVF cell-probe path vs brute ground truth — the
     // second point on the recall/scan-reduction trade curve (e08 prices

@@ -171,6 +171,62 @@ object Curation {
     above.unionByName(boundary).drop("_thr", "_quota")
   }
 
+  /** Per-group TOKEN-BUDGET cap: keep each group's docs best-score-first
+    * until the group's token budget is spent — the mixture step a
+    * pretraining recipe actually specifies ("N billion tokens of src7,
+    * best quality first"), where [[topNPerGroup]]'s doc-count cap is the
+    * wrong unit. A doc is kept iff the tokens of all strictly-better
+    * rows (score desc, id asc) are < `budget` — a pure prefix cut, so
+    * the doc that straddles the boundary is kept (overshoot < its own
+    * length) and the plain windowed-cumsum rendering is the oracle.
+    *
+    * Same histogram-selection shape as [[topNPerGroup]] — sources are a
+    * config-sized set, so a corpus-row window keyed by source is a
+    * single-task sort of the hottest source at 10^12 rows:
+    *  1. histogram = sum of tokens per (group, score) — the only
+    *     full-corpus shuffle, carrying two longs per bucket;
+    *  2. cumsum over the HISTOGRAM per group (score desc) finds the
+    *     threshold score where running tokens cross the budget, plus
+    *     the residual token quota inside that bucket;
+    *  3. rows strictly above the threshold are kept via broadcast-join
+    *     filter; rows AT the threshold run a within-bucket cumsum
+    *     (id asc) and keep while below the residual quota — the window
+    *     sorts one histogram bucket, not the corpus.
+    *
+    * Groups whose total fits the budget have no crossing bucket and
+    * keep everything. Exactness: a kept boundary row's global
+    * tokens-before = bucket's cum-above + within-bucket cum-before, so
+    * `within < quota ⇔ global < budget` — bit-identical to the windowed
+    * rendering, ties and all. Null scores/tokens are filtered up front
+    * (same contract as [[topNPerGroup]]); ids unique within a group. */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                          idCol: String, tokensCol: String,
+                          budget: Long): DataFrame = {
+    require(budget > 0, s"tokenBudgetPerGroup: budget must be positive, got $budget")
+    val reserved = Seq("_tc", "_cum", "_cum_above", "_thr", "_quota", "_cb")
+    require(!df.columns.exists(reserved.contains),
+      s"tokenBudgetPerGroup: input must not carry internal columns $reserved")
+    val rows = df.filter(col(scoreCol).isNotNull && col(tokensCol).isNotNull)
+    val hist = rows.groupBy(groupCol, scoreCol)
+      .agg(sum(tokensCol).cast("bigint").as("_tc"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(scoreCol).desc)
+    val cum = hist.withColumn("_cum", sum("_tc").over(wh))
+      .withColumn("_cum_above", col("_cum") - col("_tc"))
+    val thr = cum.filter(col("_cum_above") < budget && col("_cum") >= budget)
+      .select(col(groupCol), col(scoreCol).as("_thr"),
+        (lit(budget) - col("_cum_above")).as("_quota"))
+      .localCheckpoint(true)
+    val tagged = rows.join(broadcast(thr), Seq(groupCol), "left")
+    val above = tagged.filter(col("_thr").isNull || col(scoreCol) > col("_thr"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(idCol))
+    val boundary = tagged.filter(col(scoreCol) === col("_thr"))
+      .withColumn("_cb", sum(tokensCol).over(wb) - col(tokensCol))
+      .filter(col("_cb") < col("_quota")).drop("_cb")
+    above.unionByName(boundary).drop("_thr", "_quota")
+  }
+
   /** Sequence packing manifest: concatenate the corpus in `idCol` order
     * and cut it into fixed `ctxLen`-token training windows; emit, per
     * document, its global token offset and the first/last window it

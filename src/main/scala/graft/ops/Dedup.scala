@@ -370,6 +370,101 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond", §3) — the scale-path alternative to [[dedupGroups]]'s
+    * min-label propagation. Propagation needs DIAMETER rounds (fine for
+    * quasi-clique near-dup components, fatal for chain-shaped graphs:
+    * transitive near-dup chains a~b~c~… arise whenever the similarity
+    * threshold sits below the corpus's drift rate); star contraction
+    * converges in O(log² n) rounds on ANY graph shape, each round two
+    * shuffles on 8-byte node ids.
+    *
+    *   large-star: every edge (u,v), v > u re-attaches v to
+    *     m(u) = min(N(u) ∪ {u}) — larger neighbours hop to the
+    *     neighbourhood minimum (keeps edges pointing high→low).
+    *   small-star: orient edges (a, b), a > b; every a re-attaches its
+    *     smaller neighbours AND itself to m(a) = min(N⁻(a)).
+    *
+    * Both steps preserve connectivity and the a > b invariant
+    * (self-loops drop), and the fixed point is a star per component
+    * centred on its minimum. Convergence is detected on a (count,
+    * xor-of-xxhash64) signature of the edge set — two rounds with equal
+    * signatures are confirmed with an exact `exceptAll` check before
+    * declaring the fixed point, so a hash coincidence cannot return
+    * early. No collect_list anywhere: a hot node's neighbourhood stays
+    * distributed (min + join), the same hot-group discipline as
+    * [[dedupGroupSummary]].
+    *
+    * Returns (id, group) — identical contract to [[dedupGroups]]; the
+    * spec proves the two agree on random graphs, and that this one
+    * handles a diameter-40 path where strict propagation throws.
+    */
+  def dedupGroupsStar(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                      maxRounds: Int = 30): DataFrame = {
+    val nodes = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    // oriented edge set, invariant a > b
+    var edges = pairs
+      .select(greatest(col(idA), col(idB)).as("a"), least(col(idA), col(idB)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val m = sym.groupBy("u").agg(least(min("v"), first("u")).as("m"))
+      // v > u >= m(u), so the emitted (v, m) keeps a > b strictly
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("a").agg(min("b").as("m")) // all b < a, so m < a
+      val hop = e.join(m, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b")) // b > m by minimality
+      hop.union(m.select(col("a"), col("m").as("b"))).distinct()
+    }
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: ANSI mode makes a Long sum of 2^63-scale
+      // hashes throw ARITHMETIC_OVERFLOW; xor is closed and commutative
+      val r = e.agg(count(lit(1)),
+        call_function("bit_xor", xxhash64(col("a"), col("b")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      round += 1
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      if (nextSig == sig) {
+        // confirm the probabilistic signature match exactly — one extra
+        // job only on the (single) converging round
+        converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      }
+      sig = nextSig
+      edges = next
+    }
+    if (!converged && !edges.isEmpty) {
+      throw new IllegalStateException(
+        s"dedupGroupsStar: edge set still moving after $maxRounds rounds — " +
+          "exceeds the O(log^2 n) bound; raise maxRounds.")
+    }
+    // fixed point: (member, component-min) stars; roots label themselves
+    nodes.join(edges.withColumnRenamed("a", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("b"), col("id")).as("group"))
+  }
+
   /** Per-group summary: canonical survivor (min id) + group size. NO
     * member list — at 10^12 docs a single exact-dup group can hold
     * millions of ids and an unbounded collect_list is exactly the
@@ -388,8 +483,9 @@ object Dedup {
   /** Group formation + per-member summary row in one call — the
     * (member, group, group size) frame the d11/e07 queries render;
     * shared so the survivor-join shape and casts stay one fact. */
-  def groupsWithSummary(pairs: DataFrame, idName: String): DataFrame = {
-    val groups = dedupGroups(pairs)
+  def groupsWithSummary(pairs: DataFrame, idName: String,
+                        star: Boolean = false): DataFrame = {
+    val groups = if (star) dedupGroupsStar(pairs) else dedupGroups(pairs)
     groups.join(dedupGroupSummary(groups), groups("group") === col("keep_id"))
       .select(col("id").cast("bigint").as(idName),
         col("group").cast("bigint").as("group_id"),

@@ -112,6 +112,50 @@ class CurationSpec extends SparkSpec {
       ("gC", 8L, 60), ("gC", 9L, 60), ("gC", 10L, 60)))
   }
 
+  test("token-budget per group: histogram selection ≡ windowed prefix cut") {
+    // gA crosses inside a tie bucket (two ids at score 80 share the
+    // boundary; only the smaller fits the residual token quota), gB's
+    // total fits the budget (keep all), gC's first doc alone overshoots
+    // (straddle-keep), gD crosses exactly at a bucket edge
+    val rows = Seq(
+      ("gA", 1L, 90, 40L), ("gA", 2L, 80, 35L), ("gA", 3L, 80, 35L),
+      ("gA", 4L, 70, 10L),
+      ("gB", 5L, 50, 30L), ("gB", 6L, 40, 30L),
+      ("gC", 7L, 60, 500L), ("gC", 8L, 55, 10L),
+      ("gD", 9L, 20, 50L), ("gD", 10L, 20, 50L), ("gD", 11L, 10, 5L)
+    ).toDF("g", "id", "score", "toks")
+    def run(budget: Long) =
+      Curation.tokenBudgetPerGroup(rows, "g", "score", "id", "toks", budget)
+        .select("g", "id").as[(String, Long)].collect().toSet
+    // budget 100: gA keeps 40+35 then id=3 (cum_before 75 < 100) — the
+    // straddler at the tie bucket; id=4 is out (cum_before 110)
+    assert(run(100L) == Set(("gA", 1L), ("gA", 2L), ("gA", 3L),
+      ("gB", 5L), ("gB", 6L),
+      ("gC", 7L),
+      ("gD", 9L), ("gD", 10L)))
+    // budget 76: id=3's cum_before 75 < 76 still keeps it; budget 75 cuts
+    assert(run(76L).contains(("gA", 3L)) && !run(75L).contains(("gA", 3L)))
+    // exact bucket-edge: gD budget 100 consumes both score-20 docs
+    // exactly; the score-10 doc has cum_before 100 — out
+    assert(!run(100L).contains(("gD", 11L)))
+    // randomized differential: selection ≡ the plain windowed rendering
+    val rnd = new scala.util.Random(77)
+    val big = (0L until 400L).map { i =>
+      (s"g${i % 5}", i, rnd.nextInt(8), 1L + rnd.nextInt(30))
+    }.toDF("g", "id", "score", "toks")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Seq(37L, 200L, 100000L).foreach { b =>
+      val got = Curation.tokenBudgetPerGroup(big, "g", "score", "id", "toks", b)
+        .select("g", "id").as[(String, Long)].collect().toSet
+      val want = big.withColumn("cb", sum("toks").over(w) - col("toks"))
+        .filter(col("cb") < b)
+        .select("g", "id").as[(String, Long)].collect().toSet
+      assert(got == want, s"budget $b")
+    }
+  }
+
   test("sequence packing: two-phase prefix sum ≡ global cumsum") {
     val rnd = new scala.util.Random(11)
     val corpus = (0L until 300L).map { i =>

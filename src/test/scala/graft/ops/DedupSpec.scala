@@ -402,4 +402,48 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert((0L to 9L).forall(exact(_) == 0L))
   }
+
+  test("star contraction: components, long chains, self-loops, single pair") {
+    // the d11-style mixed shape
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (8L, 9L), (9L, 10L))
+      ++ (20L until 26L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val m = Dedup.dedupGroupsStar(pairs).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(m(_) == 1L))
+    assert(m(5L) == 5L && m(6L) == 5L)
+    assert(Seq(8L, 9L, 10L).forall(m(_) == 8L))
+    assert((20L to 26L).forall(m(_) == 20L))
+    // diameter-40 path: strict propagation at the default round budget
+    // throws; star contraction converges in O(log² n) rounds
+    val longChain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.dedupGroups(longChain).collect()
+    }
+    val star = Dedup.dedupGroupsStar(longChain).as[(Long, Long)].collect().toMap
+    assert(star.size == 41 && (0L to 40L).forall(star(_) == 0L))
+    // self-loop-only input: every node labels itself
+    val selfOnly = Seq((7L, 7L), (3L, 3L)).toDF("id_a", "id_b")
+    assert(Dedup.dedupGroupsStar(selfOnly).as[(Long, Long)].collect().toMap
+      == Map(7L -> 7L, 3L -> 3L))
+    // single pair, reversed id order in the input
+    assert(Dedup.dedupGroupsStar(Seq((9L, 4L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap == Map(9L -> 4L, 4L -> 4L))
+  }
+
+  test("star contraction ≡ min-label propagation on random graphs") {
+    // deterministic pseudo-random edge sets over 60 nodes: a mix of
+    // cliques (near-dup quasi-clique shape), chains, and sparse noise
+    val rnd = new scala.util.Random(20260818L)
+    (1 to 3).foreach { _ =>
+      val edges = (0 until 80).map { _ =>
+        val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val pairs = edges.toDF("id_a", "id_b")
+      val prop = Dedup.dedupGroups(pairs, maxRounds = 60)
+        .as[(Long, Long)].collect().toMap
+      val star = Dedup.dedupGroupsStar(pairs).as[(Long, Long)].collect().toMap
+      assert(star == prop)
+    }
+  }
 }

@@ -83,6 +83,44 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("IVF-PQ: probing all cells ≡ flat PQ; pruning keeps the query's cell") {
+    val m = 4
+    val seeds = vectors.filter(col("vec_id") % 30 === 1)
+      .orderBy("vec_id").limit(4)
+      .select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray).toSeq
+    val codebook = Similarity.pqCodebook(seeds, m)
+    val centroids = vectors.filter(col("vec_id") % 30 === 0)
+      .orderBy("vec_id").limit(8)
+      .select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray).toSeq
+    // nProbe = all cells: the coarse layer prunes nothing → exactly the
+    // flat pqTopK ranking
+    val all = Similarity.ivfPqTopK(vectors, "vec_id", "embedding", query,
+      centroids, codebook, k = 10, nProbe = centroids.size)
+      .as[(Long, Long)].collect().toSeq
+    val flat = Similarity.pqTopK(vectors, "vec_id", "embedding", query,
+      codebook, 10).as[(Long, Long)].collect().toSeq
+    assert(all == flat)
+    // pruned probe: results come only from probed cells, and the
+    // query's own vector (same cell as the query by construction —
+    // distance 0 to itself) survives the pruning
+    val pruned = Similarity.ivfPqTopK(vectors, "vec_id", "embedding", query,
+      centroids, codebook, k = 10, nProbe = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(pruned.size == 10)
+    assert(pruned.map(_._1).contains(42L), s"query vector pruned away: $pruned")
+    // ADT values agree with the flat ranking for every surviving id
+    val flatMapByid = flat.toMap
+    pruned.filter(p => flatMapByid.contains(p._1)).foreach { case (id, adt) =>
+      assert(adt == flatMapByid(id), s"ADT drifted for $id")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(vectors, "vec_id", "embedding", query,
+        centroids, codebook, k = 10, nProbe = 0)
+    }
+  }
+
   test("PQ encode: duplicate centroids tie toward the smaller code") {
     val seed = Array.fill(dim)(0.5)
     val codebook = Similarity.pqCodebook(Seq(seed, seed.clone()), m = 4)
