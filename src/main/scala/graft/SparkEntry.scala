@@ -567,6 +567,23 @@ object SparkEntry {
       // corpus; hashed columns are exact integers + one floored ln
       TextAnalysis.unigramFreqScore(documents(s, dir), "doc_id", "text")),
 
+    "d29_tfidf_topterms" -> ((s, dir) =>
+      // per-doc top-3 TF-IDF terms: corpus df table broadcast back over
+      // the (doc, tok) tf frame; integer score ranking, per-doc window
+      TextAnalysis.tfIdfTopTerms(documents(s, dir), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("rk"), col("tok"), col("tf"),
+          col("df"), col("score_e6"))),
+
+    "d30_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights vs the stand-in target set (every 97th
+      // doc — the d13/d26 eval-set convention): per-token floored
+      // log-ratios integer-summed per doc, so the oracle reproduces the
+      // weight bitwise (one ln pair per VOCAB entry, d25 hazard class)
+      val docs = documents(s, dir)
+      TextAnalysis.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text")
+    }),
+
     "d24_pii_scrub" -> ((s, dir) => {
       // the synthetic corpus carries no PII, so the query PLANTS a
       // deterministic specimen per doc_id class (email / dotted-quad
@@ -916,6 +933,18 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb, "vec_id", "embedding",
         embeddingQuery(s, dir), ivfCentroids(emb),
         Similarity.pqCodebook(pqSeeds(emb), m = 8), k = 10, nProbe = 4)
+    }),
+
+    "e13_semdedup" -> ((s, dir) => {
+      // SemDeDup: IVF cells (e03's deterministic centroids) bound the
+      // pairwise work; within a cell, pairs with cos_e4 > 3999 (the e04
+      // corpus-calibrated threshold, strict integer cut) delete the
+      // member CLOSER to the centroid (larger cent_e6; tie → larger id).
+      // Full oracle: cells, centroid sims, pair sims, and the delete
+      // pick are all integer-decided from data-derived centroids.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Dedup.semDedup(emb, "vec_id", "embedding", ivfCentroids(emb),
+        thresholdE4 = 3999L)
     }),
 
     "e04_embedding_neardup" -> ((s, dir) =>
@@ -2001,6 +2030,46 @@ object SparkEntry {
         |    (CAST(n_tokens AS DOUBLE) * total))) AS BIGINT) AS logmeanfreq_micro
         |FROM d, tot""".stripMargin,
 
+    // TF-IDF top terms: DuckDB recomputes tf, df, N and the integer
+    // ranking; the one float per vocab entry is (1e6·tf)·ln(N/df) with
+    // the same left-associative order as the Spark side
+    "d29_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+        |scored AS (SELECT t.doc_id, t.tok, t.tf, d.df,
+        |             CAST(floor(1000000 * t.tf *
+        |               ln(n.n_docs / CAST(d.df AS DOUBLE))) AS BIGINT) AS score_e6
+        |           FROM tf t JOIN dfq d USING (tok), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                  ORDER BY score_e6 DESC, tok) AS rk FROM scored)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, tok, tf, df, score_e6
+        |FROM r WHERE rk <= 3""".stripMargin,
+
+    // DSIR importance weights: per-token floored log-ratios (one ln
+    // PAIR per vocab entry — same parenthesization as the Spark side:
+    // 1e6 · (ln a − ln b)) integer-summed per document
+    "d30_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents WHERE text IS NOT NULL),
+        |cc AS (SELECT tok, count(*) AS cc FROM tok GROUP BY tok),
+        |ct AS (SELECT tok, count(*) AS ct FROM tok WHERE doc_id % 97 = 0 GROUP BY tok),
+        |stats AS (SELECT CAST(sum(cc) AS DOUBLE) AS nc,
+        |                 CAST(count(*) AS DOUBLE) AS v FROM cc),
+        |tstats AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS nt FROM ct),
+        |vocab AS (SELECT cc.tok,
+        |            CAST(floor(1000000 *
+        |              (ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) / (tstats.nt + stats.v)) -
+        |               ln(CAST(cc.cc + 1 AS DOUBLE) / (stats.nc + stats.v))))
+        |              AS BIGINT) AS tok_score_micro
+        |          FROM cc LEFT JOIN ct USING (tok), stats, tstats)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(v.tok_score_micro) AS BIGINT) AS w_micro
+        |FROM tok t JOIN vocab v USING (tok)
+        |GROUP BY t.doc_id""".stripMargin,
+
     // PII scrub: same planted specimens, same sequential email→ip→phone
     // mask order (regexes are the Java∩RE2 intersection — see
     // TextAnalysis.pii*; 'g' = global replace, DuckDB defaults to first)
@@ -2336,6 +2405,43 @@ object SparkEntry {
         |  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
         |     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4""".stripMargin,
+
+    // SemDeDup: the e03 cell-assignment CTE, centroid sims and pair sims
+    // floored to integers (1e6·(quotient) / 1e4·(quotient) — parenthesized
+    // to mirror Spark's multiply-after-divide order), delete pick and
+    // threshold both integer-decided
+    "e13_semdedup" ->
+      """WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |                embedding::DOUBLE[] AS c
+        |         FROM (SELECT vec_id, embedding FROM embeddings
+        |               WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT 16)),
+        |assign AS (SELECT vec_id, cell,
+        |             row_number() OVER (PARTITION BY vec_id
+        |                                ORDER BY sim DESC, cell DESC) AS rn
+        |           FROM (SELECT e.vec_id, cent.cell,
+        |                   list_dot_product(e.embedding::DOUBLE[], cent.c) /
+        |                     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |                      * sqrt(list_dot_product(cent.c, cent.c))) AS sim
+        |                 FROM embeddings e, cent)),
+        |v AS (SELECT e.vec_id AS id, a.cell, e.embedding::DOUBLE[] AS ev,
+        |        CAST(floor(1000000 *
+        |          (list_dot_product(e.embedding::DOUBLE[], cent.c) /
+        |            (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(cent.c, cent.c))))) AS BIGINT) AS cent_e6
+        |      FROM embeddings e
+        |      JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1
+        |      JOIN cent ON a.cell = cent.cell),
+        |pairs AS (SELECT x.cell, x.id AS id_a, y.id AS id_b,
+        |            x.cent_e6 AS ca, y.cent_e6 AS cb
+        |          FROM v x JOIN v y ON x.cell = y.cell AND x.id < y.id
+        |          WHERE CAST(floor(10000 *
+        |            (list_dot_product(x.ev, y.ev) /
+        |              (sqrt(list_dot_product(x.ev, x.ev))
+        |               * sqrt(list_dot_product(y.ev, y.ev))))) AS BIGINT) > 3999)
+        |SELECT CASE WHEN ca > cb THEN id_a WHEN cb > ca THEN id_b
+        |            ELSE greatest(id_a, id_b) END AS delete_id,
+        |  CAST(cell AS INT) AS cell, count(*) AS n_lost_pairs
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
 
     "e05_knn_join" ->
       """WITH p AS (

@@ -260,6 +260,55 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(first("cosine").as("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic near-dup REMOVAL over embeddings — cluster the corpus with
+    * a coarse quantizer, compare pairs only WITHIN a cluster, and for
+    * every pair above the similarity threshold delete the member closer
+    * to the cluster centroid (the paper's §3 keep-rule: retain the
+    * example with the LOWEST centroid similarity — the least prototypical
+    * one carries the most marginal information).
+    *
+    * Determinism contract (what makes a SQL oracle exact):
+    *  - cell assignment = [[Similarity.ivfAssign]] (ties → larger cell,
+    *    the e03-pinned rule);
+    *  - pair threshold: STRICT `>` on `floor(1e4·cos)` integers;
+    *  - delete pick: larger `floor(1e6·cos-to-centroid)` integer loses;
+    *    exact tie → larger id loses.
+    *
+    * Scale: the cell is the partition key — pairwise work is bounded per
+    * cell (the published algorithm's k-means cells, ~corpus/k each), the
+    * corpus never joins itself un-bucketed. A doc deleted by several
+    * pairs collapses to one row (groupBy), carrying its worst offender
+    * count. Returns (delete_id, cell, n_lost_pairs). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               centroids: Seq[Array[Double]],
+               thresholdE4: Long): DataFrame = {
+    val cents = map(centroids.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(i), lit(c))
+    }: _*)
+    val assigned = Similarity.ivfAssign(df, vecCol, centroids)
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"), col("cell"))
+      .withColumn("cent_e6",
+        floor(lit(1e6) * Similarity.cosine(col("v"),
+          element_at(cents, col("cell")))).cast("bigint"))
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("v").as("v_a"), col("cent_e6").as("ca"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("v").as("v_b"), col("cent_e6").as("cb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(floor(lit(1e4) * Similarity.cosine(col("v_a"), col("v_b")))
+        .cast("bigint") > thresholdE4)
+      .select(col("cell"),
+        when(col("ca") > col("cb"), col("id_a"))
+          .when(col("cb") > col("ca"), col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b"))).as("delete_id"))
+      .groupBy("delete_id", "cell")
+      .agg(count(lit(1)).as("n_lost_pairs"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit i of the result is the
     * sign of Σ_tokens (2·bit_i(xxhash64(token)) − 1). One-pass custom
     * Catalyst expression ([[graft.functions.SimHash64]], codegen) — the

@@ -315,6 +315,89 @@ object TextAnalysis {
           .cast("bigint").as("logmeanfreq_micro"))
   }
 
+  /** Per-document top-k TF-IDF terms — the classic keyword/topic signal
+    * a curation pipeline uses for domain tagging and mixture audits.
+    * score(t, d) = tf(t, d) · ln(N / df(t)) with df = number of docs
+    * containing t; ships as `floor(1e6·score)` so the integer ranking
+    * (score desc, then token asc) is engine-reproducible — ONE ln of a
+    * deterministically-computed ratio per vocab entry, the d25 hazard
+    * class (ulp divergence only at the 1e-6 floor boundary).
+    *
+    * Scale: tf is one (doc, tok) shuffle carrying 8-byte counts; df and
+    * N reduce the tf/doc frames (no second corpus pass); the df table is
+    * vocabulary-sized and rides an explicit broadcast (same size
+    * contract as [[unigramFreqScore]] — min-frequency cut a web-scale
+    * singleton tail first, the caller's modelling decision). The final
+    * window partitions by DOCUMENT — millions of ~vocab(d)-row groups,
+    * the healthy high-cardinality window shape, never a corpus sort. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"tfIdfTopTerms: k must be positive, got $k")
+    val docs = df.filter(col(textCol).isNotNull)
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // corpus doc count as a LAZY one-row broadcast (the d25 idiom: an
+    // eager count() would scan the corpus once at plan-build and once
+    // per action); derived from tf so AQE reuses the (doc, tok) shuffle
+    val nDocs = tf.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("_n_docs"))
+    val scored = tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("tok"), col("tf"), col("df"),
+        floor(lit(1e6) * col("tf") *
+          log(col("_n_docs") / col("df").cast("double")))
+          .cast("bigint").as("score_e6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score_e6").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169):
+    * rank raw-corpus documents by how target-domain-like they are under
+    * two unigram bag-of-words LMs,
+    *   w(d) = Σ_{tok occurrences} [ln p̂_target(tok) − ln p̂_corpus(tok)]
+    * with add-one smoothing over the CORPUS vocabulary (p̂(t) =
+    * (c(t)+1)/(N+V)), so a token unseen in the target still scores
+    * finite. Per-token log-ratios quantize to `floor(1e6·)` integers
+    * BEFORE the per-document sum — the sum is order-free exact integer
+    * arithmetic (the PQ lesson applied to importance weights; a float
+    * sum over a document's tokens would be accumulation-order hazard).
+    *
+    * Scale: one (tok) shuffle each for corpus and target counts; the
+    * scored vocabulary broadcasts ([[unigramFreqScore]]'s size
+    * contract); the weight is then a map-side-partial groupBy over the
+    * corpus tokens. The target sample is config-sized by construction
+    * (DSIR targets are curated sets, not corpora). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  target: DataFrame, targetTextCol: String): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val cc = toks.groupBy("tok").agg(count(lit(1)).as("cc"))
+    val ct = target.filter(col(targetTextCol).isNotNull)
+      .select(explode(split(col(targetTextCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    // corpus totals (N_c, V) and target total (N_t) as ONE lazy one-row
+    // broadcast; coalesce guards the empty-target degenerate case
+    val stats = cc.agg(sum("cc").cast("double").as("_nc"),
+        count(lit(1)).cast("double").as("_v"))
+      .crossJoin(ct.agg(coalesce(sum("ct"), lit(0L)).cast("double").as("_nt")))
+    val vocab = cc.join(ct, Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        floor(lit(1e6) *
+          (log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+             (col("_nt") + col("_v"))) -
+           log((col("cc") + lit(1L)).cast("double") / (col("_nc") + col("_v")))))
+          .cast("bigint").as("tok_score_micro"))
+    toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("tok_score_micro").as("w_micro"))
+  }
+
   // ---- fingerprinting ----
 
   /** Polynomial rolling-hash fingerprint over the raw characters

@@ -446,4 +446,58 @@ class DedupSpec extends SparkSpec {
       assert(star == prop)
     }
   }
+
+  test("semDedup: keep-rule deletes the member closer to the centroid") {
+    // two cells (centroids on the axes); within each cell one pair above
+    // the threshold where one member IS the centroid direction (cent_e6
+    // = 1e6) — the paper's rule deletes it and keeps the less
+    // prototypical member; id 3 pairs with nobody at cos_e4 > 9000
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    val docs = Seq(
+      (1L, Array(1.0, 0.0)),   // cell 0, cent_e6 = 1000000
+      (2L, Array(0.9, 0.1)),   // cell 0, cos(1,2) ≈ 0.9939 → pair
+      (3L, Array(0.6, 0.4)),   // cell 0, cos with 1 ≈ 0.832, with 2 ≈ 0.888
+      (4L, Array(0.0, 1.0)),   // cell 1, cent_e6 = 1000000
+      (5L, Array(0.1, 0.9))    // cell 1, cos(4,5) ≈ 0.9939 → pair
+    ).toDF("doc_id", "vec")
+    val got = Dedup.semDedup(docs, "doc_id", "vec", cents, thresholdE4 = 9000L)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == Set((1L, 0, 1L), (4L, 1, 1L)), s"got $got")
+  }
+
+  test("semDedup: exact centroid-sim tie deletes the larger id") {
+    // (0.9, 0.1) and (0.9, -0.1) are mirror images across the centroid
+    // axis: identical dot (0.9) and norm (√0.82) → cent_e6 ties exactly;
+    // their mutual cos = 0.80/0.82 ≈ 0.9756 clears the threshold
+    val docs = Seq(
+      (6L, Array(0.9, 0.1)),
+      (7L, Array(0.9, -0.1))
+    ).toDF("doc_id", "vec")
+    val got = Dedup.semDedup(docs, "doc_id", "vec",
+        Seq(Array(1.0, 0.0)), thresholdE4 = 9000L)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == Set((7L, 0, 1L)), s"got $got")
+  }
+
+  test("semDedup: multi-pair loser collapses to one row with the count") {
+    // three mutually-near vectors: 10 (the most central) loses both its
+    // pairs; 11 (next most central) loses its pair with 12
+    val docs = Seq(
+      (10L, Array(1.0, 0.0)),    // cent_e6 = 1000000
+      (11L, Array(0.95, 0.05)),  // cent_e6 ≈ 998617
+      (12L, Array(0.9, 0.1))     // cent_e6 ≈ 993883
+    ).toDF("doc_id", "vec")
+    val got = Dedup.semDedup(docs, "doc_id", "vec",
+        Seq(Array(1.0, 0.0)), thresholdE4 = 9900L)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == Set((10L, 0, 2L), (11L, 0, 1L)), s"got $got")
+    // strict > boundary: cos(10,11) floors to exactly 9986 — it pairs at
+    // threshold 9985 and does NOT at its own floor value
+    val boundary = Dedup.semDedup(docs, "doc_id", "vec",
+        Seq(Array(1.0, 0.0)), thresholdE4 = 9985L)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(boundary == Set((10L, 0, 1L)), s"got $boundary")
+    assert(Dedup.semDedup(docs, "doc_id", "vec",
+      Seq(Array(1.0, 0.0)), thresholdE4 = 9986L).count() == 0)
+  }
 }

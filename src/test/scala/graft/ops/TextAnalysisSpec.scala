@@ -235,4 +235,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._3 == micro(6, 4))
     assert(out(2L)._3 < out(1L)._3) // the quality ordering the cut relies on
   }
+
+  test("tfIdfTopTerms: hand-computed scores, score-desc/tok-asc ranking") {
+    val docs = Seq(
+      (1L, "a b a"),
+      (2L, "a c"),
+      (3L, "c c c")
+    ).toDF("doc_id", "text")
+    // N=3; df: a→2, b→1, c→2
+    def e6(tf: Long, df: Long): Long =
+      math.floor(1e6 * tf * math.log(3.0 / df.toDouble)).toLong
+    val got = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "rk", "tok", "tf", "df", "score_e6")
+      .as[(Long, Int, String, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 1, "b", 1L, 1L, e6(1, 1)), // ln 3 beats 2·ln 1.5
+      (1L, 2, "a", 2L, 2L, e6(2, 2)),
+      (2L, 1, "a", 1L, 2L, e6(1, 2)), // tie with c → tok asc breaks it
+      (2L, 2, "c", 1L, 2L, e6(1, 2)),
+      (3L, 1, "c", 3L, 2L, e6(3, 2))) // k=2 but doc 3 has one term
+    assert(got == want, s"got $got")
+  }
+
+  test("dsirWeights: hand-computed smoothed log-ratios, integer-summed") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "b c")
+    ).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") === 2L)
+    // cc: a→2 b→2 c→1; Nc=5; V=3; ct: b→1 c→1; Nt=2
+    def score(ct: Long, cc: Long): Long =
+      math.floor(1e6 * (math.log((ct + 1).toDouble / (2.0 + 3.0)) -
+        math.log((cc + 1).toDouble / (5.0 + 3.0)))).toLong
+    val got = TextAnalysis.dsirWeights(docs, "doc_id", "text", target, "text")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, w) => id -> ((n, w)) }.toMap
+    assert(got(1L) == ((3L, 2 * score(0, 2) + score(1, 2))))
+    assert(got(2L) == ((2L, score(1, 2) + score(1, 1))))
+    // the target doc outranks the off-target one; the token unseen in
+    // the target ("a") scores negative but FINITE (the smoothing)
+    assert(got(2L)._2 > got(1L)._2)
+    assert(score(0, 2) < 0)
+  }
 }
