@@ -584,6 +584,26 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0), "text")
     }),
 
+    "d31_bm25_topk" -> ((s, dir) =>
+      // BM25 top-10 for a fixed 4-term query over the corpus vocabulary:
+      // postings filter to query tokens BEFORE the shuffle, per-term
+      // contributions floor to integers before the per-doc sum
+      TextAnalysis.bm25TopK(documents(s, dir), "doc_id", "text",
+        Seq("spark", "merge", "hash", "window"), k = 10)),
+
+    "d32_incremental_dedup" -> ((s, dir) => {
+      // ingest-time dedup of a new shard (every 25th doc) against the
+      // kept index (the rest): batch side banded + broadcast, the index
+      // never shuffles; best match integer-decided (j_e4 desc, id asc).
+      // Oracle = brute batch×index jaccard (the d26 recall contract).
+      val docs = documents(s, dir)
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 25 =!= 0), "doc_id",
+        docs.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("new_id"), col("text")), "new_id",
+        "text", "text", shingleSize = 1, threshold = 0.85)
+    }),
+
     "d24_pii_scrub" -> ((s, dir) => {
       // the synthetic corpus carries no PII, so the query PLANTS a
       // deterministic specimen per doc_id class (email / dotted-quad
@@ -945,6 +965,22 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Dedup.semDedup(emb, "vec_id", "embedding", ivfCentroids(emb),
         thresholdE4 = 3999L)
+    }),
+
+    "e14_rrf_fusion" -> ((s, dir) => {
+      // hybrid-retrieval rank fusion: fuse the exact (e01) and LSH (e02)
+      // top-10 lists with reciprocal-rank fusion — contributions are
+      // pure integer div (1000000 div (60+rank)), zero float hazard
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = embeddingQuery(s, dir)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .select(col("vec_id"),
+          floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))
+      val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", q,
+          k = 10, signBits = 8)
+        .select(col("vec_id"),
+          floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))
+      Similarity.rrfFuse(Seq(brute, lsh), "vec_id", "cos_e4", k = 10)
     }),
 
     "e04_embedding_neardup" -> ((s, dir) =>
@@ -2070,6 +2106,62 @@ object SparkEntry {
         |FROM tok t JOIN vocab v USING (tok)
         |GROUP BY t.doc_id""".stripMargin,
 
+    // BM25: DuckDB recomputes postings, df, (N, avglen) and the floored
+    // per-term contributions; k1/b constants interpolate as
+    // shortest-roundtrip doubles so both engines fold the SAME values
+    // (1.2+1 is a round-to-even hazard as a hand-written 2.2 literal)
+    "d31_bm25_topk" ->
+      s"""WITH docs AS (SELECT doc_id, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+         |  FROM documents WHERE text IS NOT NULL),
+         |stats AS (SELECT count(*) AS n,
+         |    CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avglen
+         |  FROM docs),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf, min(len) AS len
+         |       FROM (SELECT doc_id, len,
+         |               unnest(string_split(text, ' ')) AS tok FROM docs)
+         |       WHERE tok IN ('spark', 'merge', 'hash', 'window')
+         |       GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |t AS (SELECT tf.doc_id,
+         |        CAST(floor(1000000 * (
+         |          ln((CAST(stats.n - dfq.df AS DOUBLE) + 0.5) /
+         |              (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0) *
+         |          (CAST(tf.tf AS DOUBLE) * ${1.2 + 1} /
+         |           (CAST(tf.tf AS DOUBLE) + ${1.2} * (${1 - 0.75} + ${0.75} *
+         |             (CAST(tf.len AS DOUBLE) / stats.avglen))))))
+         |          AS BIGINT) AS term_e6
+         |      FROM tf JOIN dfq USING (tok), stats)
+         |SELECT doc_id, count(*) AS n_terms,
+         |  CAST(sum(term_e6) AS BIGINT) AS score_e6
+         |FROM t GROUP BY doc_id
+         |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Incremental dedup: brute batch×index jaccard as the oracle for the
+    // broadcast-banded path (d26's recall argument); the best-match pick
+    // and tie-break replay on the same floored integers
+    "d32_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+        |),
+        |idx AS (SELECT doc_id, s FROM sh WHERE doc_id % 25 <> 0),
+        |b AS (SELECT doc_id AS new_id, s FROM sh WHERE doc_id % 25 = 0),
+        |p AS (SELECT b.new_id, idx.doc_id,
+        |        CAST(floor(10000 * (len(list_intersect(idx.s, b.s)) /
+        |          (len(idx.s) + len(b.s) - len(list_intersect(idx.s, b.s)))))
+        |          AS BIGINT) AS j_e4
+        |      FROM idx, b
+        |      WHERE len(list_intersect(idx.s, b.s)) /
+        |            (len(idx.s) + len(b.s) - len(list_intersect(idx.s, b.s))) >= 0.85),
+        |r AS (SELECT new_id, doc_id, j_e4,
+        |        row_number() OVER (PARTITION BY new_id
+        |                           ORDER BY j_e4 DESC, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY new_id) AS n_matches
+        |      FROM p)
+        |SELECT new_id, n_matches, doc_id AS best_match_id,
+        |  j_e4 AS best_jaccard_e4
+        |FROM r WHERE rk = 1""".stripMargin,
+
     // PII scrub: same planted specimens, same sequential email→ip→phone
     // mask order (regexes are the Java∩RE2 intersection — see
     // TextAnalysis.pii*; 'g' = global replace, DuckDB defaults to first)
@@ -2525,6 +2617,24 @@ object SparkEntry {
     // bucket(v) = Σ 2^i [plane_i·v ≥ 0]; probe set = query bucket plus
     // all hamming-1 neighbours; exact rerank of the candidates.
     "e02_ann_lsh" -> e02LshSql,
+
+    // RRF fusion of the e01/e02 lists: ranks replay on (cos_e4 desc,
+    // vec_id), contributions are DuckDB integer division — the whole
+    // fused ordering is exact integer arithmetic end to end
+    "e14_rrf_fusion" ->
+      s"""WITH brute AS ($e01BruteSql),
+         |lshres AS ($e02LshSql),
+         |rb AS (SELECT vec_id, row_number() OVER
+         |         (ORDER BY cos_e4 DESC, vec_id) AS r FROM brute),
+         |rl AS (SELECT vec_id, row_number() OVER
+         |         (ORDER BY cos_e4 DESC, vec_id) AS r FROM lshres),
+         |u AS (SELECT vec_id, 1000000 // (60 + r) AS contrib FROM rb
+         |      UNION ALL
+         |      SELECT vec_id, 1000000 // (60 + r) AS contrib FROM rl)
+         |SELECT vec_id, count(*) AS n_lists,
+         |  CAST(sum(contrib) AS BIGINT) AS rrf_e6
+         |FROM u GROUP BY vec_id
+         |ORDER BY rrf_e6 DESC, vec_id LIMIT 10""".stripMargin,
 
     // recall@10 of the LSH path vs brute ground truth: composes the two
     // oracle derivations above verbatim as CTEs, so the recall number is

@@ -226,6 +226,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Ingest-time incremental dedup: admit/reject a NEW batch of
+    * documents against the already-kept corpus INDEX without re-pairing
+    * the index with itself. Returns one row per REJECTED batch doc —
+    * (batchId, n_matches, best_match_id, best_jaccard_e4); the best
+    * match is the highest floored-integer jaccard, ties to the smallest
+    * index id (both integer-decided, so a SQL oracle reproduces the
+    * pick). Batch docs with no index match above the threshold are
+    * admitted, i.e. absent from the output.
+    *
+    * Scale: [[contaminationNearDup]] with the roles swapped — the BATCH
+    * (one ingest shard, orders of magnitude below the corpus) is
+    * shingled, banded and broadcast; the index side computes signatures
+    * in a narrow codegen map and NEVER shuffles. At 100 TB the index's
+    * band table is precomputed once and reused per shard; recomputing
+    * it here is the stateless rendering of the same join. */
+  def incrementalDedup(index: DataFrame, indexIdCol: String,
+                       batch: DataFrame, batchIdCol: String,
+                       textCol: String, batchTextCol: String,
+                       numHashes: Int = 64, bands: Int = 16,
+                       shingleSize: Int = 1,
+                       threshold: Double = 0.85): DataFrame = {
+    val pairs = contaminationNearDup(index, indexIdCol, textCol,
+      batch, batchIdCol, batchTextCol, numHashes, bands, shingleSize,
+      threshold)
+    pairs
+      .select(col(batchIdCol), col(indexIdCol),
+        floor(col("jaccard") * 10000).cast("bigint").as("j_e4"))
+      .groupBy(batchIdCol)
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct((-col("j_e4")).as("nj"), col(indexIdCol).as("mid")))
+          .as("best"))
+      .select(col(batchIdCol), col("n_matches"),
+        col("best.mid").as("best_match_id"),
+        (-col("best.nj")).as("best_jaccard_e4"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, brute-force (small-scale
     * oracle path): all pairs with cosine ≥ threshold. */
   def nearDupEmbeddingBrute(df: DataFrame, idCol: String, vecCol: String,

@@ -301,6 +301,41 @@ object Similarity {
         floor(col("cosine") * 10000).cast("bigint").as("cos_e4"))
   }
 
+  /** Reciprocal-rank fusion (Cormack & Clarke's RRF, the standard
+    * hybrid-retrieval combiner): fuse N ranked candidate lists for one
+    * query into a single top-k,
+    *   rrf(id) = Σ_lists 1_000_000 div (c + rank_list(id))
+    * with ranks assigned inside each list by (score desc, id asc) and
+    * c = 60 (the published default). The per-list contribution is PURE
+    * INTEGER arithmetic (truncating div of exact longs — no float
+    * anywhere), so any SQL engine reproduces the fused ordering bitwise;
+    * an id absent from a list simply contributes nothing (standard RRF).
+    * Final ties break on id.
+    *
+    * Scale: inputs are already top-k-truncated retrieval lists (k·lists
+    * rows total, not corpora) — the unpartitioned rank window and the
+    * fuse groupBy run on ≤ k·lists rows by contract; the heavy work
+    * happened in the ANN stages that produced the lists. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+              k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no input lists")
+    require(k > 0 && c >= 0, s"rrfFuse: bad k=$k / c=$c")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val contribs = lists.map { l =>
+      l.select(col(idCol), col(scoreCol))
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .select(col(idCol),
+          call_function("div", lit(1000000L), lit(c.toLong) + col("rank"))
+            .as("contrib"))
+    }
+    contribs.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_lists"), sum("contrib").as("rrf_e6"))
+      .orderBy(col("rrf_e6").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Brute k-NN JOIN: top-k cosine neighbours for EVERY vector — the
     * batch form behind near-dup clustering and retrieval-index seeding,
     * vs the single-query [[bruteForceTopK]]. Deliberately quadratic (N²

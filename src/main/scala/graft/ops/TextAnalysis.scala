@@ -354,6 +354,58 @@ object TextAnalysis {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** BM25 lexical retrieval (Robertson/Sparck-Jones weighting with the
+    * +1-smoothed idf): top-k documents for one bag-of-words query,
+    *   score(d) = Σ_{t∈q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))
+    *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+    * Per-(doc, term) contributions quantize to `floor(1e6·)` integers
+    * BEFORE the per-document sum (order-free exact integer arithmetic —
+    * the [[dsirWeights]] discipline); ties at the k boundary break on
+    * doc id. k1/b fold into double literals once on the driver, so the
+    * oracle can interpolate the exact same doubles
+    * (shortest-roundtrip toString).
+    *
+    * Scale: the explode filters to QUERY tokens before the (doc, tok)
+    * shuffle — only matching postings move, the corpus text never
+    * shuffles; doc length rides the posting rows (8 bytes) instead of
+    * re-joining a corpus-sized length table; df and the (N, avglen)
+    * stats are broadcast one-row/vocab-row frames. The final top-k is
+    * a TakeOrderedAndProject, never a global sort. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryToks: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryToks.nonEmpty, "bm25TopK: empty query")
+    require(k > 0, s"bm25TopK: k must be positive, got $k")
+    val docs = df.filter(col(textCol).isNotNull)
+    val lens = docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("bigint").as("len"))
+    // (N, avglen) over the FULL corpus — tf below sees only query-token
+    // postings, so the normalizing stats need their own (cheap, map-
+    // side-partial) aggregate over the lengths frame
+    val stats = lens.agg(count(lit(1)).as("_n"),
+      (sum("len").cast("double") / count(lit(1)).cast("double")).as("_avglen"))
+    val tf = docs
+      .select(col(idCol), size(split(col(textCol), " ")).cast("bigint").as("len"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok").isin(queryToks: _*))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"), first("len").as("len"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(((col("_n") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val norm = col("tf").cast("double") * lit(k1 + 1) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1 - b) + lit(b) * (col("len").cast("double") / col("_avglen"))))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        floor(lit(1e6) * (idf * norm)).cast("bigint").as("term_e6"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_terms"), sum("term_e6").as("score_e6"))
+      .orderBy(col("score_e6").desc, col(idCol))
+      .limit(k)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling", arXiv:2302.03169):
     * rank raw-corpus documents by how target-domain-like they are under

@@ -500,4 +500,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.semDedup(docs, "doc_id", "vec",
       Seq(Array(1.0, 0.0)), thresholdE4 = 9986L).count() == 0)
   }
+
+  test("incrementalDedup: rejects batch dups, admits novel, ties to smaller id") {
+    val index = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y z w q"),
+      (3L, "a b c d f")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "a b c d e"), // exact dup of 1 (j=1.0) + near-dup of 3 (4/6)
+      (101L, "p q r s t"), // novel (j vs 2 = 1/9) → admitted, no row
+      (102L, "a b c d g")  // 4/6 vs BOTH 1 and 3 → tie, best = smaller id
+    ).toDF("new_id", "text")
+    val got = Dedup.incrementalDedup(index, "doc_id", batch, "new_id",
+        "text", "text", threshold = 0.6)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val j46 = math.floor(10000 * (4.0 / 6.0)).toLong // 6666
+    assert(got == Set(
+      (100L, 2L, 1L, 10000L),
+      (102L, 2L, 1L, j46)), s"got $got")
+    // threshold above the near-dup pair: only the exact dup rejects, and
+    // its n_matches drops to the single surviving pair
+    val strict = Dedup.incrementalDedup(index, "doc_id", batch, "new_id",
+        "text", "text", threshold = 0.9)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(strict == Set((100L, 1L, 1L, 10000L)), s"got $strict")
+  }
 }

@@ -241,4 +241,27 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(emptyGt == ((5L, 0L, 0L)))
   }
+
+  test("rrfFuse: hand-computed integer contributions, absent-id semantics") {
+    // list ranks by (score desc, id asc); contrib = 1000000 div (60+rank)
+    val l1 = Seq((1L, 100L), (2L, 90L), (3L, 80L)).toDF("vec_id", "s")
+    val l2 = Seq((9L, 50L), (3L, 40L), (4L, 30L)).toDF("vec_id", "s")
+    val got = Similarity.rrfFuse(Seq(l1, l2), "vec_id", "s", k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    val c1 = 1000000L / 61; val c2 = 1000000L / 62; val c3 = 1000000L / 63
+    // id 3 appears in both lists (ranks 3 and 2); ids 1 and 9 tie on one
+    // rank-1 contribution each → id asc breaks the tie; id 4 misses k=3
+    assert(got == Seq((3L, 2L, c3 + c2), (1L, 1L, c1), (9L, 1L, c1)),
+      s"got $got")
+  }
+
+  test("rrfFuse: within-list score ties rank by id asc") {
+    val l = Seq((7L, 100L), (5L, 100L), (6L, 90L)).toDF("vec_id", "s")
+    val got = Similarity.rrfFuse(Seq(l), "vec_id", "s", k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (5L, 1L, 1000000L / 61),
+      (7L, 1L, 1000000L / 62),
+      (6L, 1L, 1000000L / 63)), s"got $got")
+  }
 }

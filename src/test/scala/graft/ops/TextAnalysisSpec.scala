@@ -277,4 +277,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L)._2 > got(1L)._2)
     assert(score(0, 2) < 0)
   }
+
+  test("bm25TopK: hand-computed scores, query-term pruning, k limit") {
+    val docs = Seq(
+      (1L, "spark merge spark"), // len 3: tf(spark)=2, tf(merge)=1
+      (2L, "merge hash"),        // len 2: tf(merge)=1 ("hash" not queried)
+      (3L, "a b c d")            // len 4: no query terms → absent
+    ).toDF("doc_id", "text")
+    // N=3, avglen=3.0, df(spark)=1, df(merge)=2; mirror the operator's
+    // exact parenthesization (k1=1.2, b=0.75)
+    def term(tf: Long, len: Long, df: Long): Long = {
+      val idf = math.log(((3L - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+      val norm = tf.toDouble * (1.2 + 1) /
+        (tf.toDouble + 1.2 * ((1 - 0.75) + 0.75 * (len.toDouble / 3.0)))
+      math.floor(1e6 * (idf * norm)).toLong
+    }
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "merge"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    val d1 = term(2, 3, 1) + term(1, 3, 2)
+    val d2 = term(1, 2, 2)
+    assert(got == Seq((1L, 2L, d1), (2L, 1L, d2)), s"got $got")
+    // the rare term dominates: doc 1's spark contribution alone beats
+    // doc 2's whole score (idf ln(8/3) vs ln(8/5))
+    assert(term(2, 3, 1) > d2)
+    // k truncates the list at the integer-score boundary
+    val top1 = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "merge"), k = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(top1 == Seq((1L, 2L, d1)))
+  }
 }
