@@ -584,6 +584,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0), "text")
     }),
 
+    "d33_quality_logit" -> ((s, dir) =>
+      // model-scored filtering: integer-dot-product logistic inference
+      // (permille features × micro-weights — zero float, so the verdict
+      // replays bitwise in SQL); weights are the offline-training seam
+      TextAnalysis.qualityLogit(documents(s, dir), "text")
+        .select(col("doc_id"), col("logit_micro"), col("keep"))),
+
+    "d34_quality_survivor" -> ((s, dir) =>
+      // among reformatted duplicates keep the BEST-QUALITY copy (argmax
+      // integer logit, ties → smaller id) — the curation refinement of
+      // d12's min-id survivor; hashed shuffle key, string oracle
+      Dedup.exactDedupBestSurvivor(
+        TextAnalysis.qualityLogit(documents(s, dir), "text"),
+        "doc_id", "text", "logit_micro")),
+
     "d31_bm25_topk" -> ((s, dir) =>
       // BM25 top-10 for a fixed 4-term query over the corpus vocabulary:
       // postings filter to query tokens BEFORE the shuffle, per-term
@@ -965,6 +980,13 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Dedup.semDedup(emb, "vec_id", "embedding", ivfCentroids(emb),
         thresholdE4 = 3999L)
+    }),
+
+    "e15_ivf_cell_stats" -> ((s, dir) => {
+      // quantizer-balance audit: per-cell occupancy + integer centroid-
+      // similarity stats (floored e6; avg = floor integer division)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfCellStats(emb, "vec_id", "embedding", ivfCentroids(emb))
     }),
 
     "e14_rrf_fusion" -> ((s, dir) => {
@@ -2106,6 +2128,56 @@ object SparkEntry {
         |FROM tok t JOIN vocab v USING (tok)
         |GROUP BY t.doc_id""".stripMargin,
 
+    // Quality logit: the whole dot product is integer arithmetic
+    // (permille features via truncating //, micro-weights), so DuckDB
+    // reproduces logit AND verdict exactly — no float anywhere
+    "d33_quality_logit" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok,
+        |    greatest(CAST(length(text) AS BIGINT), 1) AS n_chars,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x IN ('the','and','of','to','a','in','is','that','it','for')))
+        |      AS BIGINT) AS stops,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g'))
+        |      AS BIGINT) AS punct,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digits
+        |  FROM documents WHERE text IS NOT NULL),
+        |l AS (SELECT doc_id,
+        |    CAST(-100000 + 800 * least(n_tok, 500) + 900 * (1000 * stops // n_tok)
+        |      - 2500 * (1000 * punct // n_chars)
+        |      - 3000 * (1000 * digits // n_chars) AS BIGINT) AS logit_micro
+        |  FROM f)
+        |SELECT doc_id, logit_micro, logit_micro > 0 AS keep FROM l""".stripMargin,
+
+    // Quality survivor: d12's normalization CTE + the d33 logit, argmax
+    // replayed on the same integers (logit desc, doc_id asc)
+    "d34_quality_survivor" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok,
+        |    greatest(CAST(length(text) AS BIGINT), 1) AS n_chars,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x IN ('the','and','of','to','a','in','is','that','it','for')))
+        |      AS BIGINT) AS stops,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g'))
+        |      AS BIGINT) AS punct,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digits
+        |  FROM documents WHERE text IS NOT NULL),
+        |l AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+        |    CAST(-100000 + 800 * least(n_tok, 500) + 900 * (1000 * stops // n_tok)
+        |      - 2500 * (1000 * punct // n_chars)
+        |      - 3000 * (1000 * digits // n_chars) AS BIGINT) AS logit_micro
+        |  FROM f),
+        |r AS (SELECT norm_text, doc_id, logit_micro,
+        |        row_number() OVER (PARTITION BY norm_text
+        |                           ORDER BY logit_micro DESC, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY norm_text) AS n_members
+        |      FROM l)
+        |SELECT norm_text, n_members, doc_id AS survivor_id,
+        |  logit_micro AS survivor_score
+        |FROM r WHERE rk = 1""".stripMargin,
+
     // BM25: DuckDB recomputes postings, df, (N, avglen) and the floored
     // per-term contributions; k1/b constants interpolate as
     // shortest-roundtrip doubles so both engines fold the SAME values
@@ -2534,6 +2606,35 @@ object SparkEntry {
         |            ELSE greatest(id_a, id_b) END AS delete_id,
         |  CAST(cell AS INT) AS cell, count(*) AS n_lost_pairs
         |FROM pairs GROUP BY 1, 2""".stripMargin,
+
+    // IVF cell stats: the e03/e13 cell-assignment CTE + integer aggs;
+    // avg is floor division on both sides (DuckDB // floors, the Spark
+    // side renders (s - pmod(s, n)) div n)
+    "e15_ivf_cell_stats" ->
+      """WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |                embedding::DOUBLE[] AS c
+        |         FROM (SELECT vec_id, embedding FROM embeddings
+        |               WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT 16)),
+        |assign AS (SELECT vec_id, cell,
+        |             row_number() OVER (PARTITION BY vec_id
+        |                                ORDER BY sim DESC, cell DESC) AS rn
+        |           FROM (SELECT e.vec_id, cent.cell,
+        |                   list_dot_product(e.embedding::DOUBLE[], cent.c) /
+        |                     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |                      * sqrt(list_dot_product(cent.c, cent.c))) AS sim
+        |                 FROM embeddings e, cent)),
+        |v AS (SELECT a.cell,
+        |        CAST(floor(1000000 *
+        |          (list_dot_product(e.embedding::DOUBLE[], cent.c) /
+        |            (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(cent.c, cent.c))))) AS BIGINT) AS cent_e6
+        |      FROM embeddings e
+        |      JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1
+        |      JOIN cent ON a.cell = cent.cell)
+        |SELECT CAST(cell AS INT) AS cell, count(*) AS n_vecs,
+        |  CAST(sum(cent_e6) // count(*) AS BIGINT) AS avg_cent_e6,
+        |  min(cent_e6) AS min_cent_e6, max(cent_e6) AS max_cent_e6
+        |FROM v GROUP BY cell""".stripMargin,
 
     "e05_knn_join" ->
       """WITH p AS (

@@ -226,6 +226,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Quality-aware survivor selection for exact-normalized dedup: group
+    * documents by canonical text ([[TextAnalysis.normalizeForDedup]])
+    * and keep the HIGHEST-scoring member instead of the smallest id —
+    * the curation refinement of [[exactByHash]]/d12 (among reformatted
+    * copies, retain the best-quality rendition). The pick is decided on
+    * the caller's integer score column (score desc, then id asc), so a
+    * SQL oracle replays it exactly.
+    *
+    * Scale: one groupBy; with `hashed=true` (production default) the
+    * shuffle key is the 8-byte xxhash64 of the normalized text rather
+    * than the text itself — members of a group share norm_text, so
+    * min(norm_text) reconstructs the display key exactly (null texts
+    * are dropped: there is nothing to keep). Collision caveat as
+    * [[exactByHash]]: ~n²/2⁶⁵ across the corpus. */
+  def exactDedupBestSurvivor(df: DataFrame, idCol: String,
+                             textCol: String, scoreCol: String,
+                             hashed: Boolean = true): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(scoreCol),
+        TextAnalysis.normalizeForDedup(col(textCol)).as("norm_text"))
+    val key = if (hashed) xxhash64(col("norm_text")) else col("norm_text")
+    base.groupBy(key.as("_k"))
+      .agg(min("norm_text").as("norm_text"),
+        count(lit(1)).as("n_members"),
+        min(struct((-col(scoreCol)).as("ns"), col(idCol).as("sid")))
+          .as("best"))
+      .select(col("norm_text"), col("n_members"),
+        col("best.sid").as("survivor_id"),
+        (-col("best.ns")).as("survivor_score"))
+  }
+
   /** Ingest-time incremental dedup: admit/reject a NEW batch of
     * documents against the already-kept corpus INDEX without re-pairing
     * the index with itself. Returns one row per REJECTED batch doc —

@@ -415,4 +415,37 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** IVF cell-occupancy audit — the quantizer-balance check an ANN
+    * index build runs before committing a codebook: per cell, the
+    * vector count and integer centroid-similarity stats. A skewed cell
+    * histogram (one hot cell) predicts degenerate probe latency; a low
+    * avg centroid similarity flags a centroid that represents nothing.
+    * Per-vector similarities floor to e6 integers; the avg is a FLOOR
+    * integer division of their exact sum — rendered as
+    * `(s − pmod(s, n)) div n` so it matches SQL floor-division (`//`)
+    * even when a pathological cell sums negative (Spark's `div` alone
+    * truncates toward zero) — pure integer arithmetic after the floor,
+    * engine-reproducible bitwise.
+    *
+    * Scale: one narrow codegen assign+cosine pass over the corpus, then
+    * a groupBy with codebook-sized output (map-side partials collapse
+    * each partition to ≤ |cells| rows before the shuffle). */
+  def ivfCellStats(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: Seq[Array[Double]]): DataFrame = {
+    val cents = map(centroids.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(i), lit(c))
+    }: _*)
+    ivfAssign(df, vecCol, centroids)
+      .select(col("cell"),
+        floor(lit(1e6) * cosine(col(vecCol).cast("array<double>"),
+          element_at(cents, col("cell")))).cast("bigint").as("cent_e6"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        call_function("div",
+          sum("cent_e6") - pmod(sum("cent_e6"), count(lit(1))),
+          count(lit(1))).as("avg_cent_e6"),
+        min("cent_e6").as("min_cent_e6"),
+        max("cent_e6").as("max_cent_e6"))
+  }
 }

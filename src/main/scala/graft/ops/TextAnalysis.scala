@@ -450,6 +450,47 @@ object TextAnalysis {
         sum("tok_score_micro").as("w_micro"))
   }
 
+  /** Linear quality-classifier inference — the fastText/CCNet-style
+    * "model-scored filtering" seam of a curation pipeline: a logistic-
+    * regression keep score evaluated as an EXACT INTEGER dot product.
+    * Features are integer counts/permilles (capped token count,
+    * stopword / punctuation / digit permille via truncating integer
+    * division), weights are integer micro-units, so the logit — and
+    * therefore the keep verdict and any ordering built on it — is
+    * engine-reproducible bitwise with NO float anywhere. The monotone
+    * sigmoid is never materialized: threshold and argmax decisions only
+    * need the logit. Weights ship as parameters (production loads them
+    * from an offline training job); the defaults encode the usual
+    * prose-vs-boilerplate heuristics (length and stopword density up,
+    * punctuation/digit density down).
+    *
+    * Scale: a narrow codegen map over the corpus — no shuffle, no UDF,
+    * no broadcast. Returns (id, logit_micro, keep). */
+  def qualityLogit(df: DataFrame, textCol: String,
+                   bias: Long = -100000L,
+                   wTok: Long = 800L, tokCap: Long = 500L,
+                   wStop: Long = 900L, wPunct: Long = -2500L,
+                   wDigit: Long = -3000L): DataFrame = {
+    val text = col(textCol)
+    val nTok = size(split(text, "\\s+")).cast("bigint")
+    val nChar = greatest(length(text).cast("bigint"), lit(1L))
+    val stops = stopwordCount(text, stopwordBanks("en")).cast("bigint")
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}]", ""))
+      .cast("bigint")
+    val digits = length(regexp_replace(text, "[^0-9]", "")).cast("bigint")
+    // nTok ≥ 1 always (split of "" is [""]); nChar guarded above
+    val stopPm = call_function("div", lit(1000L) * stops, nTok)
+    val punctPm = call_function("div", lit(1000L) * punct, nChar)
+    val digitPm = call_function("div", lit(1000L) * digits, nChar)
+    val logit = lit(bias) + lit(wTok) * least(nTok, lit(tokCap)) +
+      lit(wStop) * stopPm + lit(wPunct) * punctPm + lit(wDigit) * digitPm
+    // preserves the input columns (narrow map), so downstream curation
+    // stages compose without re-joining the corpus
+    df.filter(text.isNotNull)
+      .withColumn("logit_micro", logit)
+      .withColumn("keep", col("logit_micro") > 0L)
+  }
+
   // ---- fingerprinting ----
 
   /** Polynomial rolling-hash fingerprint over the raw characters

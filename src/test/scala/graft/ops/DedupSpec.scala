@@ -526,4 +526,24 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(strict == Set((100L, 1L, 1L, 10000L)), s"got $strict")
   }
+
+  test("exactDedupBestSurvivor: argmax score, id tie-break, hashed ≡ string") {
+    val docs = Seq(
+      (1L, "Hello, World!", 50L),  // normalizes with 2 and 3
+      (2L, "hello world", 80L),    // score tie with 3 → smaller id wins
+      (3L, "HELLO  WORLD", 80L),
+      (4L, "unique text", 10L),
+      (5L, null.asInstanceOf[String], 99L) // nothing to keep → dropped
+    ).toDF("doc_id", "text", "score")
+    val want = Set(
+      ("hello world", 3L, 2L, 80L),
+      ("unique text", 1L, 4L, 10L))
+    val hashed = Dedup.exactDedupBestSurvivor(docs, "doc_id", "text", "score")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(hashed == want, s"got $hashed")
+    val str = Dedup.exactDedupBestSurvivor(docs, "doc_id", "text", "score",
+        hashed = false)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(str == want)
+  }
 }

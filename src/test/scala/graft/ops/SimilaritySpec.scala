@@ -255,6 +255,43 @@ class SimilaritySpec extends SparkSpec {
       s"got $got")
   }
 
+  test("ivfCellStats: per-cell integer stats; avg is FLOOR division") {
+    // mirror CosineSim's exact accumulation (dot/(√na·√nb)) so the
+    // expected e6 floors carry no hand-derived float assumptions
+    def e6(v: Array[Double], c: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < v.length) {
+        dot += v(i) * c(i); na += v(i) * v(i); nb += c(i) * c(i); i += 1
+      }
+      math.floor(1e6 * (dot / (math.sqrt(na) * math.sqrt(nb)))).toLong
+    }
+    val c0 = Array(1.0, 0.0); val c1 = Array(0.0, 1.0)
+    val v1 = Array(1.0, 0.0); val v2 = Array(0.6, 0.8)
+    val v3 = Array(0.0, 1.0); val v4 = Array(0.8, 0.6)
+    val docs = Seq((1L, v1), (2L, v2), (3L, v3), (4L, v4))
+      .toDF("vec_id", "vec")
+    val got = Similarity.ivfCellStats(docs, "vec_id", "vec", Seq(c0, c1))
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    def cellRow(cell: Int, es: Seq[Long]) =
+      (cell, es.size.toLong, Math.floorDiv(es.sum, es.size.toLong),
+        es.min, es.max)
+    // sims 0.6 vs 0.8 put v2 in cell 1, v4 in cell 0 (and v1/v3 exact)
+    val want = Set(
+      cellRow(0, Seq(e6(v1, c0), e6(v4, c0))),
+      cellRow(1, Seq(e6(v2, c1), e6(v3, c1))))
+    assert(got == want, s"got $got want $want")
+    // negative-sum cell: floor(-1000000/3) = -333334, NOT the
+    // toward-zero -333333 a bare truncating div would produce
+    val neg = Seq(
+      (1L, Array(-1.0, 0.0)),  // cent_e6 = -1000000 (exact)
+      (2L, Array(0.0, 1.0)),   // cent_e6 = 0 (exact)
+      (3L, Array(0.0, -1.0))   // cent_e6 = 0 (exact)
+    ).toDF("vec_id", "vec")
+    val n = Similarity.ivfCellStats(neg, "vec_id", "vec", Seq(c0))
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(n == Set((0, 3L, -333334L, -1000000L, 0L)), s"got $n")
+  }
+
   test("rrfFuse: within-list score ties rank by id asc") {
     val l = Seq((7L, 100L), (5L, 100L), (6L, 90L)).toDF("vec_id", "s")
     val got = Similarity.rrfFuse(Seq(l), "vec_id", "s", k = 3)

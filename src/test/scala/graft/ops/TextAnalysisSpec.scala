@@ -307,4 +307,24 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(top1 == Seq((1L, 2L, d1)))
   }
+
+  test("qualityLogit: integer dot product, cap, verdicts, null drop") {
+    val docs = Seq(
+      (1L, "the cat sat"),                      // prose-ish: 1 stopword
+      (2L, "1.2.3 4;5!"),                        // punct+digit boilerplate
+      (3L, Seq.fill(600)("w").mkString(" ")),    // length cap at 500
+      (4L, null.asInstanceOf[String])            // dropped
+    ).toDF("doc_id", "text")
+    val full = TextAnalysis.qualityLogit(docs, "text")
+      .select($"doc_id", $"logit_micro", $"keep")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: n_tok=3, stops=1 → stop_pm = 1000/3 = 333 (truncating div)
+    assert(full(1L) == ((-100000L + 800 * 3 + 900 * 333, true)))
+    // doc 2: n_tok=2, n_chars=10, punct=4, digits=5 → 400/500 permille
+    assert(full(2L) == ((-100000L + 800 * 2 - 2500 * 400 - 3000 * 500, false)))
+    // doc 3: 600 tokens cap to 500; no stops/punct/digits
+    assert(full(3L) == ((-100000L + 800 * 500, true)))
+    assert(full.size == 3) // null text dropped
+  }
 }
