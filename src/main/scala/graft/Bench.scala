@@ -47,7 +47,7 @@ object Bench {
   // d07 itself is skipped; the 10× scale point measures the LSH path)
   private val HeavyAtScale = Set("d05_jaccard_pairs_brute", "d07_minhash_lsh_neardups",
     "e04_embedding_neardup", "d11_dedup_groups", "d27_dedup_groups_star",
-    "e05_knn_join")
+    "e05_knn_join", "d35_source_dup_matrix")
 
   private def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()

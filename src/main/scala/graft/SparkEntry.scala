@@ -448,6 +448,17 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           floor(col("jaccard") * 10000).cast("bigint").as("jaccard_e4"))),
 
+    "d35_source_dup_matrix" -> ((s, dir) => {
+      // mixture audit: which sources near-duplicate which — the d07 LSH
+      // pair list joined back to doc→source, canonical source order,
+      // floor-div integer average; oracle = d07's brute CTE + the joins
+      val docs = documents(s, dir)
+      Dedup.crossSourceDupMatrix(
+        Dedup.nearDupMinhashLsh(docs, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.85),
+        docs, "doc_id", "source")
+    }),
+
     "d11_dedup_groups" -> ((s, dir) => {
       // near-dup GROUP formation: connected components over the LSH
       // pair list + canonical survivor and group size — the actionable
@@ -1800,6 +1811,28 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.s, b.s)) /
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85""".stripMargin,
+
+    // Cross-source dup matrix: the d07 brute pair set + source joins;
+    // avg is floor division on both sides (// vs (s-pmod(s,n)) div n)
+    "d35_source_dup_matrix" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS s
+        |  FROM documents
+        |),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        CAST(floor(10000 * (len(list_intersect(a.s, b.s)) /
+        |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))))
+        |          AS BIGINT) AS j_e4
+        |      FROM sh a, sh b
+        |      WHERE a.doc_id < b.doc_id
+        |        AND len(list_intersect(a.s, b.s)) /
+        |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85)
+        |SELECT least(src_a, src_b) AS source_x,
+        |  greatest(src_a, src_b) AS source_y,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(j_e4) // count(*) AS BIGINT) AS avg_jaccard_e4,
+        |  max(j_e4) AS max_jaccard_e4
+        |FROM p GROUP BY 1, 2""".stripMargin,
 
     // Connected components in SQL: the recursive CTE enumerates every
     // (node, reachable-node) pair of the dup graph, min per node = the

@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Shared input contract for the PQ expressions: an `array<double>`
+  * vector column (the ops layer casts the stored `array<float>` once).
+  * Arithmetic is the SAME IEEE sequence as the unrolled declarative
+  * rendering in [[graft.ops.Similarity]] — per subspace `j` a
+  * LEFT-ASSOCIATIVE double sum of `(v−c)²` terms, then
+  * `Math.floor(1e6·sum)` to a long — so results are bit-identical to
+  * the `element_at`/`least(struct…)` plans these expressions replace
+  * (and to the SQL oracles, which render that unrolled arithmetic).
+  *
+  * Why they exist: at 16 centroids × 8 subspaces × 8 dims the unrolled
+  * plan is ~2–3k expression nodes per use — janino compile time (and
+  * the constant-fold pass over the tree) dominates the query on any
+  * input size. A loop over `addReferenceObj` state is the
+  * [[SimHash64]] fix applied to PQ.
+  */
+private[graft] object PqArith {
+  /** floor(1e6 · Σ_i (v[off+i] − c(i))²), terms summed left-to-right. */
+  def subDistE6(v: ArrayData, off: Int, c: Array[Double]): Long = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) {
+      val d = v.getDouble(off + i) - c(i)
+      acc += d * d
+      i += 1
+    }
+    math.floor(1e6 * acc).toLong
+  }
+}
+
+/** PQ asymmetric-distance: encode the vector against `codebook`
+  * (per subspace the argmin-distance centroid, ties → smaller code —
+  * `least(struct(d, c))` order) and sum the query's precomputed
+  * integer distance table at those codes. Replaces the
+  * pqEncode + `element_at(lit(dtab), code+1)` rendering one-for-one.
+  *
+  * `codebook(j)(c)` = centroid `c`'s subspace-`j` slice;
+  * `dtab(j)(c)` = floor(1e6·L2²(query_j, codebook(j)(c))).
+  */
+case class PqAdtE6(child: Expression,
+                   codebook: Array[Array[Array[Double]]],
+                   dtab: Array[Array[Long]]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_adt_e6 requires array<double>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adt_e6"
+
+  private val sub = codebook(0)(0).length
+
+  /** Public so generated code can call it. */
+  def adt(v: ArrayData): Long = {
+    var total = 0L
+    var j = 0
+    while (j < codebook.length) {
+      val cents = codebook(j)
+      var bestD = Long.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < cents.length) {
+        val d = PqArith.subDistE6(v, j * sub, cents(c))
+        if (d < bestD) { bestD = d; bestC = c } // strict < : ties keep
+        c += 1                                  // the smaller code
+      }
+      total += dtab(j)(bestC)
+      j += 1
+    }
+    total
+  }
+
+  override def nullSafeEval(input: Any): Any = adt(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refTerm = ctx.addReferenceObj("pqadt", this, classOf[PqAdtE6].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $refTerm.adt($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdtE6 =
+    copy(child = newChild)
+}
+
+/** IVF coarse-cell assignment under the PQ quantization contract:
+  * the cell is the argmin over `centroids` of Σ_j floor(1e6·L2²_j)
+  * (per-subspace floors summed as longs — exactly `fullDistE6`'s
+  * `reduceLeft(_ + _)` over bigint columns), ties → smaller cell id
+  * (`least(struct(d, cell))` order). `m` slices each full-dim centroid
+  * into the same subspaces the PQ side uses. */
+case class PqCellAssignE6(child: Expression,
+                          centroids: Array[Array[Double]],
+                          m: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_cell_assign_e6 requires array<double>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_cell_assign_e6"
+
+  private val sub = centroids(0).length / m
+
+  /** Public so generated code can call it. */
+  def assign(v: ArrayData): Int = {
+    var bestD = Long.MaxValue
+    var bestCell = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var d = 0L
+      var j = 0
+      while (j < m) {
+        // slice == cent[j*sub ..) — pass an offset view via copy-free
+        // indexing: subDistE6 reads cent from a fresh slice; to stay
+        // allocation-free we inline the same loop here.
+        var acc = 0.0
+        var i = 0
+        val base = j * sub
+        while (i < sub) {
+          val t = v.getDouble(base + i) - cent(base + i)
+          acc += t * t
+          i += 1
+        }
+        d += math.floor(1e6 * acc).toLong
+        j += 1
+      }
+      if (d < bestD) { bestD = d; bestCell = c } // strict < : smaller id
+      c += 1
+    }
+    bestCell
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    assign(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refTerm =
+      ctx.addReferenceObj("pqcell", this, classOf[PqCellAssignE6].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $refTerm.assign($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqCellAssignE6 = copy(child = newChild)
+}

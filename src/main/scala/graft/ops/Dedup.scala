@@ -238,12 +238,15 @@ object Dedup {
     * shuffle key is the 8-byte xxhash64 of the normalized text rather
     * than the text itself — members of a group share norm_text, so
     * min(norm_text) reconstructs the display key exactly (null texts
-    * are dropped: there is nothing to keep). Collision caveat as
-    * [[exactByHash]]: ~n²/2⁶⁵ across the corpus. */
+    * are dropped: there is nothing to keep). Null-SCORED rows are
+    * dropped too — inside min(struct(-score, id)) a null score would
+    * sort FIRST and win every argmax (the d20 null-conflation trap);
+    * an unscored member can be neither ranked nor kept. Collision
+    * caveat as [[exactByHash]]: ~n²/2⁶⁵ across the corpus. */
   def exactDedupBestSurvivor(df: DataFrame, idCol: String,
                              textCol: String, scoreCol: String,
                              hashed: Boolean = true): DataFrame = {
-    val base = df.filter(col(textCol).isNotNull)
+    val base = df.filter(col(textCol).isNotNull && col(scoreCol).isNotNull)
       .select(col(idCol), col(scoreCol),
         TextAnalysis.normalizeForDedup(col(textCol)).as("norm_text"))
     val key = if (hashed) xxhash64(col("norm_text")) else col("norm_text")
@@ -374,6 +377,40 @@ object Dedup {
           .otherwise(greatest(col("id_a"), col("id_b"))).as("delete_id"))
       .groupBy("delete_id", "cell")
       .agg(count(lit(1)).as("n_lost_pairs"))
+  }
+
+  /** Cross-source duplication matrix — the mixture-audit view of a
+    * near-dup pair list: for every unordered source pair, how many
+    * near-dup pairs straddle it and how similar they are on average.
+    * The panel that answers "which crawl/mirror duplicates which" before
+    * a mixture decision. Sources are ordered canonically per pair
+    * (least/greatest — the id order of the pair list is unrelated to
+    * source order); similarity ships as floored-e4 integers with the
+    * avg as floor division ([[graft.ops.Similarity.ivfCellStats]]'s
+    * `(s − pmod(s, n)) div n` rendering), so SQL replays it bitwise.
+    *
+    * Scale: two joins from the pair list (orders below the corpus) back
+    * to the doc→source map — at 10^12 docs the source map rides the
+    * pair shuffle as an 8-byte-key equi-join, and the output is
+    * |sources|² rows; the heavy work already happened in the LSH stage
+    * that produced the pairs. */
+  def crossSourceDupMatrix(pairs: DataFrame, docs: DataFrame,
+                           idCol: String, srcCol: String,
+                           jaccardCol: String = "jaccard"): DataFrame = {
+    val withSrc = pairs
+      .select(col("id_a"), col("id_b"),
+        floor(col(jaccardCol) * 10000).cast("bigint").as("j_e4"))
+      .join(docs.select(col(idCol).as("id_a"), col(srcCol).as("src_a")),
+        Seq("id_a"))
+      .join(docs.select(col(idCol).as("id_b"), col(srcCol).as("src_b")),
+        Seq("id_b"))
+    val s = sum("j_e4"); val n = count(lit(1))
+    withSrc
+      .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .agg(n.as("n_pairs"),
+        call_function("div", s - pmod(s, n), n).as("avg_jaccard_e4"),
+        max("j_e4").as("max_jaccard_e4"))
   }
 
   /** 64-bit SimHash over whitespace tokens: bit i of the result is the

@@ -197,10 +197,15 @@ object Similarity {
           .reduceLeft(_ + _)).toLong
       }.toArray
     }
-    val adt = codebook.indices.map(j =>
-      element_at(lit(dtab(j)), col(s"code_$j") + 1)).reduceLeft(_ + _)
-    pqEncode(df, vecCol, codebook)
-      .select(col(idCol), adt.as("adt_e6"))
+    // encode+lookup as ONE loop expression ([[graft.functions.PqAdtE6]],
+    // bit-identical to the pqEncode + element_at(lit(dtab)) rendering —
+    // SimilaritySpec proves it): the unrolled plan is ~2-3k nodes whose
+    // janino compile dominates the query at any input size
+    import org.apache.spark.sql.graftbridge.Bridge
+    val adt = Bridge.column(graft.functions.PqAdtE6(
+      Bridge.expression(col(vecCol).cast("array<double>")),
+      codebook.map(_.toArray).toArray, dtab.toArray))
+    df.select(col(idCol), adt.as("adt_e6"))
       .orderBy(col("adt_e6").asc, col(idCol).asc)
       .limit(k)
   }
@@ -232,14 +237,12 @@ object Similarity {
       "centroid dim must equal m*sub")
     require(nProbe > 0 && nProbe <= centroids.size,
       s"nProbe=$nProbe out of range for ${centroids.size} cells")
-    val dv = col(vecCol).cast("array<double>")
-    def fullDistE6(c: Array[Double]): Column =
-      (0 until m).map(j => pqDistE6(dv, j, c.slice(j * sub, (j + 1) * sub)))
-        .reduceLeft(_ + _)
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(fullDistE6(c).as("d"), lit(i).as("cell"))
-    }
-    val winner = if (scored.size == 1) scored.head else least(scored: _*)
+    // coarse assignment as ONE loop expression (same arithmetic as the
+    // unrolled least(struct(Σ_j pqDistE6, cell)) plan — see PqExprs)
+    import org.apache.spark.sql.graftbridge.Bridge
+    val winner = Bridge.column(graft.functions.PqCellAssignE6(
+      Bridge.expression(col(vecCol).cast("array<double>")),
+      centroids.toArray, m))
     // probe pick on the driver — the SAME left-associative float sum +
     // per-subspace floor as pqDistE6, so probe set ≡ what a SQL oracle
     // recomputes (the pqTopK dtab lesson)
@@ -252,7 +255,7 @@ object Similarity {
       }.sum
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) => (qDistE6(c), i) }.sorted.take(nProbe).map(_._2)
-    val pruned = df.withColumn("cell", winner.getField("cell"))
+    val pruned = df.withColumn("cell", winner)
       .filter(col("cell").isin(probeCells: _*))
     pqTopK(pruned, idCol, vecCol, query, codebook, k)
   }

@@ -447,6 +447,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("crossSourceDupMatrix: canonical source order, floor-div average") {
+    val docs = Seq((1L, "sA"), (2L, "sB"), (3L, "sA"), (4L, "sC"))
+      .toDF("doc_id", "source")
+    // jaccards are exact dyadics so the e4 floors carry no float doubt
+    val pairs = Seq(
+      (1L, 2L, 0.875), // (sA, sB)
+      (2L, 3L, 0.75),  // id order reverses source order → same (sA, sB)
+      (1L, 3L, 1.0),   // within-source (sA, sA)
+      (1L, 4L, 0.5)    // (sA, sC)
+    ).toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.crossSourceDupMatrix(pairs, docs, "doc_id", "source")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("sA", "sB", 2L, (8750L + 7500L) / 2, 8750L),
+      ("sA", "sA", 1L, 10000L, 10000L),
+      ("sA", "sC", 1L, 5000L, 5000L)), s"got $got")
+  }
+
   test("semDedup: keep-rule deletes the member closer to the centroid") {
     // two cells (centroids on the axes); within each cell one pair above
     // the threshold where one member IS the centroid direction (cent_e6
@@ -529,11 +547,13 @@ class DedupSpec extends SparkSpec {
 
   test("exactDedupBestSurvivor: argmax score, id tie-break, hashed ≡ string") {
     val docs = Seq(
-      (1L, "Hello, World!", 50L),  // normalizes with 2 and 3
-      (2L, "hello world", 80L),    // score tie with 3 → smaller id wins
-      (3L, "HELLO  WORLD", 80L),
-      (4L, "unique text", 10L),
-      (5L, null.asInstanceOf[String], 99L) // nothing to keep → dropped
+      (1L, "Hello, World!", Some(50L)), // normalizes with 2 and 3
+      (2L, "hello world", Some(80L)),   // score tie with 3 → smaller id
+      (3L, "HELLO  WORLD", Some(80L)),
+      (4L, "unique text", Some(10L)),
+      (5L, null.asInstanceOf[String], Some(99L)), // null text → dropped
+      (6L, "UNIQUE TEXT", None)         // null score: can't be ranked —
+                                        // dropped, must NOT win argmax
     ).toDF("doc_id", "text", "score")
     val want = Set(
       ("hello world", 3L, 2L, 80L),

@@ -121,6 +121,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ loop expressions ≡ the unrolled declarative renderings, all rows") {
+    // PqAdtE6 / PqCellAssignE6 replaced ~2-3k-node unrolled plans; this
+    // pins bit-equality on every row (not just the top-k), codegen vs
+    // the element_at/least(struct) arithmetic the SQL oracles replay
+    import org.apache.spark.sql.graftbridge.Bridge
+    val m = 4; val sub = dim / m
+    val seeds = vectors.filter(col("vec_id") % 30 === 1)
+      .orderBy("vec_id").limit(4)
+      .select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray).toSeq
+    val codebook = Similarity.pqCodebook(seeds, m)
+    val dtab: Seq[Array[Long]] = codebook.zipWithIndex.map { case (cents, j) =>
+      cents.map { c =>
+        val qs = query.slice(j * sub, (j + 1) * sub)
+        math.floor(1e6 * qs.zip(c).map { case (q, w) => (q - w) * (q - w) }
+          .reduceLeft(_ + _)).toLong
+      }.toArray
+    }
+    val dv = col("embedding").cast("array<double>")
+    val fastAdt = Bridge.column(graft.functions.PqAdtE6(
+      Bridge.expression(dv), codebook.map(_.toArray).toArray, dtab.toArray))
+    val slowAdt = codebook.indices.map(j =>
+      element_at(lit(dtab(j)), col(s"code_$j") + 1)).reduceLeft(_ + _)
+    val adtDiff = Similarity.pqEncode(vectors, "embedding", codebook)
+      .select(fastAdt.as("fast"), slowAdt.as("slow"))
+      .as[(Long, Long)].collect()
+    assert(adtDiff.length == 300 && adtDiff.forall { case (f, s) => f == s })
+
+    val centroids = vectors.filter(col("vec_id") % 30 === 0)
+      .orderBy("vec_id").limit(8)
+      .select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray).toSeq
+    def subDist(c: Array[Double], j: Int): org.apache.spark.sql.Column = {
+      val terms = (0 until sub).map { i =>
+        val el = element_at(dv, j * sub + i + 1)
+        (el - lit(c(j * sub + i))) * (el - lit(c(j * sub + i)))
+      }
+      floor(lit(1e6) * terms.reduceLeft(_ + _)).cast("bigint")
+    }
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct((0 until m).map(subDist(c, _)).reduceLeft(_ + _).as("d"),
+        lit(i).as("cell"))
+    }
+    val fastCell = Bridge.column(graft.functions.PqCellAssignE6(
+      Bridge.expression(dv), centroids.toArray, m))
+    val cellDiff = vectors
+      .select(fastCell.as("fast"), least(scored: _*).getField("cell").as("slow"))
+      .as[(Int, Int)].collect()
+    assert(cellDiff.length == 300 && cellDiff.forall { case (f, s) => f == s })
+  }
+
   test("PQ encode: duplicate centroids tie toward the smaller code") {
     val seed = Array.fill(dim)(0.5)
     val codebook = Similarity.pqCodebook(Seq(seed, seed.clone()), m = 4)
