@@ -981,6 +981,32 @@ object SparkEntry {
         Similarity.pqCodebook(pqSeeds(emb), m = 8), k = 10, nProbe = 4)
     }),
 
+    "e16_ann_sq" -> ((s, dir) => {
+      // scalar-quantization (SQ8) ANN — the fourth standard index family
+      // (LSH e02, IVF e03, PQ e10): per-dim 8-bit codes from corpus
+      // min/max, distance = exact integer Σ (qcode−code)². Full oracle:
+      // the SQL recomputes mn/mx from the same parquet (min/max are
+      // exact selections), replays the one fixed IEEE quantize
+      // expression per dim, and the distance sum is integer — bitwise.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val (mn, mx) = Similarity.sqMinMax(emb, "embedding")
+      Similarity.sqTopK(emb, "vec_id", "embedding",
+        embeddingQuery(s, dir), mn, mx, k = 10)
+    }),
+
+    "e17_ann_recall_sq" -> ((s, dir) => {
+      // recall@10 of the SQ8 path vs the SAME exact-L2 ground truth as
+      // e11 — the fourth point on the recall/scan trade curve, isolating
+      // pure 8-bit quantization loss (no codebook, no cells)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val (mn, mx) = Similarity.sqMinMax(emb, "embedding")
+      val q = embeddingQuery(s, dir)
+      Similarity.recallAtK(
+        Similarity.sqTopK(emb, "vec_id", "embedding", q, mn, mx, k = 10),
+        Similarity.l2TopK(emb, "vec_id", "embedding", q, m = 8, k = 10),
+        "vec_id", k = 10)
+    }),
+
     "e13_semdedup" -> ((s, dir) => {
       // SemDeDup: IVF cells (e03's deterministic centroids) bound the
       // pairwise work; within a cell, pairs with cos_e4 > 3999 (the e04
@@ -1397,6 +1423,31 @@ object SparkEntry {
        |        GROUP BY codes.vec_id)
        |SELECT vec_id, adt_e6 FROM adt ORDER BY adt_e6 ASC, vec_id ASC LIMIT 10""".stripMargin
   }
+
+  /** e16's oracle, generated: SQ8 codes from per-dim corpus min/max
+    * (exact selections — both engines read the same floats), the one
+    * fixed IEEE quantize expression per dim
+    * (`clamp₀₋₂₅₅(floor((val − mn)·255/(mx − mn)))` — scalar per row,
+    * never a float SUM), and an integer distance sum (order-free by
+    * exactness). Mirrors [[graft.functions.SqL2Dist]] term for term. */
+  private def e16SqSql: String =
+    """WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |                  CAST(unnest(embedding) AS DOUBLE) AS val
+      |           FROM embeddings),
+      |mm AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM v GROUP BY dim),
+      |c AS (SELECT vec_id, dim,
+      |        CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+      |             ELSE greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT),
+      |               CAST(floor((val - mn) * CAST(255 AS DOUBLE) / (mx - mn))
+      |                 AS BIGINT))) END AS code
+      |      FROM v JOIN mm USING (dim)),
+      |qc AS (SELECT dim, code FROM c WHERE vec_id = 0),
+      |d AS (SELECT c.vec_id,
+      |        CAST(SUM((qc.code - c.code) * (qc.code - c.code)) AS BIGINT)
+      |          AS sq_dist
+      |      FROM c JOIN qc USING (dim) GROUP BY c.vec_id)
+      |SELECT vec_id, sq_dist FROM d
+      |ORDER BY sq_dist ASC, vec_id ASC LIMIT 10""".stripMargin
 
   /** The e02 hyperplanes as a DuckDB VALUES list — the planes are
     * plan-time constants (seeded `Random(42)`, dim 64 in the testdata),
@@ -2812,6 +2863,21 @@ object SparkEntry {
          |  CAST(floor(count(*) * 10000 / greatest(1, least(10,
          |    (SELECT count(DISTINCT vec_id) FROM gt)))) AS BIGINT) AS recall_e4
          |FROM (SELECT DISTINCT vec_id FROM pqres) p
+         |JOIN (SELECT DISTINCT vec_id FROM gt) b USING (vec_id)""".stripMargin,
+
+    // SQ8 ANN: mn/mx recomputed from the data, quantize expression and
+    // integer distance replayed verbatim — see e16SqSql
+    "e16_ann_sq" -> e16SqSql,
+
+    // recall@10 of the SQ8 path vs the e11 exact-L2 ground truth —
+    // the fourth point on the recall/scan trade curve
+    "e17_ann_recall_sq" ->
+      s"""WITH gt AS ($e11L2Sql),
+         |sqres AS ($e16SqSql)
+         |SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_hits,
+         |  CAST(floor(count(*) * 10000 / greatest(1, least(10,
+         |    (SELECT count(DISTINCT vec_id) FROM gt)))) AS BIGINT) AS recall_e4
+         |FROM (SELECT DISTINCT vec_id FROM sqres) s
          |JOIN (SELECT DISTINCT vec_id FROM gt) b USING (vec_id)""".stripMargin,
 
     "p55_span_rename" -> withT(

@@ -155,3 +155,61 @@ case class PqCellAssignE6(child: Expression,
   override protected def withNewChildInternal(
       newChild: Expression): PqCellAssignE6 = copy(child = newChild)
 }
+
+/** Scalar-quantization (SQ8) asymmetric L2²: each dimension of the
+  * `array<double>` input quantizes to an int code
+  * `clamp₀₋₂₅₅(floor((v − mn) · 255 / (mx − mn)))` (a constant dim,
+  * `mx == mn`, codes to 0), and the result is the EXACT integer
+  * Σ (qcode − code)² against the query's precomputed codes — FAISS's
+  * SQ8 index arithmetic with the same all-integer-after-the-quantizer
+  * property as the PQ pair above, so a SQL oracle that recomputes
+  * mn/mx from the data replays the ranking bitwise (min/max are exact
+  * selections; the per-dim float expression is a fixed IEEE sequence;
+  * the distance sum is integer, order-free).
+  *
+  * Same loop-over-`addReferenceObj` shape as [[PqAdtE6]]: unrolled,
+  * 64 dims × ~12 nodes would put janino compile back on the hot path.
+  */
+case class SqL2Dist(child: Expression,
+                    mn: Array[Double], mx: Array[Double],
+                    qcodes: Array[Long]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sq_l2_dist requires array<double>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq_l2_dist"
+
+  /** Public so generated code can call it. */
+  def dist(v: ArrayData): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < mn.length) {
+      val code =
+        if (mx(i) == mn(i)) 0L
+        else {
+          val f = math.floor(
+            (v.getDouble(i) - mn(i)) * 255.0 / (mx(i) - mn(i))).toLong
+          math.max(0L, math.min(255L, f))
+        }
+      val d = qcodes(i) - code
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(input: Any): Any = dist(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refTerm = ctx.addReferenceObj("sq", this, classOf[SqL2Dist].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $refTerm.dist($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqL2Dist =
+    copy(child = newChild)
+}

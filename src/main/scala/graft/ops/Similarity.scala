@@ -281,6 +281,60 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- scalar quantization (SQ8) ----
+
+  /** Per-dimension corpus min/max — the SQ8 quantizer's training pass.
+    * posexplode → 64-group aggregate: one shuffle of (dim, partial
+    * min/max) pairs regardless of corpus size, then a 64-row collect
+    * (the codebook of this index family IS those 128 doubles). min/max
+    * are exact selections over the double-cast floats, so an engine
+    * recomputing them from the same parquet gets bit-identical
+    * constants — what makes the e16 oracle self-contained. */
+  def sqMinMax(df: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "val")))
+      .groupBy("dim").agg(min("val").as("mn"), max("val").as("mx"))
+      .orderBy("dim")
+      .collect()
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Driver-side SQ8 encode of one vector — the IDENTICAL IEEE sequence
+    * as [[graft.functions.SqL2Dist]]'s per-row quantizer:
+    * `clamp₀₋₂₅₅(floor((v − mn)·255/(mx − mn)))`, constant dims → 0. */
+  def sqQuantize(v: Array[Double], mn: Array[Double],
+                 mx: Array[Double]): Array[Long] =
+    Array.tabulate(v.length) { i =>
+      if (mx(i) == mn(i)) 0L
+      else {
+        val f = math.floor((v(i) - mn(i)) * 255.0 / (mx(i) - mn(i))).toLong
+        math.max(0L, math.min(255L, f))
+      }
+    }
+
+  /** SQ8 ANN top-k: every row's distance to the query is the exact
+    * integer Σ (qcode − code)² over per-dim 8-bit codes (ties → smaller
+    * id). The fourth standard index family next to LSH/IVF/PQ — 4×
+    * smaller than raw float32 with near-exact recall, and unlike PQ the
+    * quantizer has no codebook to train, just per-dim min/max.
+    *
+    * Scale: a narrow one-expression map + TakeOrderedAndProject; the
+    * training pass ([[sqMinMax]]) is one 64-group aggregate. Compose
+    * with [[ivfAssign]] cells at 10^12 rows like the PQ side. */
+  def sqTopK(df: DataFrame, idCol: String, vecCol: String,
+             query: Array[Double], mn: Array[Double], mx: Array[Double],
+             k: Int): DataFrame = {
+    require(mn.length == mx.length && mn.length == query.length,
+      s"dim mismatch: query ${query.length}, mn ${mn.length}, mx ${mx.length}")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val dist = Bridge.column(graft.functions.SqL2Dist(
+      Bridge.expression(col(vecCol).cast("array<double>")),
+      mn, mx, sqQuantize(query, mn, mx)))
+    df.select(col(idCol), dist.as("sq_dist"))
+      .orderBy(col("sq_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Fail LOUD on a dim mismatch (one-row probe, reads one row group):
     * a wrong `dim` leaves every LSH bit unset, so all rows share bucket
     * 0 and a bucketed join silently degrades to the full O(n²) pair

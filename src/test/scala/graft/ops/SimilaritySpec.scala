@@ -172,6 +172,65 @@ class SimilaritySpec extends SparkSpec {
     assert(cellDiff.length == 300 && cellDiff.forall { case (f, s) => f == s })
   }
 
+  test("SQ8 top-k ≡ plain-Scala reference; self-match at distance 0") {
+    val (mn, mx) = Similarity.sqMinMax(vectors, "embedding")
+    val got = Similarity.sqTopK(vectors, "vec_id", "embedding", query, mn, mx, 10)
+      .as[(Long, Long)].collect().toSeq
+    // reference: same min/max (exact selections recomputed in Scala),
+    // same quantize expression, same integer distance
+    val all = vectors.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, vf) => (id, vf.map(_.toDouble).toArray) }
+    val refMn = (0 until dim).map(i => all.map(_._2(i)).min).toArray
+    val refMx = (0 until dim).map(i => all.map(_._2(i)).max).toArray
+    assert(mn.toSeq == refMn.toSeq && mx.toSeq == refMx.toSeq,
+      "sqMinMax drifted from the exact per-dim selections")
+    val qc = Similarity.sqQuantize(query, mn, mx)
+    val expected = all.map { case (id, v) =>
+      val c = Similarity.sqQuantize(v, mn, mx)
+      (id, qc.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (id, d) => (d, id) }.take(10).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the query IS vec_id 42's vector: it quantizes to its own codes
+    assert(got.head == ((42L, 0L)), s"self-match not first: ${got.head}")
+  }
+
+  test("SQ8: constant dims code to 0 (no divide-by-zero NaN)") {
+    val flat = Seq((1L, Seq(1.0f, 3.0f)), (2L, Seq(1.0f, 7.0f)),
+      (3L, Seq(1.0f, 5.0f))).toDF("vec_id", "embedding")
+    val (mn, mx) = Similarity.sqMinMax(flat, "embedding")
+    assert(mn(0) == 1.0 && mx(0) == 1.0)
+    val q = Array(1.0, 3.0)
+    assert(Similarity.sqQuantize(q, mn, mx).head == 0L)
+    val top = Similarity.sqTopK(flat, "vec_id", "embedding", q, mn, mx, 3)
+      .as[(Long, Long)].collect().toSeq
+    // dim 0 contributes 0 everywhere; dim 1 codes: 3→0, 5→127, 7→255
+    assert(top == Seq((1L, 0L), (3L, 127L * 127L), (2L, 255L * 255L)),
+      s"got $top")
+  }
+
+  test("SQ8 recall on separated clusters is exact (near-lossless family)") {
+    // cluster size == k: the ground-truth top-10 is exactly the query's
+    // co-member set, so the assertion is about cluster MEMBERSHIP
+    // surviving quantization. (Within-cluster ORDER does scramble when
+    // the 8-bit step range/256 exceeds the noise scale — a 30-member
+    // cluster at σ=0.05 reads recall 0.7 for exactly that reason.)
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(10)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    val clustered = (for { c <- 0 until 10; i <- 0 until 10 } yield
+      ((c * 10 + i).toLong,
+        centers(c).map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val q = clustered.filter(col("vec_id") === 0).select("embedding")
+      .as[Seq[Float]].head().map(_.toDouble).toArray
+    val (mn, mx) = Similarity.sqMinMax(clustered, "embedding")
+    val r = Similarity.recallAtK(
+      Similarity.sqTopK(clustered, "vec_id", "embedding", q, mn, mx, 10),
+      Similarity.l2TopK(clustered, "vec_id", "embedding", q, m = 8, k = 10),
+      "vec_id", k = 10).as[(Long, Long, Long)].head()
+    assert(r._3 >= 9000L, s"SQ8 recall ${r._3} < 0.9 on separated clusters")
+  }
+
   test("PQ encode: duplicate centroids tie toward the smaller code") {
     val seed = Array.fill(dim)(0.5)
     val codebook = Similarity.pqCodebook(Seq(seed, seed.clone()), m = 4)
