@@ -446,12 +446,27 @@ object Bench {
     // doomed second-pair attempts in a load-6 wave, starving the scale
     // point. A sub-0.8 first pair is retried by the SLIM rescue phase
     // below, which costs half as much and leaves the scale point room.
+    // Completed SIDES are held across attempts (min-combined — the same
+    // consistent estimator as min-over-reps): run 32's 2-core 8M side
+    // landed a clean 17.7 s and was then thrown away because its 4N
+    // partner got storm-capped — the retry only needs the MISSING side
+    // (~30-65 s), not a fresh pair.
+    val sideBest = scala.collection.mutable.Map[(Long, Int), (Double, Double)]()
+    def holdSide(size: Long, cores: Int, v: (Double, Double)): Unit =
+      sideBest((size, cores)) = sideBest.get((size, cores)) match {
+        case Some(old) if old._1 <= v._1 => old
+        case _ => v
+      }
     while (attempts < 3 && pairs.isEmpty &&
         remainingSec > lastPairSec + 40) {
       attempts += 1
-      // after a failed full-size attempt, fall back to the small input —
-      // an overhead-biased pair beats no pair on a saturated host
-      if (attempts >= 2 && pairs.isEmpty) probeSize = nProbeSmall
+      // fall back to the small input only when the BIG pair holds
+      // NEITHER side — a held full-size half is worth finishing (an
+      // overhead-biased 2M pair beats no pair on a saturated host, but
+      // a completed 8M half beats both)
+      if (attempts >= 2 && pairs.isEmpty && probeSize == nProbe &&
+          !sideBest.contains((nProbe, 2)) && !sideBest.contains((nProbe, 8)))
+        probeSize = nProbeSmall
       val sizePath = probePathOf(probeSize)
       awaitQuiet()
       val t0 = elapsedSec
@@ -465,8 +480,12 @@ object Bench {
       // for the rescue/scale-point phases exactly when the host is the
       // problem (run-4 trace: the 3rd loaded rep pushed the pair cost
       // to 172 s and starved the rescue by 18 s)
-      val pN = probe(2, sizePath, repBudgetSec = if (bigProbe) 34 else 40,
-        maxReps = 3, capOverrideSec = if (bigProbe) 95.0 else 65.0)
+      val pN = sideBest.get((probeSize, 2)).orElse {
+        val r = probe(2, sizePath, repBudgetSec = if (bigProbe) 34 else 40,
+          maxReps = 3, capOverrideSec = if (bigProbe) 95.0 else 65.0)
+        r.foreach(holdSide(probeSize, 2, _))
+        r
+      }
       val tNdur = elapsedSec - t0
       // skip the 4N side when the N side was killed by pollution (its
       // pair is lost regardless); run it when N succeeded, or when N
@@ -476,8 +495,12 @@ object Bench {
       // lost pair loses the north-rule criterion (round-3 run: a
       // reserve-sized guard here skipped the 4N side of a GOOD pair).
       val p4N = if ((pN.isDefined || tNdur < 10) && remainingSec > 90)
-        probe(8, sizePath, repBudgetSec = if (bigProbe) 30 else 25, maxReps = 4,
-          capOverrideSec = 65.0) else None
+        sideBest.get((probeSize, 8)).orElse {
+          val r = probe(8, sizePath, repBudgetSec = if (bigProbe) 30 else 25,
+            maxReps = 4, capOverrideSec = 65.0)
+          r.foreach(holdSide(probeSize, 8, _))
+          r
+        } else None
       // one status line per attempt: the round-3 sf0.1 run shipped
       // `scaling: null` with zero clues — child-probe failures must be
       // diagnosable from the captured log
