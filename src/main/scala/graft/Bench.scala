@@ -152,10 +152,15 @@ object Bench {
     * and the bandwidth-hungrier 4N side loses disproportionately — a
     * structural downward bias on the ratio (measured 0.32 concurrent vs
     * 0.80+ sequential on the same job). */
-  /** @return (min full-pass seconds, fixed-cost sample seconds) */
+  /** @return (min full-pass seconds, fixed-cost sample seconds,
+    *         clean) — `clean` = the child finished its rep loop
+    *         (PROBE_SEC printed); false = the value was salvaged from
+    *         a wall-capped child's completed reps, a legitimate
+    *         measurement of THAT window but storm-inflated by
+    *         construction, so it must not be HELD across attempts. */
   private def probe(cores: Int, turnsPath: String,
                     repBudgetSec: Int = 40, maxReps: Int = 4,
-                    capOverrideSec: Double = 170.0): Option[(Double, Double)] = {
+                    capOverrideSec: Double = 170.0): Option[(Double, Double, Boolean)] = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
@@ -194,13 +199,13 @@ object Bench {
       val fixed = "PROBE_FIXED ([0-9.]+)".r.findFirstMatchIn(probeOut.get)
         .map(_.group(1).toDouble).getOrElse(0.0)
       "PROBE_SEC ([0-9.]+)".r.findFirstMatchIn(probeOut.get).map(_.group(1).toDouble)
+        .map(sec => (sec, fixed, true))
         // a capped probe may still have printed complete reps — salvage min
         .orElse {
           val reps = "PROBE_REP ([0-9.]+)".r.findAllMatchIn(probeOut.get)
             .map(_.group(1).toDouble).toSeq
-          if (reps.nonEmpty) Some(reps.min) else None
+          if (reps.nonEmpty) Some((reps.min, fixed, false)) else None
         }
-        .map(sec => (sec, fixed))
     } catch { case _: Throwable => None }
   }
   private val probeOut = new java.util.concurrent.atomic.AtomicReference[String]("")
@@ -446,17 +451,17 @@ object Bench {
     // doomed second-pair attempts in a load-6 wave, starving the scale
     // point. A sub-0.8 first pair is retried by the SLIM rescue phase
     // below, which costs half as much and leaves the scale point room.
-    // Completed SIDES are held across attempts (min-combined — the same
-    // consistent estimator as min-over-reps): run 32's 2-core 8M side
-    // landed a clean 17.7 s and was then thrown away because its 4N
-    // partner got storm-capped — the retry only needs the MISSING side
-    // (~30-65 s), not a fresh pair.
+    // CLEANLY-completed sides are held across attempts: run 32's 2-core
+    // 8M side landed a clean 17.7 s and was then thrown away because its
+    // 4N partner got storm-capped — the retry only needs the MISSING
+    // side (~30-65 s), not a fresh pair. Salvaged (wall-capped) values
+    // are NEVER held: they measure a storm window by construction, and
+    // freezing an inflated 2-core reading would pair it with a later
+    // quiet 8-core side and overstate the ratio.
     val sideBest = scala.collection.mutable.Map[(Long, Int), (Double, Double)]()
-    def holdSide(size: Long, cores: Int, v: (Double, Double)): Unit =
-      sideBest((size, cores)) = sideBest.get((size, cores)) match {
-        case Some(old) if old._1 <= v._1 => old
-        case _ => v
-      }
+    def holdSide(size: Long, cores: Int, v: (Double, Double, Boolean)): Unit =
+      if (v._3 && !sideBest.contains((size, cores)))
+        sideBest((size, cores)) = (v._1, v._2)
     while (attempts < 3 && pairs.isEmpty &&
         remainingSec > lastPairSec + 40) {
       attempts += 1
@@ -480,11 +485,12 @@ object Bench {
       // for the rescue/scale-point phases exactly when the host is the
       // problem (run-4 trace: the 3rd loaded rep pushed the pair cost
       // to 172 s and starved the rescue by 18 s)
+      val heldN = sideBest.contains((probeSize, 2))
       val pN = sideBest.get((probeSize, 2)).orElse {
         val r = probe(2, sizePath, repBudgetSec = if (bigProbe) 34 else 40,
           maxReps = 3, capOverrideSec = if (bigProbe) 95.0 else 65.0)
         r.foreach(holdSide(probeSize, 2, _))
-        r
+        r.map(t => (t._1, t._2))
       }
       val tNdur = elapsedSec - t0
       // skip the 4N side when the N side was killed by pollution (its
@@ -494,18 +500,20 @@ object Bench {
       // and budget-starved queries degrade gracefully to -3, while a
       // lost pair loses the north-rule criterion (round-3 run: a
       // reserve-sized guard here skipped the 4N side of a GOOD pair).
+      val held4 = sideBest.contains((probeSize, 8))
       val p4N = if ((pN.isDefined || tNdur < 10) && remainingSec > 90)
         sideBest.get((probeSize, 8)).orElse {
           val r = probe(8, sizePath, repBudgetSec = if (bigProbe) 30 else 25,
             maxReps = 4, capOverrideSec = 65.0)
           r.foreach(holdSide(probeSize, 8, _))
-          r
+          r.map(t => (t._1, t._2))
         } else None
       // one status line per attempt: the round-3 sf0.1 run shipped
       // `scaling: null` with zero clues — child-probe failures must be
       // diagnosable from the captured log
       println(s"PROBE_STATUS attempt=$attempts size=$probeSize" +
         s" n=${pN.map(_._1).getOrElse(-1.0)} n4=${p4N.map(_._1).getOrElse(-1.0)}" +
+        s" heldN=$heldN held4=$held4" +
         s" dur=${math.rint((elapsedSec - t0) * 10) / 10}" +
         s" load=${loadAvg()} childTail=" +
         probeOut.get.takeRight(160).replaceAll("[\\r\\n]", " | "))
@@ -582,7 +590,7 @@ object Bench {
           s" load=${loadAvg()}")
         (pN, p4N) match {
           case (Some(a), Some(b)) =>
-            pairs += ((a, b))
+            pairs += (((a._1, a._2), (b._1, b._2)))
             val js = scalingJsons()
             scalingJson = js._1; scalingCompact = js._2
             emit(scalingJson, qs, scalingCompact, qSummary)

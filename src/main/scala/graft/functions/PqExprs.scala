@@ -22,17 +22,29 @@ import org.apache.spark.sql.types._
   * [[SimHash64]] fix applied to PQ.
   */
 private[graft] object PqArith {
-  /** floor(1e6 · Σ_i (v[off+i] − c(i))²), terms summed left-to-right. */
-  def subDistE6(v: ArrayData, off: Int, c: Array[Double]): Long = {
+  /** floor(1e6 · Σ_i (v[off+i] − c(cOff+i))²) over `len` terms, summed
+    * left-to-right. `cOff` lets a full-dim centroid be read per
+    * subspace without slicing (allocation-free). */
+  def subDistE6(v: ArrayData, off: Int, c: Array[Double], cOff: Int,
+                len: Int): Long = {
     var acc = 0.0
     var i = 0
-    while (i < c.length) {
-      val d = v.getDouble(off + i) - c(i)
+    while (i < len) {
+      val d = v.getDouble(off + i) - c(cOff + i)
       acc += d * d
       i += 1
     }
     math.floor(1e6 * acc).toLong
   }
+
+  /** Fail LOUD on a short vector: `UnsafeArrayData.getDouble` does no
+    * bounds check, so an undersized row would otherwise compute a
+    * distance from whatever bytes follow the array — silently wrong
+    * and non-deterministic. Same contract as Similarity.requireDim. */
+  def requireLen(v: ArrayData, want: Int, op: String): Unit =
+    if (v.numElements() < want)
+      throw new IllegalArgumentException(
+        s"$op: vector has ${v.numElements()} elements, needs $want")
 }
 
 /** PQ asymmetric-distance: encode the vector against `codebook`
@@ -62,6 +74,7 @@ case class PqAdtE6(child: Expression,
 
   /** Public so generated code can call it. */
   def adt(v: ArrayData): Long = {
+    PqArith.requireLen(v, codebook.length * sub, prettyName)
     var total = 0L
     var j = 0
     while (j < codebook.length) {
@@ -70,7 +83,7 @@ case class PqAdtE6(child: Expression,
       var bestC = 0
       var c = 0
       while (c < cents.length) {
-        val d = PqArith.subDistE6(v, j * sub, cents(c))
+        val d = PqArith.subDistE6(v, j * sub, cents(c), 0, sub)
         if (d < bestD) { bestD = d; bestC = c } // strict < : ties keep
         c += 1                                  // the smaller code
       }
@@ -115,6 +128,7 @@ case class PqCellAssignE6(child: Expression,
 
   /** Public so generated code can call it. */
   def assign(v: ArrayData): Int = {
+    PqArith.requireLen(v, m * sub, prettyName)
     var bestD = Long.MaxValue
     var bestCell = 0
     var c = 0
@@ -123,18 +137,7 @@ case class PqCellAssignE6(child: Expression,
       var d = 0L
       var j = 0
       while (j < m) {
-        // slice == cent[j*sub ..) — pass an offset view via copy-free
-        // indexing: subDistE6 reads cent from a fresh slice; to stay
-        // allocation-free we inline the same loop here.
-        var acc = 0.0
-        var i = 0
-        val base = j * sub
-        while (i < sub) {
-          val t = v.getDouble(base + i) - cent(base + i)
-          acc += t * t
-          i += 1
-        }
-        d += math.floor(1e6 * acc).toLong
+        d += PqArith.subDistE6(v, j * sub, cent, j * sub, sub)
         j += 1
       }
       if (d < bestD) { bestD = d; bestCell = c } // strict < : smaller id
@@ -186,6 +189,7 @@ case class SqL2Dist(child: Expression,
 
   /** Public so generated code can call it. */
   def dist(v: ArrayData): Long = {
+    PqArith.requireLen(v, mn.length, prettyName)
     var acc = 0L
     var i = 0
     while (i < mn.length) {

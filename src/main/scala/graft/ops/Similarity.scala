@@ -205,7 +205,12 @@ object Similarity {
     val adt = Bridge.column(graft.functions.PqAdtE6(
       Bridge.expression(col(vecCol).cast("array<double>")),
       codebook.map(_.toArray).toArray, dtab.toArray))
-    df.select(col(idCol), adt.as("adt_e6"))
+    // null vectors have no distance: filtered, like a SQL engine whose
+    // unnest/element access drops them — without this, the nullIntolerant
+    // expression yields a null adt_e6 and orderBy's NULLS FIRST would
+    // rank the null-embedding row at the TOP of the ANN result
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), adt.as("adt_e6"))
       .orderBy(col("adt_e6").asc, col(idCol).asc)
       .limit(k)
   }
@@ -330,7 +335,10 @@ object Similarity {
     val dist = Bridge.column(graft.functions.SqL2Dist(
       Bridge.expression(col(vecCol).cast("array<double>")),
       mn, mx, sqQuantize(query, mn, mx)))
-    df.select(col(idCol), dist.as("sq_dist"))
+    // null vectors filtered — same nulls-first hazard as [[pqTopK]],
+    // and the e16 oracle's unnest() drops them naturally
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), dist.as("sq_dist"))
       .orderBy(col("sq_dist").asc, col(idCol).asc)
       .limit(k)
   }

@@ -231,6 +231,36 @@ class SimilaritySpec extends SparkSpec {
     assert(r._3 >= 9000L, s"SQ8 recall ${r._3} < 0.9 on separated clusters")
   }
 
+  test("PQ/SQ top-k: null vectors are filtered, short vectors fail loud") {
+    // a null embedding must not occupy rank 1 via NULLS FIRST ordering
+    val withNull = vectors.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().toSeq.map { case (id, v) => (id, Option(v)) }
+      .:+((999L, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val seeds = vectors.filter(col("vec_id") % 30 === 1)
+      .orderBy("vec_id").limit(4)
+      .select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray).toSeq
+    val codebook = Similarity.pqCodebook(seeds, m = 4)
+    val pq = Similarity.pqTopK(withNull, "vec_id", "embedding", query, codebook, 10)
+      .as[(Long, Long)].collect()
+    assert(!pq.map(_._1).contains(999L), s"null vector ranked: ${pq.toSeq}")
+    val (mn, mx) = Similarity.sqMinMax(vectors, "embedding")
+    val sq = Similarity.sqTopK(withNull, "vec_id", "embedding", query, mn, mx, 10)
+      .as[(Long, Long)].collect()
+    assert(!sq.map(_._1).contains(999L), s"null vector ranked: ${sq.toSeq}")
+    // a vector SHORTER than the index dim must fail loud, not compute a
+    // distance from out-of-bounds bytes (UnsafeArrayData has no check)
+    val short = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.sqTopK(short, "vec_id", "embedding", query, mn, mx, 1).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("needs"), s"wrong failure: ${rootMsg(e).take(200)}")
+  }
+
   test("PQ encode: duplicate centroids tie toward the smaller code") {
     val seed = Array.fill(dim)(0.5)
     val codebook = Similarity.pqCodebook(Seq(seed, seed.clone()), m = 4)
