@@ -740,13 +740,34 @@ object Bench {
             groupCount = graft.ops.Dedup.dedupGroups(scaleDf)
               .agg(countDistinct(col("group"))).head().getLong(0)
           }, capSec = math.min(90.0, remainingSec - 20.0))
+        // d35 scale path: the cross-source dup matrix over the SAME
+        // cached pair list (its -2 is inherited from riding d07's
+        // pairs) — two 8-byte-key joins to a doc→source map + a
+        // |sources|²-row aggregate. The 10× corpus carries no source
+        // column, so each copy's doc maps back to its base doc's source
+        // (doc_id = base·10 + copy).
+        var matrixRows = 0L
+        val d35Sec =
+          if (sec < 0 || remainingSec < 30) -3.0
+          else timeCapped(s2, "scale_point_d35", {
+            val srcMap = s2.read.parquet(s"$sfDir/documents.parquet")
+              .select((col("doc_id") * 10).as("base10"), col("source"))
+            val docsSrc = s2.read.parquet(docs10x)
+              .select(col("doc_id"),
+                (col("doc_id") - pmod(col("doc_id"), lit(10))).as("base10"))
+              .join(srcMap, "base10").select("doc_id", "source")
+            matrixRows = graft.ops.Dedup.crossSourceDupMatrix(
+              scaleDf, docsSrc, "doc_id", "source").count()
+          }, capSec = math.min(60.0, remainingSec - 15.0))
         scaleDf.unpersist()
         s2.stop()
         if (sec < 0) "null"
         else s"""{"name":"$name","n_docs":$scaleDocs,""" +
           s""""sec":${math.rint(sec * 100) / 100},"pairs":$pairCount,""" +
           s""""d11_groups_sec":${math.rint(d11Sec * 100) / 100},""" +
-          s""""d11_n_groups":$groupCount}"""
+          s""""d11_n_groups":$groupCount,""" +
+          s""""d35_matrix_sec":${math.rint(d35Sec * 100) / 100},""" +
+          s""""d35_matrix_rows":$matrixRows}"""
       } catch { case _: Throwable => "null" }
     emit(scalingJson, qs, scalingCompact, qSummary, scalePoint)
   }
