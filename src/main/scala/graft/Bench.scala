@@ -768,7 +768,13 @@ object Bench {
           s""""d11_n_groups":$groupCount,""" +
           s""""d35_matrix_sec":${math.rint(d35Sec * 100) / 100},""" +
           s""""d35_matrix_rows":$matrixRows}"""
-      } catch { case _: Throwable => "null" }
+      } catch { case t: Throwable =>
+        // diagnosable, like PROBE_STATUS: a swallowed throwable here
+        // shipped 6 runs of scale_point:null with zero clues
+        println(s"SCALE_POINT_ERR ${t.getClass.getName}: " +
+          String.valueOf(t.getMessage).take(200))
+        "null"
+      }
     emit(scalingJson, qs, scalingCompact, qSummary, scalePoint)
   }
 

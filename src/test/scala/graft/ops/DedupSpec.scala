@@ -465,6 +465,28 @@ class DedupSpec extends SparkSpec {
       ("sA", "sC", 1L, 5000L, 5000L)), s"got $got")
   }
 
+  test("crossSourceDupMatrix over a copy-id corpus (the bench scale shape)") {
+    // mirrors Bench's scale-point d35 branch exactly: the 10× corpus
+    // carries no source column, so doc_id = base·10 + copy maps back to
+    // the base doc's source via (doc_id − doc_id % 10) — this pins the
+    // join/pmod composition that the bench's swallowing try would hide
+    val base = Seq((0L, "s0"), (1L, "s1")).toDF("doc_id", "source")
+    val srcMap = base.select((col("doc_id") * 10).as("base10"), col("source"))
+    val docs10x = Seq(0L, 5L, 10L, 11L, 15L).toDF("doc_id")
+    val docsSrc = docs10x
+      .select(col("doc_id"),
+        (col("doc_id") - pmod(col("doc_id"), lit(10))).as("base10"))
+      .join(srcMap, "base10").select("doc_id", "source")
+    val pairs = Seq((0L, 5L, 1.0), (10L, 15L, 0.875), (5L, 11L, 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.crossSourceDupMatrix(pairs, docsSrc, "doc_id", "source")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("s0", "s0", 1L, 10000L, 10000L),  // copies of base 0
+      ("s1", "s1", 1L, 8750L, 8750L),    // copies of base 1
+      ("s0", "s1", 1L, 9000L, 9000L)), s"got $got")
+  }
+
   test("semDedup: keep-rule deletes the member closer to the centroid") {
     // two cells (centroids on the axes); within each cell one pair above
     // the threshold where one member IS the centroid direction (cent_e6
