@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.agg.{CountStage, Rollup, Stateful}
 import graft.enrich.EnrichStage
 import graft.model.PipelineConfig._
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, SftRender, Similarity, TextAnalysis}
 import graft.ops.TextAnalysis.{piiEmail, piiIpv4, piiPhone}
 import graft.parse.ParseStage
 import graft.route.RouteStage
@@ -1280,7 +1280,50 @@ object SparkEntry {
         .select(col("media_id"), col("modality"),
           length(col("bytes")).as("n_bytes"),
           col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.dur_ms").as("dur_ms")))
+          col("meta.dur_ms").as("dur_ms"))),
+
+    "d36_chat_render" -> ((s, dir) =>
+      // SFT rendering: conversation → ONE training text under the
+      // stable (conv_id, turn_idx) order the north rule pins; oracle =
+      // string_agg(… ORDER BY turn_idx), so the whole multi-line string
+      // must match byte-for-byte — per-turn text equality AND ordering
+      // checked in one hash
+      SftRender.renderChat(t(s, dir))),
+
+    "d37_loss_mask_spans" -> ((s, dir) =>
+      // loss-mask offsets: [start,end) char spans of each assistant
+      // turn inside d36's rendered text, from integer prefix sums (no
+      // text re-search); SftRenderSpec proves substring(rendered, span)
+      // round-trips on every assistant turn
+      SftRender.lossMaskSpans(t(s, dir))),
+
+    "p60_repeated_responses" -> ((s, dir) =>
+      // boilerplate-turn detection: texts emitted ≥2 times, with
+      // use count and distinct-conversation spread — the transcript
+      // analog of exact document dedup (d01), one hash aggregation on
+      // (role, text); at 10^12 turns the key could carry xxhash64(text)
+      // instead (house pattern, Dedup.scala), kept as strings here so
+      // the oracle checks the exact text
+      t(s, dir).groupBy(col("role"), col("text"))
+        .agg(count(lit(1)).as("n_uses"),
+          countDistinct(col("conv_id")).as("n_convs"))
+        .filter(col("n_uses") >= 2)),
+
+    "e18_ann_recall_mrl" -> ((s, dir) => {
+      // Matryoshka-style truncation: ANN over the FIRST 16 of 64 dims
+      // (prefix slice — 4× fewer bytes scanned per row) vs the full-dim
+      // brute-force ground truth; the fifth point on the recall/scan
+      // trade curve (e08 LSH, e09 IVF, e11 PQ, e17 SQ8). On MRL-trained
+      // embeddings the prefix IS the coarse representation; on this
+      // synthetic shell corpus the number prices raw truncation.
+      val q = embeddingQuery(s, dir)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb16 = emb.withColumn("embedding", slice(col("embedding"), 1, 16))
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb16, "vec_id", "embedding", q.take(16), k = 10),
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k = 10),
+        "vec_id", k = 10)
+    })
   )
 
   /** Fixed corpus for the d08 golden-signature oracle. */
@@ -1476,6 +1519,22 @@ object SparkEntry {
       |ORDER BY list_dot_product(embedding::DOUBLE[], q) /
       |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
       |     * sqrt(list_dot_product(q, q))) DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  /** e18's truncated-dim brute pass: e01BruteSql with both sides sliced
+    * to the first 16 dims (cast-then-slice, matching Spark's
+    * slice(float[])→cast(double[]) value-for-value — float→double is
+    * exact). */
+  private def e18MrlSql: String =
+    """SELECT vec_id,
+      |  CAST(floor(10000 * list_dot_product(v16, q) /
+      |    (sqrt(list_dot_product(v16, v16)) * sqrt(list_dot_product(q, q))))
+      |    AS BIGINT) AS cos_e4
+      |FROM (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v16 FROM embeddings),
+      |  (SELECT (embedding::DOUBLE[])[1:16] AS q FROM embeddings WHERE vec_id = 0)
+      |ORDER BY list_dot_product(v16, q) /
+      |    (sqrt(list_dot_product(v16, v16)) * sqrt(list_dot_product(q, q)))
+      |    DESC, vec_id
       |LIMIT 10""".stripMargin
 
   private def e02LshSql: String =
@@ -2993,6 +3052,47 @@ object SparkEntry {
         |          [CAST(0 AS BIGINT)] || list_transform(string_split(text, ''),
         |            c -> CAST(ascii(c) AS BIGINT)),
         |          (acc, x) -> (acc*31 + x) % 2147483647) AS h
-        |      FROM documents)""".stripMargin
+        |      FROM documents)""".stripMargin,
+
+    // whole-conversation rendering under ORDER BY turn_idx — one hash
+    // compares every turn's text AND its position
+    "d36_chat_render" -> withT(
+      """SELECT conv_id,
+        |  string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn_idx)
+        |    AS rendered,
+        |  CAST(count(*) AS INT) AS n_turns
+        |FROM transcripts GROUP BY conv_id""".stripMargin),
+
+    // integer prefix sums over (conv_id, turn_idx) — bitwise-exact;
+    // +4 = the <| |> sigils, +1 = the newline separator
+    "d37_loss_mask_spans" -> withT(
+      """SELECT conv_id, turn_idx, start_off,
+        |  start_off + turn_len AS end_off
+        |FROM (
+        |  SELECT conv_id, turn_idx, role,
+        |    length(role) + length(text) + 4 AS turn_len,
+        |    CAST(coalesce(sum(length(role) + length(text) + 5) OVER (
+        |      PARTITION BY conv_id ORDER BY turn_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_off
+        |  FROM transcripts)
+        |WHERE role = 'assistant'""".stripMargin),
+
+    "p60_repeated_responses" -> withT(
+      """SELECT role, text, count(*) AS n_uses,
+        |  count(DISTINCT conv_id) AS n_convs
+        |FROM transcripts
+        |GROUP BY role, text HAVING count(*) >= 2""".stripMargin),
+
+    // recall@10 of the 16-dim prefix pass vs the full-dim brute ground
+    // truth — same wrapper as e08/e09/e11/e17
+    "e18_ann_recall_mrl" ->
+      s"""WITH brute AS ($e01BruteSql),
+         |mrlres AS ($e18MrlSql)
+         |SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_hits,
+         |  CAST(floor(count(*) * 10000 / greatest(1, least(10,
+         |    (SELECT count(DISTINCT vec_id) FROM brute)))) AS BIGINT) AS recall_e4
+         |FROM (SELECT DISTINCT vec_id FROM mrlres) m
+         |JOIN (SELECT DISTINCT vec_id FROM brute) b USING (vec_id)""".stripMargin
   )
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SFT training-text rendering over transcript-shaped tables
+  * (conv_id, turn_idx, role, text, …) — the step that turns a curated
+  * conversation corpus into model-ready training rows.
+  *
+  * Two ops, designed as a pair:
+  *   - [[renderChat]]: each conversation becomes ONE training string,
+  *     `<|role|>text` turns joined by a separator, under the stable
+  *     (conv_id, turn_idx) ordering the north rule pins ("per-turn text
+  *     equality under stable turn ordering").
+  *   - [[lossMaskSpans]]: character offsets of each maskRole turn
+  *     INSIDE that rendered string — the loss-mask a trainer needs to
+  *     supervise only assistant tokens. Computed from prefix sums of
+  *     turn lengths (pure integer arithmetic), NOT by re-searching the
+  *     rendered text, so it is exact even when turn texts repeat.
+  *
+  * The pair is self-verifying: substring(rendered, start_off, end_off)
+  * must equal the turn's own rendering — asserted in SftRenderSpec on
+  * every assistant turn of a shuffled-input corpus.
+  *
+  * Scale: renderChat is one hash aggregation keyed by conv_id (per-group
+  * state bounded by conversation length — transcripts put one turn per
+  * row, so partial aggregation collapses map-side); lossMaskSpans is a
+  * running window over (conv_id, turn_idx), the same high-cardinality
+  * per-conversation window pattern as the stateful metric ops
+  * (Stateful.scala) — no global sort, no skew beyond the longest single
+  * conversation.
+  */
+object SftRender {
+
+  /** Render each conversation into one training text: turns sorted by
+    * turn_idx, each rendered `<|role|>text`, joined by `sep`.
+    * collect_list order is nondeterministic under shuffles — array_sort
+    * on struct(turn_idx, …) restores the stable order inside the
+    * aggregate (turn_idx is unique per conversation, so the sort is a
+    * total order regardless of the trailing struct fields). */
+  def renderChat(t: DataFrame, sep: String = "\n"): DataFrame =
+    t.groupBy(col("conv_id"))
+      .agg(collect_list(struct(col("turn_idx"), col("role"), col("text"))).as("turns"))
+      .select(
+        col("conv_id"),
+        array_join(
+          transform(array_sort(col("turns")),
+            s => concat(lit("<|"), s("role"), lit("|>"), s("text"))),
+          sep).as("rendered"),
+        size(col("turns")).as("n_turns"))
+
+  /** Per-`maskRole` turn: [start_off, end_off) character offsets of its
+    * `<|role|>text` rendering inside [[renderChat]]'s output (1-char
+    * separator). start = Σ over prior turns of (len + 1); len =
+    * len(role) + len(text) + 4 (the `<|`, `|>` sigils). Integer-exact,
+    * so DuckDB reproduces it bitwise. */
+  def lossMaskSpans(t: DataFrame, maskRole: String = "assistant"): DataFrame = {
+    val turnLen = length(col("role")) + length(col("text")) + lit(4)
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.select(col("conv_id"), col("turn_idx"), col("role"), turnLen.as("turn_len"))
+      .withColumn("start_off",
+        coalesce(sum(col("turn_len") + lit(1)).over(w), lit(0L)).cast("bigint"))
+      .filter(col("role") === maskRole)
+      .select(col("conv_id"), col("turn_idx"), col("start_off"),
+        (col("start_off") + col("turn_len")).cast("bigint").as("end_off"))
+  }
+}

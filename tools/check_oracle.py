@@ -20,12 +20,16 @@ def canon(v):
 def sortkey(row):
     return tuple((v is None, str(v)) for v in row)
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+def main(sf_dir, out_dir):
+    con = connect(sf_dir)
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     passed, failed = [], []
     for name, sql in sorted(oracle.items()):
@@ -38,8 +42,17 @@ def main(sf_dir, out_dir):
                 f"SELECT * FROM read_parquet({spark_glob!r})").fetch_df()
             want = con.execute(sql).fetch_df()
         except Exception as e:
-            failed.append((name, f"exec error: {e}"))
-            continue
+            # The long-lived connection occasionally throws a spurious
+            # "Failed to allocate block" after ~100 queries; a fresh
+            # connection runs the same SQL fine. Retry once, isolated.
+            try:
+                con = connect(sf_dir)
+                got = con.execute(
+                    f"SELECT * FROM read_parquet({spark_glob!r})").fetch_df()
+                want = con.execute(sql).fetch_df()
+            except Exception as e2:
+                failed.append((name, f"exec error: {e2}"))
+                continue
         gc, wc = sorted(got.columns), sorted(want.columns)
         if gc != wc:
             failed.append((name, f"schema mismatch: spark={gc} oracle={wc}"))
