@@ -50,6 +50,62 @@ object SftRender {
           sep).as("rendered"),
         size(col("turns")).as("n_turns"))
 
+  /** DPO-style preference-pair construction: for every (user → assistant)
+    * adjacent turn pair, the user text is the PROMPT and the assistant
+    * text a candidate RESPONSE; prompts that collected ≥2 distinct
+    * responses across the corpus emit one (prompt, chosen, rejected)
+    * training pair. The pick is deterministic and integer-decided so a
+    * SQL oracle reproduces it bitwise: candidates totally ordered by
+    * (-len(resp), resp, conv_id, turn_idx); chosen = order-min (longest
+    * response, ties to smallest text/conv/idx), rejected = order-max
+    * (shortest, ties to largest). Length is the stand-in for a reward
+    * score — swap the first struct field for a model score column and
+    * the operator is production DPO pairing.
+    *
+    * Scale: one lag window per conversation (high-cardinality partition,
+    * same pattern as the stateful metric ops) + ONE hash aggregation
+    * keyed by the prompt. `hashed=true` (default) shuffles an 8-byte
+    * xxhash64(prompt) instead of the full prompt string — the house
+    * dedup pattern (Dedup.scala); the oracle runs the string rendering
+    * and the spec proves hashed ≡ string. No window over the prompt
+    * groups: chosen/rejected come from min/max struct aggregates, so the
+    * plan is two exchanges and zero sorts beyond the per-conv lag. */
+  def preferencePairs(t: DataFrame, hashed: Boolean = true): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val cands = t
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        lag(col("text"), 1).over(w).as("prompt"),
+        lag(col("role"), 1).over(w).as("prev_role"))
+      .filter(col("role") === "assistant" && col("prev_role") === "user" &&
+        col("prompt").isNotNull && col("text").isNotNull)
+      .select(col("prompt"), col("text").as("resp"), col("conv_id"),
+        col("turn_idx"), length(col("text")).cast("bigint").as("len"))
+    val key = if (hashed) xxhash64(col("prompt")) else col("prompt")
+    val ord = struct((-col("len")).as("nl"), col("resp").as("r"),
+      col("conv_id").as("c"), col("turn_idx").as("i"))
+    cands.groupBy(key.as("_k"))
+      .agg(min(col("prompt")).as("prompt"),
+        min(ord).as("best"), max(ord).as("worst"),
+        countDistinct(col("resp")).as("n_cands"))
+      .filter(col("n_cands") >= 2)
+      .select(col("prompt"), col("best.r").as("chosen"),
+        col("worst.r").as("rejected"), col("n_cands"))
+  }
+
+  /** Context-length histogram of [[renderChat]] output: conversations per
+    * power-of-two length bucket (bucket = floor(log2(len))+1, computed as
+    * length(bin(len)) — pure integer, no float log), with min/max length
+    * per bucket. The pre-training capacity-planning view: how much of the
+    * corpus fits a 4k/8k/16k context window. One narrow map over the
+    * render aggregate, then a ~60-key hash agg — nothing to shuffle but
+    * the bucket counts. */
+  def contextLengthHist(t: DataFrame, sep: String = "\n"): DataFrame =
+    renderChat(t, sep)
+      .select(length(col("rendered")).cast("bigint").as("len"))
+      .groupBy(length(bin(col("len"))).cast("int").as("len_bucket"))
+      .agg(count(lit(1)).as("n_convs"),
+        min(col("len")).as("min_len"), max(col("len")).as("max_len"))
+
   /** Per-`maskRole` turn: [start_off, end_off) character offsets of its
     * `<|role|>text` rendering inside [[renderChat]]'s output (1-char
     * separator). start = Σ over prior turns of (len + 1); len =
