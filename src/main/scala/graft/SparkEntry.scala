@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.agg.{CountStage, Rollup, Stateful}
 import graft.enrich.EnrichStage
 import graft.model.PipelineConfig._
-import graft.ops.{Curation, Dedup, Multimodal, SftRender, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Curation, Dedup, Multimodal, SftRender, Similarity, TextAnalysis}
 import graft.ops.TextAnalysis.{piiEmail, piiIpv4, piiPhone}
 import graft.parse.ParseStage
 import graft.route.RouteStage
@@ -1323,7 +1323,31 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb16, "vec_id", "embedding", q.take(16), k = 10),
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k = 10),
         "vec_id", k = 10)
-    })
+    }),
+
+    "d38_preference_pairs" -> ((s, dir) =>
+      // DPO pair construction: prompts (user turns) with ≥2 distinct
+      // adjacent assistant responses → (prompt, chosen, rejected), the
+      // pick integer-decided by (-len, resp, conv, idx) order; hashed
+      // prompt key on the shuffle, string oracle (house dedup pattern)
+      SftRender.preferencePairs(t(s, dir))),
+
+    "d39_chunk_overlap" -> ((s, dir) =>
+      // RAG chunking: 80-char chunks on a 60-char stride (20 overlap),
+      // zero-shuffle narrow map; every boundary is integer arithmetic
+      Chunking.chunkOverlap(documents(s, dir), "doc_id", "text",
+        chunkLen = 80, stride = 60)),
+
+    "d40_fim_render" -> ((s, dir) =>
+      // fill-in-middle (PSM) rendering at the deterministic third-points
+      // a = n div 3, b = 2n div 3; reassembly property spec-pinned
+      Chunking.fimRender(documents(s, dir), "doc_id", "text")),
+
+    "p61_context_length_hist" -> ((s, dir) =>
+      // conversations per power-of-two rendered-length bucket (bucket =
+      // length(bin(len)), pure integer log2) — the context-window
+      // capacity-planning view over d36's rendering
+      SftRender.contextLengthHist(t(s, dir)))
   )
 
   /** Fixed corpus for the d08 golden-signature oracle. */
@@ -3093,6 +3117,74 @@ object SparkEntry {
          |  CAST(floor(count(*) * 10000 / greatest(1, least(10,
          |    (SELECT count(DISTINCT vec_id) FROM brute)))) AS BIGINT) AS recall_e4
          |FROM (SELECT DISTINCT vec_id FROM mrlres) m
-         |JOIN (SELECT DISTINCT vec_id FROM brute) b USING (vec_id)""".stripMargin
+         |JOIN (SELECT DISTINCT vec_id FROM brute) b USING (vec_id)""".stripMargin,
+
+    // chosen = longest response (ties: smallest text/conv/idx), rejected
+    // = shortest (ties: largest) — rendered as two row_number windows
+    // over the same total order the Spark min/max struct aggregates use
+    "d38_preference_pairs" -> withT(
+      """SELECT n.prompt, best.resp AS chosen, worst.resp AS rejected, n_cands
+        |FROM n
+        |JOIN best ON best.prompt = n.prompt AND best.rk = 1
+        |JOIN worst ON worst.prompt = n.prompt AND worst.rk = 1
+        |WHERE n_cands >= 2""".stripMargin,
+      extra = Seq(
+        """pr AS (
+          |  SELECT conv_id, turn_idx, role, text,
+          |    lag(text) OVER w AS prompt, lag(role) OVER w AS prev_role
+          |  FROM transcripts
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))""".stripMargin,
+        """c AS (
+          |  SELECT prompt, text AS resp, conv_id, turn_idx,
+          |    CAST(length(text) AS BIGINT) AS len
+          |  FROM pr
+          |  WHERE role = 'assistant' AND prev_role = 'user'
+          |    AND prompt IS NOT NULL AND text IS NOT NULL)""".stripMargin,
+        """best AS (
+          |  SELECT prompt, resp, row_number() OVER (PARTITION BY prompt
+          |    ORDER BY len DESC, resp, conv_id, turn_idx) AS rk FROM c)""".stripMargin,
+        """worst AS (
+          |  SELECT prompt, resp, row_number() OVER (PARTITION BY prompt
+          |    ORDER BY len ASC, resp DESC, conv_id DESC, turn_idx DESC) AS rk
+          |  FROM c)""".stripMargin,
+        """n AS (SELECT prompt, count(DISTINCT resp) AS n_cands
+          |      FROM c GROUP BY prompt)""".stripMargin)),
+
+    // unnest(generate_series) mirrors the Spark explode(sequence(..));
+    // (greatest(len,1)-1)//60 = last chunk index, integer-exact
+    "d39_chunk_overlap" ->
+      """SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        |  CAST(u.i * 60 AS BIGINT) AS start_off,
+        |  substring(text, CAST(u.i * 60 + 1 AS INT), 80) AS chunk_text
+        |FROM documents,
+        |  unnest(generate_series(0, (greatest(length(text), 1) - 1) // 60))
+        |    AS u(i)
+        |WHERE text IS NOT NULL""".stripMargin,
+
+    "d40_fim_render" ->
+      """SELECT doc_id,
+        |  length(text) // 3 AS mid_start,
+        |  (length(text) * 2) // 3 AS mid_end,
+        |  '<PRE>' || substring(text, 1, CAST(length(text) // 3 AS INT))
+        |  || '<SUF>' || substring(text,
+        |       CAST((length(text) * 2) // 3 + 1 AS INT),
+        |       CAST(length(text) - (length(text) * 2) // 3 AS INT))
+        |  || '<MID>' || substring(text,
+        |       CAST(length(text) // 3 + 1 AS INT),
+        |       CAST((length(text) * 2) // 3 - length(text) // 3 AS INT))
+        |  AS fim_text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // bucket = floor(log2(len))+1 via base-2 digit count — no float log
+    "p61_context_length_hist" -> withT(
+      """SELECT CAST(length(to_base(len, 2)) AS INT) AS len_bucket,
+        |  count(*) AS n_convs, min(len) AS min_len, max(len) AS max_len
+        |FROM r GROUP BY 1""".stripMargin,
+      extra = Seq(
+        """r AS (
+          |  SELECT conv_id, CAST(length(string_agg(
+          |    '<|' || role || '|>' || text, chr(10) ORDER BY turn_idx))
+          |    AS BIGINT) AS len
+          |  FROM transcripts GROUP BY conv_id)""".stripMargin))
   )
 }

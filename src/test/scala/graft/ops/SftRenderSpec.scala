@@ -47,6 +47,52 @@ class SftRenderSpec extends SparkSpec {
     assert(spans.count() === 3)
   }
 
+  test("preferencePairs: chosen=longest, rejected=shortest, singles dropped") {
+    val t = Seq(
+      // prompt "how?" gets three responses of different lengths
+      ("c1", 0, "user", "how?"), ("c1", 1, "assistant", "medium reply"),
+      ("c2", 0, "user", "how?"), ("c2", 1, "assistant", "the longest reply here"),
+      ("c3", 0, "user", "how?"), ("c3", 1, "assistant", "short"),
+      // prompt "hi" has ONE response → no pair
+      ("c4", 0, "user", "hi"), ("c4", 1, "assistant", "hello"),
+      // assistant NOT preceded by user → not a candidate
+      ("c5", 0, "system", "how?"), ("c5", 1, "assistant", "ghost")
+    ).toDF("conv_id", "turn_idx", "role", "text").repartition(3)
+    val out = SftRender.preferencePairs(t).collect()
+    assert(out.toSeq === Seq(
+      Row("how?", "the longest reply here", "short", 3L)))
+  }
+
+  test("preferencePairs: length ties break on text, then conv, then idx") {
+    val t = Seq(
+      ("a1", 0, "user", "p"), ("a1", 1, "assistant", "bbb"),
+      ("a2", 0, "user", "p"), ("a2", 1, "assistant", "aaa"),
+      ("a3", 0, "user", "p"), ("a3", 1, "assistant", "aaa")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    // equal lengths: chosen = smallest text "aaa"; rejected = order-max
+    // = largest (text, conv, idx) = "bbb"
+    val out = SftRender.preferencePairs(t).collect()
+    assert(out.toSeq === Seq(Row("p", "aaa", "bbb", 2L)))
+  }
+
+  test("preferencePairs: hashed ≡ string grouping") {
+    val t = corpus.union(Seq(
+      ("c9", 0, "user", "hello"), ("c9", 1, "assistant", "again"),
+      ("c8", 0, "user", "hello"), ("c8", 1, "assistant", "other")
+    ).toDF("conv_id", "turn_idx", "role", "text"))
+    val h = SftRender.preferencePairs(t, hashed = true)
+    val s = SftRender.preferencePairs(t, hashed = false)
+    assert(h.exceptAll(s).count() === 0 && s.exceptAll(h).count() === 0)
+    assert(h.count() > 0)
+  }
+
+  test("contextLengthHist: log2 buckets with min/max") {
+    // c1 render len 80 (13+1+18+1+47) → bucket 7 (64..127);
+    // c2 len 44 (10+1+15+1+17) → bucket 6 (32..63)
+    val out = SftRender.contextLengthHist(corpus).orderBy("len_bucket").collect()
+    assert(out.toSeq === Seq(Row(6, 1L, 44L, 44L), Row(7, 1L, 80L, 80L)))
+  }
+
   test("non-assistant mask role and empty text") {
     val tiny = Seq(("c3", 0, "user", ""), ("c3", 1, "tool", "x"))
       .toDF("conv_id", "turn_idx", "role", "text")
