@@ -1347,7 +1347,25 @@ object SparkEntry {
       // conversations per power-of-two rendered-length bucket (bucket =
       // length(bin(len)), pure integer log2) — the context-window
       // capacity-planning view over d36's rendering
-      SftRender.contextLengthHist(t(s, dir)))
+      SftRender.contextLengthHist(t(s, dir))),
+
+    "d41_dup_aware_epochs" -> ((s, dir) =>
+      // bounded upsampling schedule: each exact-dup group trains
+      // min(n_members, 4) copies of its survivor; hashed group key,
+      // string oracle (d01/d34 shuffle shape)
+      Curation.dupAwareEpochs(documents(s, dir), "doc_id", "text",
+        capCopies = 4)),
+
+    "d42_mixture_weights" -> ((s, dir) =>
+      // lang×source mixture report + uniform-target sampling weights,
+      // every share/weight floor-divided in e4 fixed point
+      Curation.mixtureWeights(documents(s, dir), Seq("lang", "source"),
+        "text")),
+
+    "p62_supervision_density" -> ((s, dir) =>
+      // share of tokens the assistant loss-mask supervises, per conv —
+      // the training-efficiency sort key for SFT corpora
+      SftRender.supervisionDensity(t(s, dir)))
   )
 
   /** Fixed corpus for the d08 golden-signature oracle. */
@@ -3185,6 +3203,51 @@ object SparkEntry {
           |  SELECT conv_id, CAST(length(string_agg(
           |    '<|' || role || '|>' || text, chr(10) ORDER BY turn_idx))
           |    AS BIGINT) AS len
-          |  FROM transcripts GROUP BY conv_id)""".stripMargin))
+          |  FROM transcripts GROUP BY conv_id)""".stripMargin)),
+
+    // same normalization chain as d12/d34; schedule arithmetic is pure
+    // integer (least + floor-div-free products)
+    "d41_dup_aware_epochs" ->
+      """WITH l AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT norm_text, min(doc_id) AS survivor_id,
+        |        count(*) AS n_members
+        |      FROM l GROUP BY norm_text)
+        |SELECT survivor_id, n_members,
+        |  least(n_members, 4) AS n_copies,
+        |  CAST(len(string_split(norm_text, ' ')) AS BIGINT)
+        |    * least(n_members, 4) AS sched_tokens
+        |FROM g""".stripMargin,
+
+    // DuckDB sum(BIGINT) widens to HUGEINT — cast back so dtypes match
+    // Spark's int64; every division is // with the divisor floored at 1
+    "d42_mixture_weights" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY lang, source),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        |        count(*) AS n_groups FROM g)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  (n_tokens * 10000) // total AS share_e4,
+        |  ((10000 // n_groups) * 10000)
+        |    // greatest((n_tokens * 10000) // total, 1) AS weight_e4
+        |FROM g, t""".stripMargin,
+
+    "p62_supervision_density" -> withT(
+      """SELECT conv_id, count(*) AS n_turns,
+        |  CAST(sum(CASE WHEN role = 'assistant'
+        |    THEN len(regexp_split_to_array(text, '\s+')) ELSE 0 END)
+        |    AS BIGINT) AS mask_tokens,
+        |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+        |    AS total_tokens,
+        |  (CAST(sum(CASE WHEN role = 'assistant'
+        |     THEN len(regexp_split_to_array(text, '\s+')) ELSE 0 END)
+        |     AS BIGINT) * 10000)
+        |    // greatest(CAST(sum(len(regexp_split_to_array(text, '\s+')))
+        |      AS BIGINT), 1) AS density_e4
+        |FROM transcripts GROUP BY conv_id""".stripMargin)
   )
 }

@@ -326,6 +326,72 @@ object Curation {
     * must be a total order (no ties): the window's default RangeFrame
     * treats tied keys as peers and would include them in "before".
     * Both callers order by a unique id. */
+  /** Duplication-aware upsampling schedule (the "use each duplicate
+    * cluster at most `capCopies` times" pre-training recipe): exact-dup
+    * groups on normalized text, one row per group with its survivor
+    * (min id), member count, the scheduled copy count
+    * `min(n_members, capCopies)`, and the scheduled token mass
+    * (group token count × copies) the sampler will draw. Rationale:
+    * naive dedup throws away the duplication signal entirely, while
+    * training on every copy over-weights boilerplate — bounded
+    * upsampling keeps popularity as a bounded prior.
+    *
+    * Scale: identical shuffle shape to [[Dedup.exactDedup]] — one hash
+    * aggregation whose key is xxhash64(norm_text) when `hashed` (the
+    * production default; 8-byte keys, never document bodies). Token
+    * count is whitespace-split on the already-collapsed normalization,
+    * so it's a narrow map on the aggregated group row, not the corpus. */
+  def dupAwareEpochs(docs: DataFrame, idCol: String, textCol: String,
+                     capCopies: Int = 4, hashed: Boolean = true): DataFrame = {
+    require(capCopies >= 1, s"capCopies must be >= 1, got $capCopies")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        TextAnalysis.normalizeForDedup(col(textCol)).as("norm_text"))
+    val key = if (hashed) xxhash64(col("norm_text")) else col("norm_text")
+    val copies = least(col("n_members"), lit(capCopies.toLong))
+    base.groupBy(key.as("_k"))
+      .agg(min(col(idCol)).as("survivor_id"),
+        count(lit(1)).as("n_members"),
+        min(col("norm_text")).as("norm_text"))
+      .select(col("survivor_id"), col("n_members"), copies.as("n_copies"),
+        (size(split(col("norm_text"), " ")).cast("bigint") * copies)
+          .as("sched_tokens"))
+  }
+
+  /** Corpus mixture report + sampling weights: per `groupCols` stratum
+    * (e.g. lang × source), document/token counts, the stratum's token
+    * share, and the integer sampling weight that moves the mixture
+    * toward UNIFORM across strata — `weight_e4 = target_share/share`
+    * rendered in e4 fixed-point with floor division at every step, so a
+    * SQL oracle reproduces the weights bitwise. Shares floor to 0 for
+    * strata below 1/10000 of the corpus; the weight divisor floors at 1
+    * so such strata get the maximum finite upweight rather than a
+    * division by zero. Swap the uniform target for a broadcast target
+    * table and this is general mixture reweighting (DoReMi-style
+    * domain weights consume exactly this shape).
+    *
+    * Scale: one partial-aggregated groupBy over the corpus (map-side
+    * collapse: strata ≪ rows), then a 1-row total broadcast-joined
+    * back — the same lazy one-row-broadcast pattern as the unigram LM
+    * (d25); nothing but the stratum table ever shuffles. */
+  def mixtureWeights(docs: DataFrame, groupCols: Seq[String],
+                     textCol: String): DataFrame = {
+    val strata = docs.filter(col(textCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), "\\s+")).cast("bigint")).as("n_tokens"))
+    val totals = strata.agg(sum(col("n_tokens")).as("_total"),
+      count(lit(1)).as("_n_groups"))
+    val share = call_function("div", col("n_tokens") * lit(10000L), col("_total"))
+    val target = call_function("div", lit(10000L), col("_n_groups"))
+    strata.crossJoin(broadcast(totals))
+      .withColumn("share_e4", share)
+      .withColumn("weight_e4", call_function("div",
+        target * lit(10000L), greatest(col("share_e4"), lit(1L))))
+      .select((groupCols.map(col) ++ Seq(col("n_docs"), col("n_tokens"),
+        col("share_e4"), col("weight_e4"))): _*)
+  }
+
   private def cumBefore(df: DataFrame, orderCols: Seq[Column],
                         valueCol: Column, parts: Int): DataFrame = {
     require(!df.columns.exists(Seq("_pid", "_off", "_v").contains),

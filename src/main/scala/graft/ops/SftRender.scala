@@ -106,6 +106,25 @@ object SftRender {
       .agg(count(lit(1)).as("n_convs"),
         min(col("len")).as("min_len"), max(col("len")).as("max_len"))
 
+  /** Supervision density per conversation: the share of tokens the loss
+    * mask actually supervises (maskRole turns' tokens / all tokens),
+    * rendered as a floored e4 integer. SFT corpora with long contexts
+    * and one-line answers train slowly per FLOP — this is the metric a
+    * pipeline sorts/filters on before paying for training. One hash
+    * aggregation keyed by conv_id (partials collapse map-side; turns of
+    * a conversation are single rows), zero joins, zero sorts. */
+  def supervisionDensity(t: DataFrame, maskRole: String = "assistant"): DataFrame = {
+    val toks = size(split(col("text"), "\\s+")).cast("bigint")
+    t.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === maskRole, toks).otherwise(0L)).as("mask_tokens"),
+        sum(toks).as("total_tokens"))
+      .select(col("conv_id"), col("n_turns"), col("mask_tokens"),
+        col("total_tokens"),
+        call_function("div", col("mask_tokens") * lit(10000L),
+          greatest(col("total_tokens"), lit(1L))).as("density_e4"))
+  }
+
   /** Per-`maskRole` turn: [start_off, end_off) character offsets of its
     * `<|role|>text` rendering inside [[renderChat]]'s output (1-char
     * separator). start = Σ over prior turns of (len + 1); len =

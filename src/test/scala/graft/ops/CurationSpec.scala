@@ -250,4 +250,41 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0L, 0L, 0L), (2L, 1L, 2L, 0L, 0L),
       (3L, 3L, 3L, 0L, 1L)))
   }
+
+  test("dupAwareEpochs: copies capped, tokens scheduled, hashed ≡ string") {
+    // group A: 6 copies (cap 4), 3 tokens; group B: 1 copy, 2 tokens;
+    // normalization folds case/punct so "A b! c" joins "a b c"
+    val tiny = ((1L to 5L).map(i => (i, "a b c")) ++
+      Seq((6L, "A b! c"), (7L, "x y"))).toDF("doc_id", "text")
+    val got = Curation.dupAwareEpochs(tiny, "doc_id", "text", capCopies = 4)
+      .orderBy("survivor_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 6L, 4L, 12L), (7L, 1L, 1L, 2L)))
+    val str = Curation.dupAwareEpochs(tiny, "doc_id", "text",
+      capCopies = 4, hashed = false)
+    assert(str.exceptAll(Curation.dupAwareEpochs(tiny, "doc_id", "text",
+      capCopies = 4)).count() === 0)
+  }
+
+  test("mixtureWeights: shares and weights floor-exact") {
+    // two strata: en/src0 has 6 tokens, en/src1 has 2 → total 8,
+    // shares 7500/2500; target 5000 → weights 6666 / 20000
+    val tiny = Seq((1L, "a b c", "en", "src0"), (2L, "d e f", "en", "src0"),
+      (3L, "g h", "en", "src1")).toDF("doc_id", "text", "lang", "source")
+    val got = Curation.mixtureWeights(tiny, Seq("lang", "source"), "text")
+      .orderBy("source")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("en", "src0", 2L, 6L, 7500L, 6666L),
+      ("en", "src1", 1L, 2L, 2500L, 20000L)))
+  }
+
+  test("mixtureWeights: sub-e4 stratum floors to share 0, weight uses divisor 1") {
+    val tiny = (Seq((0L, ("w " * 20000).trim, "en", "big")) ++
+      Seq((1L, "x", "en", "tiny"))).toDF("doc_id", "text", "lang", "source")
+    val row = Curation.mixtureWeights(tiny, Seq("lang", "source"), "text")
+      .filter($"source" === "tiny")
+      .as[(String, String, Long, Long, Long, Long)].head()
+    assert(row._5 === 0L)            // 1*10000/20001 floors to 0
+    assert(row._6 === 50000000L)     // (5000*10000) div max(0,1)
+  }
 }

@@ -93,6 +93,16 @@ class SftRenderSpec extends SparkSpec {
     assert(out.toSeq === Seq(Row(6, 1L, 44L, 44L), Row(7, 1L, 80L, 80L)))
   }
 
+  test("supervisionDensity: hand-computed token shares") {
+    // c1: assistant turn has 4 tokens ("CALL tool=search args={}
+    // dur_ms=12" splits into 4), user 1, system 2 → 4/7 = 5714 e4
+    // c2: assistant "ok"+"done" = 2 tokens, user "hi" 1 → 2/3 = 6666 e4
+    val out = SftRender.supervisionDensity(corpus)
+      .orderBy("conv_id").collect()
+    assert(out(0) === Row("c1", 3L, 4L, 7L, 5714L))
+    assert(out(1) === Row("c2", 3L, 2L, 3L, 6666L))
+  }
+
   test("non-assistant mask role and empty text") {
     val tiny = Seq(("c3", 0, "user", ""), ("c3", 1, "tool", "x"))
       .toDF("conv_id", "turn_idx", "role", "text")
