@@ -1365,7 +1365,15 @@ object SparkEntry {
     "p62_supervision_density" -> ((s, dir) =>
       // share of tokens the assistant loss-mask supervises, per conv —
       // the training-efficiency sort key for SFT corpora
-      SftRender.supervisionDensity(t(s, dir)))
+      SftRender.supervisionDensity(t(s, dir))),
+
+    "m05_interleaved_render" -> ((s, dir) =>
+      // text+media training sequences: the doc's media spliced in as a
+      // <|modality:id|> placeholder at the integer midpoint; 8-byte-key
+      // join, blob column never read (m01 pruning contract)
+      Multimodal.interleaveRender(documents(s, dir),
+        Multimodal.synthFromDocuments(documents(s, dir), "doc_id", "text"),
+        "doc_id", "text"))
   )
 
   /** Fixed corpus for the d08 golden-signature oracle. */
@@ -3248,6 +3256,20 @@ object SparkEntry {
         |     AS BIGINT) * 10000)
         |    // greatest(CAST(sum(len(regexp_split_to_array(text, '\s+')))
         |      AS BIGINT), 1) AS density_e4
-        |FROM transcripts GROUP BY conv_id""".stripMargin)
+        |FROM transcripts GROUP BY conv_id""".stripMargin),
+
+    // the media synth is integer-derived from documents (m03's CTE), so
+    // the oracle reproduces modality inline; splice point = n div 2
+    "m05_interleaved_render" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  length(text) // 2 AS insert_off,
+        |  substring(text, 1, CAST(length(text) // 2 AS INT))
+        |  || '<|' || (CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END) || ':' || CAST(doc_id AS VARCHAR) || '|>'
+        |  || substring(text, CAST(length(text) // 2 + 1 AS INT),
+        |       CAST(length(text) - length(text) // 2 AS INT)) AS seq_text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin
   )
 }

@@ -140,4 +140,33 @@ object Multimodal {
   def dedupByContent(media: DataFrame): DataFrame =
     media.groupBy(md5(col("bytes")).as("content_md5"))
       .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Interleaved multimodal training sequence: each document's text
+    * with its media item spliced in as a `<|modality:id|>` placeholder
+    * token at the integer midpoint (n div 2) — the row shape a
+    * text+image training loader consumes (the trainer later swaps the
+    * placeholder for the encoded media embedding). Production would
+    * carry the media's byte offset table instead of an inline marker;
+    * the join/render plan is identical.
+    *
+    * Scale: one equi-join on the 8-byte id between the text corpus and
+    * the (typically much wider) media table — only `media_id, modality`
+    * are projected from the media side, so the blob column never leaves
+    * the scan (the m01-established blob-pruning contract), then a
+    * narrow codegen render. No shuffle beyond the join's. */
+  def interleaveRender(docs: DataFrame, media: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val n = length(col(textCol)).cast("bigint")
+    val m = call_function("div", n, lit(2L))
+    docs.filter(col(textCol).isNotNull)
+      .join(media.select(col("media_id"), col("modality")),
+        col(idCol) === col("media_id"))
+      .select(col(idCol), col("modality"), m.as("insert_off"),
+        concat(
+          col(textCol).substr(lit(1), m.cast("int")),
+          lit("<|"), col("modality"), lit(":"),
+          col("media_id").cast("string"), lit("|>"),
+          col(textCol).substr((m + lit(1L)).cast("int"), (n - m).cast("int"))
+        ).as("seq_text"))
+  }
 }

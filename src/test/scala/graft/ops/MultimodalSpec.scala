@@ -74,4 +74,40 @@ class MultimodalSpec extends SparkSpec {
     assert(!readSchema.contains("bytes"),
       s"blob column leaked into the scan: $readSchema")
   }
+
+  test("interleaveRender: marker at midpoint, stripping it recovers the text") {
+    val docs = Seq((1L, "abcdef"), (2L, "xyz"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Multimodal.interleaveRender(docs,
+      Multimodal.synthFromDocuments(docs, "doc_id", "text"),
+      "doc_id", "text").orderBy("doc_id").collect()
+    // doc 1 (id%3=1 → audio): n=6, m=3 → "abc<|audio:1|>def"
+    assert(out(0).getString(3) === "abc<|audio:1|>def")
+    assert(out(0).getLong(2) === 3L)
+    // doc 2 (video): n=3, m=1 → "x<|video:2|>yz"
+    assert(out(1).getString(3) === "x<|video:2|>yz")
+    // empty doc (image): marker only
+    assert(out(2).getString(3) === "<|image:3|>")
+    // stripping the placeholder recovers the original text, every row
+    val bad = Multimodal.interleaveRender(docs,
+        Multimodal.synthFromDocuments(docs, "doc_id", "text"),
+        "doc_id", "text")
+      .join(docs, "doc_id")
+      .withColumn("stripped",
+        regexp_replace($"seq_text", "<\\|(image|audio|video):\\d+\\|>", ""))
+      .filter($"stripped" =!= $"text")
+    assert(bad.count() === 0)
+  }
+
+  test("interleaveRender: media blob column never enters the scan") {
+    val dir = Files.createTempDirectory("graft_media2").toString
+    media.write.mode("overwrite").parquet(dir)
+    val docs = Seq((1L, "some text payload")).toDF("doc_id", "text")
+    val plan = Multimodal.interleaveRender(docs, spark.read.parquet(dir),
+      "doc_id", "text").queryExecution.executedPlan.toString
+    val mediaScan = plan.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!mediaScan.contains("bytes"),
+      s"blob column leaked into the media scan: $mediaScan")
+  }
 }
