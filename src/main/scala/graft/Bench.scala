@@ -209,6 +209,9 @@ object Bench {
     } catch { case _: Throwable => None }
   }
   private val probeOut = new java.util.concurrent.atomic.AtomicReference[String]("")
+  /** Set by emit(): gates the shutdown hook's halt(0) — pre-contract
+    * crashes must keep their nonzero exit status. */
+  private val contractEmitted = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def jnum(v: Double): String =
     if (v.isNaN || v.isInfinite) "null" else v.toString
@@ -220,11 +223,38 @@ object Bench {
     // emit ships parsed:null even though the contract line printed
     // (run 38: an executor OOM in the scale-point phase triggered
     // Spark's uncaught-exception exit(52) four seconds after emit).
-    // Force exit 0 on every path; failures stay fully visible in the
-    // log, only the exit status is pinned so no sbt decoration can
-    // follow the contract line.
+    // Once a contract line has printed, force exit 0 so no sbt
+    // decoration can follow it; failures stay fully visible in the log.
+    // BEFORE the first emit a crash keeps its nonzero status — there is
+    // no contract line to protect yet, and masking setup failures would
+    // make the exit-0 gate vacuous.
     Runtime.getRuntime.addShutdownHook(
-      new Thread(() => { System.out.flush(); Runtime.getRuntime.halt(0) }))
+      new Thread(() => {
+        System.out.flush()
+        if (contractEmitted.get()) Runtime.getRuntime.halt(0)
+      }))
+    // halt() cuts Spark's own shutdown hooks mid-cleanup, so
+    // blockmgr-*/spark-* scratch dirs can leak on a crash path — sweep
+    // STALE ones (>10 min old: never a live concurrent process of this
+    // run; the bench protocol forbids concurrent Spark jobs anyway)
+    // at startup so leaks stay bounded across runs.
+    locally {
+      val cutoff = System.currentTimeMillis() - 10 * 60 * 1000
+      val tmp = new java.io.File("/tmp")
+      val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>
+        (f.getName.startsWith("spark-") || f.getName.startsWith("blockmgr-")) &&
+          f.isDirectory && f.lastModified() < cutoff
+      }
+      stale.foreach { d =>
+        try {
+          import java.nio.file.{Files => JF, Path}
+          import java.util.Comparator
+          JF.walk(d.toPath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => JF.deleteIfExists(p))
+        } catch { case _: Throwable => }
+      }
+      if (stale.nonEmpty) println(s"TMP_SWEEP removed=${stale.length}")
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "450").toDouble
@@ -345,6 +375,7 @@ object Bench {
         s""""queries_detail":"preceding full line + BENCH_queries_latest.json",""" +
         s""""sf":"$sfDir","budget_sec":$budgetSec,""" +
         s""""elapsed_sec":${math.rint(elapsedSec)}}""")
+      contractEmitted.set(true)
     }
 
     // CONTRACT LINE, available from here on even if a later phase is

@@ -303,29 +303,6 @@ object Curation {
       .select(col(idCol), col("_cum_before").as("shuffle_rank"))
   }
 
-  /** The two-phase distributed prefix sum shared by [[packSequences]]
-    * and [[shuffleOrder]]: appends `_cum_before` = sum of `valueCol`
-    * over all rows STRICTLY before this one in the global `orderCols`
-    * ordering. A single-partition `Window.orderBy` cumsum would
-    * serialize 10^12 rows through one task; instead:
-    *  1. range-repartition by the order keys (partition p holds a key
-    *     range below partition p+1's — RangePartitioner assigns
-    *     ascending ranges to ascending partition ids);
-    *  2. per-partition value totals — `parts` numbers, collected to the
-    *     driver, scanned into per-partition global offsets (the one
-    *     driver action, O(parts), same class as the IVF centroid pull);
-    *  3. within-partition cumsum (window keyed by partition id —
-    *     parallel across partitions) + the offset via broadcast join
-    *     (not a when-chain: at cluster scale `parts` is thousands and a
-    *     case expression that wide breaks codegen).
-    *
-    * The `_pid` exchange before the window re-moves rows already
-    * clustered by pid (Catalyst can't see the checkpoint's physical
-    * distribution) — accepted: it shuffles only the narrow manifest
-    * (id + two longs per DOCUMENT, not the corpus text). `orderCols`
-    * must be a total order (no ties): the window's default RangeFrame
-    * treats tied keys as peers and would include them in "before".
-    * Both callers order by a unique id. */
   /** Duplication-aware upsampling schedule (the "use each duplicate
     * cluster at most `capCopies` times" pre-training recipe): exact-dup
     * groups on normalized text, one row per group with its survivor
@@ -392,6 +369,29 @@ object Curation {
         col("share_e4"), col("weight_e4"))): _*)
   }
 
+  /** The two-phase distributed prefix sum shared by [[packSequences]]
+    * and [[shuffleOrder]]: appends `_cum_before` = sum of `valueCol`
+    * over all rows STRICTLY before this one in the global `orderCols`
+    * ordering. A single-partition `Window.orderBy` cumsum would
+    * serialize 10^12 rows through one task; instead:
+    *  1. range-repartition by the order keys (partition p holds a key
+    *     range below partition p+1's — RangePartitioner assigns
+    *     ascending ranges to ascending partition ids);
+    *  2. per-partition value totals — `parts` numbers, collected to the
+    *     driver, scanned into per-partition global offsets (the one
+    *     driver action, O(parts), same class as the IVF centroid pull);
+    *  3. within-partition cumsum (window keyed by partition id —
+    *     parallel across partitions) + the offset via broadcast join
+    *     (not a when-chain: at cluster scale `parts` is thousands and a
+    *     case expression that wide breaks codegen).
+    *
+    * The `_pid` exchange before the window re-moves rows already
+    * clustered by pid (Catalyst can't see the checkpoint's physical
+    * distribution) — accepted: it shuffles only the narrow manifest
+    * (id + two longs per DOCUMENT, not the corpus text). `orderCols`
+    * must be a total order (no ties): the window's default RangeFrame
+    * treats tied keys as peers and would include them in "before".
+    * Both callers order by a unique id. */
   private def cumBefore(df: DataFrame, orderCols: Seq[Column],
                         valueCol: Column, parts: Int): DataFrame = {
     require(!df.columns.exists(Seq("_pid", "_off", "_v").contains),

@@ -63,13 +63,18 @@ object SftRender {
     * the operator is production DPO pairing.
     *
     * Scale: one lag window per conversation (high-cardinality partition,
-    * same pattern as the stateful metric ops) + ONE hash aggregation
-    * keyed by the prompt. `hashed=true` (default) shuffles an 8-byte
-    * xxhash64(prompt) instead of the full prompt string — the house
-    * dedup pattern (Dedup.scala); the oracle runs the string rendering
-    * and the spec proves hashed ≡ string. No window over the prompt
-    * groups: chosen/rejected come from min/max struct aggregates, so the
-    * plan is two exchanges and zero sorts beyond the per-conv lag. */
+    * same pattern as the stateful metric ops) + one aggregation keyed by
+    * the prompt. `hashed=true` (default) makes the GROUPING KEY an
+    * 8-byte xxhash64(prompt) — cheap comparisons and no giant-key skew
+    * pages; the aggregation buffers still carry min(prompt) and the two
+    * order structs (each holding one response body), so unlike the pure
+    * dedup ops the exchange volume stays O(candidate text), not O(8
+    * bytes) — partial aggregation collapses same-prompt candidates
+    * map-side first. The oracle runs the string rendering and the spec
+    * proves hashed ≡ string. No window over the prompt groups:
+    * chosen/rejected come from min/max struct aggregates (rendered as
+    * SortAggregate — struct buffers aren't hash-agg mutable — over the
+    * already-thin candidate subset). */
   def preferencePairs(t: DataFrame, hashed: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
     val cands = t
