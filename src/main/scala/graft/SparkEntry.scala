@@ -1373,7 +1373,26 @@ object SparkEntry {
       // join, blob column never read (m01 pruning contract)
       Multimodal.interleaveRender(documents(s, dir),
         Multimodal.synthFromDocuments(documents(s, dir), "doc_id", "text"),
-        "doc_id", "text"))
+        "doc_id", "text")),
+
+    "d43_frequent_ngrams" -> ((s, dir) =>
+      // CCNet-style cross-document boilerplate n-gram detection:
+      // bigrams recurring in ≥35 distinct docs (the set a removal pass
+      // broadcasts). hashed=true is the production path (8-byte gram
+      // keys in the one shuffle, gram string as min payload); the
+      // oracle groups raw gram strings — TextAnalysisSpec proves
+      // hashed ≡ string
+      TextAnalysis.frequentNgrams(documents(s, dir), "doc_id", "text",
+        n = 2, minDocs = 35)),
+
+    "p63_boilerplate_scrub" -> ((s, dir) =>
+      // cross-conversation canned-template scrub: digit-normalized
+      // turn templates present in ≥90% of ALL conversations are
+      // boilerplate; per-conv kept/dropped audit. Integer-permille
+      // threshold (nc*1000 >= 900*n_convs) keeps the cut bit-stable
+      // across engines; hashed=true shuffles 8-byte (role, template)
+      // keys — TextAnalysisSpec proves hashed ≡ string
+      TextAnalysis.boilerplateScrub(t(s, dir), "conv_id", "role", "text"))
   )
 
   /** Fixed corpus for the d08 golden-signature oracle. */
@@ -3270,6 +3289,36 @@ object SparkEntry {
         |       ELSE 'video' END) || ':' || CAST(doc_id AS VARCHAR) || '|>'
         |  || substring(text, CAST(length(text) // 2 + 1 AS INT),
         |       CAST(length(text) - length(text) // 2 AS INT)) AS seq_text
-        |FROM documents WHERE text IS NOT NULL""".stripMargin
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    "d43_frequent_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id,
+        |    array_to_string(toks[t.i : t.i + 1], ' ') AS gram
+        |  FROM w, unnest(generate_series(1, len(toks) - 1)) AS t(i))
+        |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_uses
+        |FROM g GROUP BY gram
+        |HAVING count(DISTINCT doc_id) >= 35""".stripMargin,
+
+    // integer-permille threshold so the cut is exact in both engines (a
+    // double ceil(0.9*n) could round differently: DuckDB's 0.9 literal
+    // is DECIMAL, Spark's is double)
+    "p63_boilerplate_scrub" -> withT(
+      """SELECT tt.conv_id,
+        |  CAST(sum(CASE WHEN b.tmpl IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN b.tmpl IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped
+        |FROM tt LEFT JOIN b ON tt.role = b.role AND tt.tmpl = b.tmpl
+        |GROUP BY tt.conv_id""".stripMargin,
+      extra = Seq(
+        """tt AS (SELECT conv_id, role,
+          |  regexp_replace(text, '[0-9]+', '0', 'g') AS tmpl
+          |  FROM transcripts)""".stripMargin,
+        """b AS (SELECT role, tmpl FROM tt GROUP BY role, tmpl
+          |  HAVING count(DISTINCT conv_id) * 1000 >=
+          |    900 * (SELECT count(DISTINCT conv_id) FROM tt))""".stripMargin))
   )
 }

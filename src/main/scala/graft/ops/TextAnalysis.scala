@@ -148,6 +148,96 @@ object TextAnalysis {
       .withColumn("loopy", col("dup_turn_frac_e4") > 3000)
   }
 
+  // ---- cross-corpus boilerplate ----
+
+  /** Cross-document frequent word n-grams — the detection side of
+    * CCNet-style boilerplate filtering (Wenzek et al., arXiv:1911.00359
+    * §4.1: text recurring across many DISTINCT documents is template /
+    * boilerplate — headers, license blurbs, canned phrases — not
+    * natural language). Returns `(gram, n_docs, n_uses)` for every word
+    * n-gram appearing in at least `minDocs` distinct documents — the
+    * set a downstream removal pass broadcasts.
+    *
+    * Scale design: the gram explode is a narrow codegen map
+    * (`sequence`+`transform`+`slice` over the split array — no UDF);
+    * the ONLY shuffle is the gram aggregation, partial map-side combine
+    * first. With `hashed=true` (production default) the shuffle key is
+    * `xxhash64(gram)` — 8 bytes instead of n-gram strings — and the
+    * gram string rides as a `min` payload (merging two grams needs a
+    * 64-bit collision, ~1e-13 at any realistic vocabulary);
+    * `hashed=false` groups raw strings so a SQL oracle reproduces the
+    * aggregation — the spec proves both identical. Output is the tiny
+    * frequent tail, sized for a broadcast in removal joins. */
+  def frequentNgrams(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, minDocs: Int,
+                     hashed: Boolean = true): DataFrame = {
+    require(n > 0, s"frequentNgrams: n must be positive, got $n")
+    require(minDocs > 0, s"frequentNgrams: minDocs must be positive, got $minDocs")
+    val toks = split(col(textCol), " ")
+    val grams = docs
+      .filter(col(textCol).isNotNull && size(toks) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))).as("gram"))
+    val key = if (hashed) xxhash64(col("gram")) else col("gram")
+    grams.groupBy(key.as("k"))
+      .agg(min(col("gram")).as("gram"),
+        count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_uses"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gram", "n_docs", "n_uses")
+  }
+
+  /** Cross-conversation boilerplate-turn scrub — the removal step over
+    * canned templates. A turn's digit-normalized text (the CCNet
+    * number-normalization trick: ids, counters, and amounts collapse to
+    * `0`, so `user=17 …cents=420` and `user=3 …cents=7` share one
+    * template) that recurs in at least `minConvPermille`/1000 of ALL
+    * conversations is boilerplate (canned status lines, templated tool
+    * echoes) and is dropped from the training corpus. Returns the
+    * per-conversation `(conv, n_kept, n_dropped)` audit the curation
+    * report joins. The threshold compares exact integers
+    * (`n_convs_with_template * 1000 >= minConvPermille * n_convs`) so
+    * the cut is bit-stable across engines — a double `ceil(frac * n)`
+    * can land on either side of the integer for the same inputs
+    * depending on the engine's literal type.
+    *
+    * Scale design: template detection is ONE aggregation whose shuffle
+    * key is `xxhash64(role, template)` when `hashed=true` (8-byte rows;
+    * turn bodies never shuffle — `hashed=false` keys the raw strings
+    * for SQL-oracle parity, spec-proven identical); the corpus
+    * conversation count is a LAZY one-row broadcast (the d25 idiom — no
+    * driver-side action); the boilerplate set itself is tiny (templates,
+    * not turns) → broadcast left join back onto the corpus, which
+    * therefore never reshuffles. */
+  def boilerplateScrub(turns: DataFrame, convCol: String, roleCol: String,
+                       textCol: String, minConvPermille: Int = 900,
+                       hashed: Boolean = true): DataFrame = {
+    require(minConvPermille > 0 && minConvPermille <= 1000,
+      s"boilerplateScrub: minConvPermille in (0, 1000], got $minConvPermille")
+    val tmpl = regexp_replace(col(textCol), "[0-9]+", "0")
+    // null-preserving key (the repeatedLineFraction discipline): a null
+    // turn must never match a boilerplate template in either path
+    val key =
+      if (hashed) when(col("tmpl").isNotNull,
+        xxhash64(col(roleCol), col("tmpl")))
+      else when(col("tmpl").isNotNull,
+        concat(col(roleCol), lit("\u0000"), col("tmpl")))
+    val tt = turns.select(col(convCol), col(roleCol), tmpl.as("tmpl"))
+      .withColumn("k", key)
+    val nConvs = turns.select(col(convCol)).distinct()
+      .agg(count(lit(1)).as("_n_convs"))
+    val boiler = tt.groupBy(col("k"))
+      .agg(count_distinct(col(convCol)).as("nc"))
+      .crossJoin(broadcast(nConvs))
+      .filter(col("nc") * 1000 >= lit(minConvPermille) * col("_n_convs"))
+      .select(col("k"), lit(1).as("_boiler"))
+    tt.join(broadcast(boiler), Seq("k"), "left")
+      .groupBy(col(convCol))
+      .agg(sum(when(col("_boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_boiler").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   // ---- token counting ----
 
   /** Whitespace token count. */

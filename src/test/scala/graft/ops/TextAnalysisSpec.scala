@@ -327,4 +327,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(full(3L) == ((-100000L + 800 * 500, true)))
     assert(full.size == 3) // null text dropped
   }
+
+  test("frequentNgrams: hand-counted bigrams, minDocs cut, short-doc drop") {
+    val docs = Seq(
+      (1L, "click here to buy now"),
+      (2L, "click here for more"),
+      (3L, "click here to win"),
+      (4L, "unrelated text entirely"),
+      (5L, "to"),                      // 1 token: no bigram
+      (6L, null.asInstanceOf[String])  // dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.frequentNgrams(docs, "doc_id", "text",
+      n = 2, minDocs = 2)
+      .as[(String, Long, Long)].collect().toSet
+    // "click here" in docs 1,2,3; "here to" in docs 1,3; everything
+    // else appears in one doc only
+    assert(got == Set(("click here", 3L, 3L), ("here to", 2L, 2L)), s"got $got")
+  }
+
+  test("frequentNgrams: hashed production path ≡ string oracle path") {
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector.tabulate(12)(i => s"w$i")
+    val docs = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(h: Boolean) =
+      TextAnalysis.frequentNgrams(docs, "doc_id", "text", n = 3,
+        minDocs = 2, hashed = h)
+        .as[(String, Long, Long)].collect().toSet
+    val hashed = run(true)
+    assert(hashed.nonEmpty && hashed == run(false))
+  }
+
+  test("boilerplateScrub: templates above the permille cut drop, rare ones stay") {
+    // template "ok id=0" is in 3/3 convs (≥ 667‰); "rare id=0" in 1/3
+    val turns = Seq(
+      ("A", "user", "ok id=1"), ("A", "user", "rare id=7"),
+      ("B", "user", "ok id=2"), ("B", "user", "ok id=3"),
+      ("C", "user", "ok id=9"), ("C", "tool", "ok id=9"), // role differs → distinct template
+      ("C", "user", null.asInstanceOf[String])            // null never matches
+    ).toDF("conv_id", "role", "text")
+    val got = TextAnalysis.boilerplateScrub(turns, "conv_id", "role",
+      "text", minConvPermille = 667)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("A", 1L, 1L), ("B", 0L, 2L), ("C", 2L, 1L)), s"got $got")
+  }
+
+  test("boilerplateScrub: hashed production path ≡ string oracle path") {
+    val rnd = new scala.util.Random(17)
+    val turns = Seq.tabulate(300) { i =>
+      (s"conv-${i % 25}", if (i % 3 == 0) "assistant" else "user",
+        s"tmpl-${rnd.nextInt(6)} id=$i n=${rnd.nextInt(1000)}")
+    }.toDF("conv_id", "role", "text")
+    def run(h: Boolean) =
+      TextAnalysis.boilerplateScrub(turns, "conv_id", "role", "text",
+        minConvPermille = 800, hashed = h)
+        .as[(String, Long, Long)].collect().toSet
+    val hashed = run(true)
+    assert(hashed.size == 25 && hashed == run(false))
+  }
 }
