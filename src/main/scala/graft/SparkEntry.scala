@@ -1392,7 +1392,19 @@ object SparkEntry {
       // threshold (nc*1000 >= 900*n_convs) keeps the cut bit-stable
       // across engines; hashed=true shuffles 8-byte (role, template)
       // keys — TextAnalysisSpec proves hashed ≡ string
-      TextAnalysis.boilerplateScrub(t(s, dir), "conv_id", "role", "text"))
+      TextAnalysis.boilerplateScrub(t(s, dir), "conv_id", "role", "text")),
+
+    "p64_role_alternation" -> ((s, dir) =>
+      // chat-format structural hygiene: adjacent same-role repeats +
+      // opener legality, per conversation — the quarantine predicate an
+      // SFT ingest filters on before rendering
+      SftRender.roleAlternationAudit(t(s, dir))),
+
+    "p65_context_truncate" -> ((s, dir) =>
+      // longest-suffix-within-token-budget truncation audit (256
+      // whitespace tokens): recent turns survive, oldest spill — the
+      // chat-history cut a packing stage budgets from
+      SftRender.contextTruncate(t(s, dir), maxTokens = 256L))
   )
 
   /** Fixed corpus for the d08 golden-signature oracle. */
@@ -3319,6 +3331,40 @@ object SparkEntry {
           |  FROM transcripts)""".stripMargin,
         """b AS (SELECT role, tmpl FROM tt GROUP BY role, tmpl
           |  HAVING count(DISTINCT conv_id) * 1000 >=
-          |    900 * (SELECT count(DISTINCT conv_id) FROM tt))""".stripMargin))
+          |    900 * (SELECT count(DISTINCT conv_id) FROM tt))""".stripMargin)),
+
+    "p64_role_alternation" -> withT(
+      """SELECT conv_id, count(*) AS n_turns,
+        |  CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_repeat_role,
+        |  max(CASE WHEN turn_idx = 0 THEN role END) AS first_role,
+        |  CASE WHEN sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0
+        |    AND max(CASE WHEN turn_idx = 0 THEN role END)
+        |      IN ('user', 'system')
+        |  THEN 1 ELSE 0 END AS valid
+        |FROM x GROUP BY conv_id""".stripMargin,
+      extra = Seq(
+        """x AS (SELECT conv_id, turn_idx, role,
+          |  lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+          |    AS prev_role
+          |  FROM transcripts)""".stripMargin)),
+
+    "p65_context_truncate" -> withT(
+      """SELECT conv_id, count(*) AS n_turns_total,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN sfx <= 256 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_turns_kept,
+        |  CAST(sum(CASE WHEN sfx <= 256 THEN toks ELSE 0 END)
+        |    AS BIGINT) AS tokens_kept,
+        |  CASE WHEN sum(CASE WHEN sfx <= 256 THEN 1 ELSE 0 END) < count(*)
+        |  THEN 1 ELSE 0 END AS truncated
+        |FROM x GROUP BY conv_id""".stripMargin,
+      extra = Seq(
+        """x AS (SELECT conv_id,
+          |  len(regexp_split_to_array(text, '\s+')) AS toks,
+          |  sum(len(regexp_split_to_array(text, '\s+'))) OVER (
+          |    PARTITION BY conv_id ORDER BY turn_idx DESC
+          |    ROWS UNBOUNDED PRECEDING) AS sfx
+          |  FROM transcripts)""".stripMargin))
   )
 }

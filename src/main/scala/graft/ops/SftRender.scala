@@ -146,4 +146,69 @@ object SftRender {
       .select(col("conv_id"), col("turn_idx"), col("start_off"),
         (col("start_off") + col("turn_len")).cast("bigint").as("end_off"))
   }
+
+  /** Role-alternation hygiene audit — the structural validation an SFT
+    * ingest runs before rendering: chat-format trainers require a
+    * conversation to OPEN with a `user` or `system` turn and to never
+    * repeat a role on adjacent turns (two assistant turns in a row means
+    * a lost user message; two user turns means a dropped response).
+    * Returns one row per conversation: turn count, count of adjacent
+    * same-role repeats, the opening role, and `valid` (1 iff zero
+    * repeats and a legal opener) — the predicate the pipeline filters
+    * or quarantines on.
+    *
+    * Scale: one lag window per conversation (high-cardinality
+    * (conv_id, turn_idx) partition — the Stateful.scala pattern; no
+    * global sort) feeding one hash aggregation keyed by conv_id. The
+    * opener is `max(role where turn_idx = 0)` rather than a min_by —
+    * turn_idx is dense from 0 by construction, and the conditional max
+    * stays inside partial aggregation. */
+  def roleAlternationAudit(t: DataFrame,
+                           validOpeners: Seq[String] = Seq("user", "system")): DataFrame = {
+    require(validOpeners.nonEmpty, "roleAlternationAudit: validOpeners must be non-empty")
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    t.select(col("conv_id"), col("turn_idx"), col("role"),
+        lag(col("role"), 1).over(w).as("prev_role"))
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === col("prev_role"), 1L).otherwise(0L))
+          .as("n_repeat_role"),
+        max(when(col("turn_idx") === 0, col("role"))).as("first_role"))
+      .select(col("conv_id"), col("n_turns"), col("n_repeat_role"),
+        col("first_role"),
+        when(col("n_repeat_role") === 0 &&
+          col("first_role").isin(validOpeners.map(lit): _*), 1)
+          .otherwise(0).as("valid"))
+  }
+
+  /** Context-window truncation audit — keep the LONGEST SUFFIX of each
+    * conversation that fits a token budget (the standard chat-history
+    * truncation: recent turns survive, the oldest spill). A turn is kept
+    * iff the running token total from the conversation's END back to and
+    * including that turn is ≤ `maxTokens`; the suffix sum is monotone
+    * walking backwards, so the greedy cut is exact per-turn. Returns the
+    * per-conversation audit (total/kept turn and token counts, truncated
+    * flag) a packing stage budgets from. Tokens = whitespace tokens (the
+    * d02/p62 proxy; swap the column expression for a real tokenizer
+    * count at integration).
+    *
+    * Scale: one running window per conversation ordered by turn_idx
+    * DESC (high-cardinality partition, explicit ROWS frame) feeding one
+    * hash aggregation keyed by conv_id — no join, no global sort. */
+  def contextTruncate(t: DataFrame, maxTokens: Long = 256L): DataFrame = {
+    require(maxTokens > 0, s"contextTruncate: maxTokens must be positive, got $maxTokens")
+    val toks = size(split(col("text"), "\\s+")).cast("bigint")
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.select(col("conv_id"), col("turn_idx"), toks.as("toks"))
+      .withColumn("sfx", sum(col("toks")).over(w))
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns_total"),
+        sum(col("toks")).as("total_tokens"),
+        sum(when(col("sfx") <= maxTokens, 1L).otherwise(0L)).as("n_turns_kept"),
+        sum(when(col("sfx") <= maxTokens, col("toks")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("truncated",
+        when(col("n_turns_kept") < col("n_turns_total"), 1).otherwise(0))
+  }
 }

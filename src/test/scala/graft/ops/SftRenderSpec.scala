@@ -112,4 +112,42 @@ class SftRenderSpec extends SparkSpec {
     val r = SftRender.renderChat(tiny).collect()
     assert(r.head.getString(1) === "<|user|>\n<|tool|>x")
   }
+
+  test("roleAlternationAudit: repeats, opener legality, valid flag") {
+    val t = Seq(
+      // v1: user → assistant → user — clean
+      ("v1", 0, "user", "a"), ("v1", 1, "assistant", "b"), ("v1", 2, "user", "c"),
+      // v2: system opener, one adjacent assistant repeat
+      ("v2", 0, "system", "s"), ("v2", 1, "assistant", "x"),
+      ("v2", 2, "assistant", "y"),
+      // v3: opens with assistant — illegal opener, no repeats
+      ("v3", 0, "assistant", "x"), ("v3", 1, "user", "u")
+    ).toDF("conv_id", "turn_idx", "role", "text").repartition(3)
+    val out = SftRender.roleAlternationAudit(t).orderBy("conv_id").collect()
+    assert(out(0) === Row("v1", 3L, 0L, "user", 1))
+    assert(out(1) === Row("v2", 3L, 1L, "system", 0))
+    assert(out(2) === Row("v3", 2L, 0L, "assistant", 0))
+  }
+
+  test("contextTruncate: greedy suffix within token budget") {
+    // tokens per turn: t0=3, t1=2, t2=4, t3=1. Budget 5: suffix sums
+    // from the end are t3=1, t2=5, t1=7 → keep t2,t3 (2 turns, 5 toks)
+    val t = Seq(
+      ("k1", 0, "user", "a b c"), ("k1", 1, "assistant", "d e"),
+      ("k1", 2, "user", "f g h i"), ("k1", 3, "assistant", "j"),
+      // k2 fits whole: 1+1=2 ≤ 5 → untruncated
+      ("k2", 0, "user", "x"), ("k2", 1, "assistant", "y")
+    ).toDF("conv_id", "turn_idx", "role", "text").repartition(2)
+    val out = SftRender.contextTruncate(t, maxTokens = 5L)
+      .orderBy("conv_id").collect()
+    assert(out(0) === Row("k1", 4L, 10L, 2L, 5L, 1))
+    assert(out(1) === Row("k2", 2L, 2L, 2L, 2L, 0))
+  }
+
+  test("contextTruncate: a single over-budget final turn keeps nothing") {
+    val t = Seq(("z1", 0, "user", "one two three four five six"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = SftRender.contextTruncate(t, maxTokens = 3L).collect()
+    assert(out.toSeq === Seq(Row("z1", 1L, 6L, 0L, 0L, 1)))
+  }
 }
