@@ -45,9 +45,13 @@ object Bench {
   // d11 rides on the d07 LSH pair list, which is quadratic on the
   // pathologically self-similar synthetic corpus at sf≥0.1 (same reason
   // d07 itself is skipped; the 10× scale point measures the LSH path)
+  // p67 is the d07 LSH over digit-NORMALIZED conversation renders —
+  // normalization is what makes the corpus self-similar, so its buckets
+  // blow up at sf0.1 the same way (measured ~20 s at 32 cores; its
+  // sf0.1 Spark-side timing is recorded in BENCH.md instead)
   private val HeavyAtScale = Set("d05_jaccard_pairs_brute", "d07_minhash_lsh_neardups",
     "e04_embedding_neardup", "d11_dedup_groups", "d27_dedup_groups_star",
-    "e05_knn_join", "d35_source_dup_matrix")
+    "e05_knn_join", "d35_source_dup_matrix", "p67_conv_neardup_minhash")
 
   private def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()

@@ -1404,7 +1404,32 @@ object SparkEntry {
       // longest-suffix-within-token-budget truncation audit (256
       // whitespace tokens): recent turns survive, oldest spill — the
       // chat-history cut a packing stage budgets from
-      SftRender.contextTruncate(t(s, dir), maxTokens = 256L))
+      SftRender.contextTruncate(t(s, dir), maxTokens = 256L)),
+
+    "p66_conv_prefix_dedup" -> ((s, dir) =>
+      // prompt-seeded duplicate groups: conversations sharing their
+      // digit-normalized first-2-turn rendering; survivor = min conv_id.
+      // hashed=true shuffles 8-byte prefix keys — spec proves ≡ string
+      SftRender.prefixDedupGroups(t(s, dir), k = 2)),
+
+    "p67_conv_neardup_minhash" -> ((s, dir) =>
+      // near-dup CONVERSATIONS: digit-normalize each turn (d12/p63
+      // normalization — raw renders top out at jaccard 0.17 because ids
+      // differ; normalized, real template-dup clusters emerge), render
+      // per conversation (renderChat discipline), then the d07 banded
+      // MinHash-LSH with unigram shingles at 0.85. Same recall pin as
+      // d07: at j=0.85 a pair misses all 16 bands w.p. (1-0.85^4)^16 ≈
+      // 7e-6, so LSH ≡ the oracle's brute pair set on this corpus —
+      // verified both ways at sf0.01
+      Dedup.nearDupMinhashLsh(
+        SftRender.renderChat(
+          t(s, dir).withColumn("text",
+            regexp_replace(col("text"), "[0-9]+", "0")))
+          .select(col("conv_id"), col("rendered")),
+        "conv_id", "rendered",
+        numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.85)
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * 10000).cast("bigint").as("jaccard_e4")))
   )
 
   /** Fixed corpus for the d08 golden-signature oracle. */
@@ -3365,6 +3390,38 @@ object SparkEntry {
           |  sum(len(regexp_split_to_array(text, '\s+'))) OVER (
           |    PARTITION BY conv_id ORDER BY turn_idx DESC
           |    ROWS UNBOUNDED PRECEDING) AS sfx
-          |  FROM transcripts)""".stripMargin))
+          |  FROM transcripts)""".stripMargin)),
+
+    "p66_conv_prefix_dedup" -> withT(
+      """SELECT prefix, count(*) AS n_convs, min(conv_id) AS survivor
+        |FROM p GROUP BY prefix HAVING count(*) >= 2""".stripMargin,
+      extra = Seq(
+        """p AS (SELECT conv_id,
+          |  string_agg('<|' || role || '|>'
+          |      || regexp_replace(text, '[0-9]+', '0', 'g'),
+          |    chr(10) ORDER BY turn_idx) AS prefix
+          |  FROM transcripts WHERE turn_idx < 2 GROUP BY conv_id)""".stripMargin)),
+
+    // brute pair set over the normalized renders — quadratic by design
+    // (150 convs at sf0.01); the Spark side is the banded LSH, same
+    // recall pin as d07 (miss prob ≈ 7e-6/pair at the 0.85 threshold)
+    "p67_conv_neardup_minhash" -> withT(
+      """SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+        |  CAST(floor(10000 * (len(list_intersect(a.s, b.s)) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))))
+        |    AS BIGINT) AS jaccard_e4
+        |FROM sh a, sh b
+        |WHERE a.conv_id < b.conv_id
+        |  AND len(list_intersect(a.s, b.s)) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |      >= 0.85""".stripMargin,
+      extra = Seq(
+        """r AS (SELECT conv_id,
+          |  string_agg('<|' || role || '|>'
+          |      || regexp_replace(text, '[0-9]+', '0', 'g'),
+          |    chr(10) ORDER BY turn_idx) AS rendered
+          |  FROM transcripts GROUP BY conv_id)""".stripMargin,
+        """sh AS (SELECT conv_id,
+          |  list_distinct(string_split(rendered, ' ')) AS s FROM r)""".stripMargin))
   )
 }

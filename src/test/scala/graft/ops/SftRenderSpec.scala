@@ -144,6 +144,23 @@ class SftRenderSpec extends SparkSpec {
     assert(out(1) === Row("k2", 2L, 2L, 2L, 2L, 0))
   }
 
+  test("prefixDedupGroups: digit-normalized k-turn prefixes, survivor = min conv") {
+    val t = Seq(
+      // g1 and g2 share the same seed prompt after digit normalization
+      ("g2", 0, "user", "run job 17"), ("g2", 1, "assistant", "ok id=17"),
+      ("g1", 0, "user", "run job 3"), ("g1", 1, "assistant", "ok id=3"),
+      ("g1", 2, "user", "diverges here"),
+      // g3: different prefix → singleton, dropped
+      ("g3", 0, "user", "hello"), ("g3", 1, "assistant", "hi")
+    ).toDF("conv_id", "turn_idx", "role", "text").repartition(3)
+    val out = SftRender.prefixDedupGroups(t, k = 2).collect()
+    assert(out.toSeq === Seq(
+      Row("<|user|>run job 0\n<|assistant|>ok id=0", 2L, "g1")))
+    // hashed ≡ string grouping
+    val s = SftRender.prefixDedupGroups(t, k = 2, hashed = false)
+    assert(out.toSeq === s.collect().toSeq)
+  }
+
   test("contextTruncate: a single over-budget final turn keeps nothing") {
     val t = Seq(("z1", 0, "user", "one two three four five six"))
       .toDF("conv_id", "turn_idx", "role", "text")
