@@ -1394,6 +1394,13 @@ object SparkEntry {
       // keys — TextAnalysisSpec proves hashed ≡ string
       TextAnalysis.boilerplateScrub(t(s, dir), "conv_id", "role", "text")),
 
+    "d44_bpe_merge_candidates" -> ((s, dir) =>
+      // one BPE training iteration: top-20 adjacent symbol pairs inside
+      // whitespace words, occurrence-weighted; ties broken by pair asc
+      // so the cut is engine-independent. Pair explode is a narrow
+      // codegen map; the only shuffle is the alphabet²-bounded pair agg
+      TextAnalysis.bpeMergeCandidates(documents(s, dir), "text", topK = 20)),
+
     "p64_role_alternation" -> ((s, dir) =>
       // chat-format structural hygiene: adjacent same-role repeats +
       // opener legality, per conversation — the quarantine predicate an
@@ -3357,6 +3364,16 @@ object SparkEntry {
         """b AS (SELECT role, tmpl FROM tt GROUP BY role, tmpl
           |  HAVING count(DISTINCT conv_id) * 1000 >=
           |    900 * (SELECT count(DISTINCT conv_id) FROM tt))""".stripMargin)),
+
+    "d44_bpe_merge_candidates" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT substring(word, CAST(t.i AS INT), 2) AS pair
+        |  FROM w, unnest(generate_series(1, length(word) - 1)) AS t(i)
+        |  WHERE length(word) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM p GROUP BY pair
+        |ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin,
 
     "p64_role_alternation" -> withT(
       """SELECT conv_id, count(*) AS n_turns,

@@ -598,6 +598,43 @@ object TextAnalysis {
     aggregate(split(text, ""), lit(0L),
       (acc, ch) => pmod(acc * 31 + ascii(ch), lit(2147483647L)))
 
+  // ---- tokenizer induction (BPE merge statistics) ----
+
+  /** One BPE training iteration over the corpus (Sennrich et al. 2016
+    * §3.2): count adjacent symbol pairs inside whitespace words —
+    * occurrence-weighted, which equals the classic word-frequency
+    * weighting — and return the top `topK` merge candidates. The
+    * highest-count pair IS the first merge a BPE tokenizer learns;
+    * re-running after applying a merge yields the next, so this
+    * operator is the inner loop of corpus-specific tokenizer training
+    * (the loop itself is a driver-side iteration over a top-1 result,
+    * like IVF's Lloyd rounds). The cut is deterministic: ties broken by
+    * pair ascending, so the top-K set is engine-independent.
+    *
+    * Scale: the pair explode is a narrow codegen map (`sequence` +
+    * `transform` + 2-char `substr` — adjacent pair = 2-char substring,
+    * no array-of-chars materialization); the ONLY shuffle is the pair
+    * aggregation, whose key space is bounded by the symbol alphabet
+    * squared (map-side partials collapse hard), followed by a global
+    * top-K on that tiny aggregate (TakeOrderedAndProject, no sort of
+    * the corpus). */
+  def bpeMergeCandidates(docs: DataFrame, textCol: String,
+                         topK: Int = 20): DataFrame = {
+    require(topK > 0, s"bpeMergeCandidates: topK must be positive, got $topK")
+    val word = col("word")
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(word) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(word) - 1),
+        i => word.substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Per-document fingerprint + analysis frame. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

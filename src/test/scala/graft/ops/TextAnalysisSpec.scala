@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -371,6 +372,26 @@ class TextAnalysisSpec extends SparkSpec {
       "text", minConvPermille = 667)
       .as[(String, Long, Long)].collect().toSet
     assert(got == Set(("A", 1L, 1L), ("B", 0L, 2L), ("C", 2L, 1L)), s"got $got")
+  }
+
+  test("bpeMergeCandidates: hand-counted pair frequencies, tie by pair asc") {
+    // corpus words: low low low lower newest newest
+    // pairs: lo×4, ow×4, we×3 (1 in lower + 2 in newest), er×1, ne×2,
+    //        ew×2, es×2, st×2
+    val docs = Seq((1L, "low low low"), (2L, "lower newest newest"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeCandidates(docs, "text", topK = 4).collect()
+    // top-4: counts (4,4,3,2…) — rank-4 tie among {es,ew,ne,st} at 2
+    // breaks to "es" (pair asc)
+    assert(out.toSeq === Seq(Row("lo", 4L), Row("ow", 4L),
+      Row("we", 3L), Row("es", 2L)))
+  }
+
+  test("bpeMergeCandidates: single-char words contribute nothing; null text skipped") {
+    val docs = Seq((1L, "a b c ab"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeCandidates(docs, "text", topK = 10).collect()
+    assert(out.toSeq === Seq(Row("ab", 1L)))
   }
 
   test("boilerplateScrub: hashed production path ≡ string oracle path") {
