@@ -1325,6 +1325,23 @@ object SparkEntry {
         "vec_id", k = 10)
     }),
 
+    "e19_ann_pq_rerank" -> ((s, dir) => {
+      // production two-stage retrieval (the standard FAISS deployment):
+      // PQ ADT shortlist at k'=50 (8 integer lookups/row, no float
+      // math) → exact integer-quantized L2 re-rank of JUST the
+      // shortlist → top-10. Recovers the recall the 16-centroid
+      // codebook loses (e11 prices it) while reading full vectors for
+      // only k' rows — at 100 TB the full-vector scan shrinks 10^5×.
+      // The 50-row shortlist broadcasts back onto the corpus scan.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val codebook = Similarity.pqCodebook(pqSeeds(emb), m = 8)
+      val q = embeddingQuery(s, dir)
+      val shortlist = Similarity.pqTopK(emb, "vec_id", "embedding",
+        q, codebook, k = 50).select("vec_id")
+      Similarity.l2TopK(emb.join(broadcast(shortlist), "vec_id"),
+        "vec_id", "embedding", q, m = 8, k = 10)
+    }),
+
     "d38_preference_pairs" -> ((s, dir) =>
       // DPO pair construction: prompts (user turns) with ≥2 distinct
       // adjacent assistant responses → (prompt, chosen, rejected), the
@@ -1424,17 +1441,19 @@ object SparkEntry {
       // normalization — raw renders top out at jaccard 0.17 because ids
       // differ; normalized, real template-dup clusters emerge), render
       // per conversation (renderChat discipline), then the d07 banded
-      // MinHash-LSH with unigram shingles at 0.85. Same recall pin as
-      // d07: at j=0.85 a pair misses all 16 bands w.p. (1-0.85^4)^16 ≈
-      // 7e-6, so LSH ≡ the oracle's brute pair set on this corpus —
-      // verified both ways at sf0.01
+      // MinHash-LSH with unigram shingles at 0.80. Tighter recall pin
+      // than d07: 32 bands × 2 rows ⇒ a j=0.80 pair misses all bands
+      // w.p. (1-0.8²)^32 ≈ 7e-15, so LSH ≡ the oracle's brute pair set
+      // on any corpus — verified both ways at sf0.01 and sf0.001 (the
+      // wider bands trade more false candidates in the verify join,
+      // fine at conversation cardinality; p67 is HeavyAtScale anyway)
       Dedup.nearDupMinhashLsh(
         SftRender.renderChat(
           t(s, dir).withColumn("text",
             regexp_replace(col("text"), "[0-9]+", "0")))
           .select(col("conv_id"), col("rendered")),
         "conv_id", "rendered",
-        numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.85)
+        numHashes = 64, bands = 32, shingleSize = 1, threshold = 0.80)
         .select(col("id_a"), col("id_b"),
           floor(col("jaccard") * 10000).cast("bigint").as("jaccard_e4")))
   )
@@ -1503,7 +1522,11 @@ object SparkEntry {
        |ORDER BY dist_e6 ASC, e.vec_id ASC LIMIT 10""".stripMargin
   }
 
-  private def e10PqSql: String = {
+  private def e10PqSql: String = e10PqSqlK(10)
+
+  /** e10's oracle with a parameterized cut — `k=10` IS e10; `k=50` is
+    * the shortlist stage of e19's two-stage retrieval. */
+  private def e10PqSqlK(k: Int): String = {
     val m = 8
     def l2(j: Int, a: String, b: String): String = pqL2Term(j, a, b)
     val dtabArms = (0 until m).map(j =>
@@ -1528,7 +1551,7 @@ object SparkEntry {
        |adt AS (SELECT codes.vec_id, CAST(SUM(dtab.d_e6) AS BIGINT) AS adt_e6
        |        FROM codes JOIN dtab ON codes.j = dtab.j AND codes.c = dtab.c
        |        GROUP BY codes.vec_id)
-       |SELECT vec_id, adt_e6 FROM adt ORDER BY adt_e6 ASC, vec_id ASC LIMIT 10""".stripMargin
+       |SELECT vec_id, adt_e6 FROM adt ORDER BY adt_e6 ASC, vec_id ASC LIMIT $k""".stripMargin
   }
 
   /** e12's oracle, generated: e03's centroid pick assigned by the SAME
@@ -3208,6 +3231,19 @@ object SparkEntry {
          |FROM (SELECT DISTINCT vec_id FROM mrlres) m
          |JOIN (SELECT DISTINCT vec_id FROM brute) b USING (vec_id)""".stripMargin,
 
+    // two-stage retrieval: e10's PQ oracle cut at k'=50 feeds an exact
+    // integer-quantized L2 re-rank (e11's metric) over just those rows
+    "e19_ann_pq_rerank" -> {
+      val dist = (0 until 8).map(j => pqL2Term(j, "e.ev", "q.qv")).mkString(" + ")
+      s"""WITH sl AS (${e10PqSqlK(50)}),
+         |rq AS (SELECT embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE vec_id = 0),
+         |re AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+         |SELECT e.vec_id, ($dist) AS dist_e6
+         |FROM re e JOIN sl USING (vec_id) CROSS JOIN rq q
+         |ORDER BY dist_e6 ASC, e.vec_id ASC LIMIT 10""".stripMargin
+    },
+
     // chosen = longest response (ties: smallest text/conv/idx), rejected
     // = shortest (ties: largest) — rendered as two row_number windows
     // over the same total order the Spark min/max struct aggregates use
@@ -3420,8 +3456,8 @@ object SparkEntry {
           |  FROM transcripts WHERE turn_idx < 2 GROUP BY conv_id)""".stripMargin)),
 
     // brute pair set over the normalized renders — quadratic by design
-    // (150 convs at sf0.01); the Spark side is the banded LSH, same
-    // recall pin as d07 (miss prob ≈ 7e-6/pair at the 0.85 threshold)
+    // (150 convs at sf0.01); the Spark side is the banded LSH with a
+    // 7e-15/pair recall pin (32 bands × 2 rows at the 0.80 threshold)
     "p67_conv_neardup_minhash" -> withT(
       """SELECT a.conv_id AS id_a, b.conv_id AS id_b,
         |  CAST(floor(10000 * (len(list_intersect(a.s, b.s)) /
@@ -3431,7 +3467,7 @@ object SparkEntry {
         |WHERE a.conv_id < b.conv_id
         |  AND len(list_intersect(a.s, b.s)) /
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-        |      >= 0.85""".stripMargin,
+        |      >= 0.80""".stripMargin,
       extra = Seq(
         """r AS (SELECT conv_id,
           |  string_agg('<|' || role || '|>'
