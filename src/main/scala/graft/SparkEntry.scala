@@ -1342,6 +1342,40 @@ object SparkEntry {
         "vec_id", "embedding", q, m = 8, k = 10)
     }),
 
+    "e20_ann_recall_rerank" -> ((s, dir) => {
+      // recall@10 of the two-stage PQ→exact path (e19) vs the e11
+      // exact-L2 ground truth — the recall-RECOVERY point on the trade
+      // curve: the re-rank is exact, so any true neighbour the 50-row
+      // PQ shortlist catches necessarily lands in the final top-10
+      // (its exact rank within the shortlist ≤ its global rank ≤ 10);
+      // this therefore reads the shortlist's recall and is ≥ e11's
+      // raw-PQ@10 by construction. e11 prices the codebook, e20 prices
+      // the deployment shape that compensates for it.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val codebook = Similarity.pqCodebook(pqSeeds(emb), m = 8)
+      val q = embeddingQuery(s, dir)
+      val shortlist = Similarity.pqTopK(emb, "vec_id", "embedding",
+        q, codebook, k = 50).select("vec_id")
+      Similarity.recallAtK(
+        Similarity.l2TopK(emb.join(broadcast(shortlist), "vec_id"),
+          "vec_id", "embedding", q, m = 8, k = 10),
+        Similarity.l2TopK(emb, "vec_id", "embedding", q, m = 8, k = 10),
+        "vec_id", k = 10)
+    }),
+
+    "e21_kmeans_step" -> ((s, dir) => {
+      // one Lloyd (k-means) iteration over the corpus with the
+      // e03/e12/e15 seeded coarse quantizer — the codebook TRAINING
+      // step run in-engine rather than assumed: assign (same cosine +
+      // tie-break as the index build), then per-cell per-dimension
+      // integer means. Components floor to e6 integers BEFORE the
+      // aggregate so the sums are exact and order-free (a float mean
+      // would expose partition-order summation); output is bounded by
+      // |cells|·dim = 1024 rows no matter the corpus size.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.kmeansStep(emb, "embedding", ivfCentroids(emb))
+    }),
+
     "d38_preference_pairs" -> ((s, dir) =>
       // DPO pair construction: prompts (user turns) with ≥2 distinct
       // adjacent assistant responses → (prompt, chosen, rejected), the
@@ -1523,6 +1557,20 @@ object SparkEntry {
   }
 
   private def e10PqSql: String = e10PqSqlK(10)
+
+  /** e19's oracle, generated: e10's PQ CTE cut at k'=50 feeding an exact
+    * integer-quantized L2 re-rank (e11's metric) over just those rows —
+    * shared with e20's recall point. */
+  private def e19RerankSql: String = {
+    val dist = (0 until 8).map(j => pqL2Term(j, "e.ev", "q.qv")).mkString(" + ")
+    s"""WITH sl AS (${e10PqSqlK(50)}),
+       |rq AS (SELECT embedding::DOUBLE[] AS qv
+       |       FROM embeddings WHERE vec_id = 0),
+       |re AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+       |SELECT e.vec_id, ($dist) AS dist_e6
+       |FROM re e JOIN sl USING (vec_id) CROSS JOIN rq q
+       |ORDER BY dist_e6 ASC, e.vec_id ASC LIMIT 10""".stripMargin
+  }
 
   /** e10's oracle with a parameterized cut — `k=10` IS e10; `k=50` is
     * the shortlist stage of e19's two-stage retrieval. */
@@ -2887,8 +2935,12 @@ object SparkEntry {
         |FROM pairs GROUP BY 1, 2""".stripMargin,
 
     // IVF cell stats: the e03/e13 cell-assignment CTE + integer aggs;
-    // avg is floor division on both sides (DuckDB // floors, the Spark
-    // side renders (s - pmod(s, n)) div n)
+    // avg is floor division rendered explicitly (subtract the math mod
+    // before `//`) — DuckDB's `//` TRUNCATES toward zero on negative
+    // sums (e21 measured it) while the Spark side floors via
+    // (s − pmod(s, n)) div n; cell sums are positive on this corpus
+    // (vectors sit near their own centroid) but a pathological cell
+    // would sum negative, and the oracle shouldn't be data-pinned
     "e15_ivf_cell_stats" ->
       """WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
         |                embedding::DOUBLE[] AS c
@@ -2911,7 +2963,8 @@ object SparkEntry {
         |      JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1
         |      JOIN cent ON a.cell = cent.cell)
         |SELECT CAST(cell AS INT) AS cell, count(*) AS n_vecs,
-        |  CAST(sum(cent_e6) // count(*) AS BIGINT) AS avg_cent_e6,
+        |  CAST((sum(cent_e6) - ((sum(cent_e6) % count(*)) + count(*)) % count(*))
+        |       // count(*) AS BIGINT) AS avg_cent_e6,
         |  min(cent_e6) AS min_cent_e6, max(cent_e6) AS max_cent_e6
         |FROM v GROUP BY cell""".stripMargin,
 
@@ -3233,16 +3286,52 @@ object SparkEntry {
 
     // two-stage retrieval: e10's PQ oracle cut at k'=50 feeds an exact
     // integer-quantized L2 re-rank (e11's metric) over just those rows
-    "e19_ann_pq_rerank" -> {
-      val dist = (0 until 8).map(j => pqL2Term(j, "e.ev", "q.qv")).mkString(" + ")
-      s"""WITH sl AS (${e10PqSqlK(50)}),
-         |rq AS (SELECT embedding::DOUBLE[] AS qv
-         |       FROM embeddings WHERE vec_id = 0),
-         |re AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
-         |SELECT e.vec_id, ($dist) AS dist_e6
-         |FROM re e JOIN sl USING (vec_id) CROSS JOIN rq q
-         |ORDER BY dist_e6 ASC, e.vec_id ASC LIMIT 10""".stripMargin
-    },
+    "e19_ann_pq_rerank" -> e19RerankSql,
+
+    // recall@10 of the two-stage path vs the e11 exact-L2 ground truth
+    // — the recall-recovery point on the trade curve (≥ e11's raw-PQ@10
+    // by construction: the re-rank is exact over the shortlist)
+    "e20_ann_recall_rerank" ->
+      s"""WITH gt AS ($e11L2Sql),
+         |rr AS ($e19RerankSql)
+         |SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_hits,
+         |  CAST(floor(count(*) * 10000 / greatest(1, least(10,
+         |    (SELECT count(DISTINCT vec_id) FROM gt)))) AS BIGINT) AS recall_e4
+         |FROM (SELECT DISTINCT vec_id FROM rr) p
+         |JOIN (SELECT DISTINCT vec_id FROM gt) b USING (vec_id)""".stripMargin,
+
+    // one Lloyd step: e03/e15's seeded assignment (same cosine + cell
+    // DESC tie-break), then per-(cell, dim) means over components
+    // floored to e6 integers. Mean renders the FLOOR division
+    // explicitly — subtract the mathematical mod ((s%n)+n)%n before
+    // dividing — because DuckDB's `//` truncates toward zero on
+    // negative sums (measured: -1653931/30 → -55131 floor vs -55130
+    // trunc) while the Spark side's (s − pmod(s,n)) div n floors;
+    // components go negative, so the sums do too
+    "e21_kmeans_step" ->
+      """WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |                embedding::DOUBLE[] AS c
+        |         FROM (SELECT vec_id, embedding FROM embeddings
+        |               WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT 16)),
+        |assign AS (SELECT vec_id, cell,
+        |             row_number() OVER (PARTITION BY vec_id
+        |                                ORDER BY sim DESC, cell DESC) AS rn
+        |           FROM (SELECT e.vec_id, cent.cell,
+        |                   list_dot_product(e.embedding::DOUBLE[], cent.c) /
+        |                     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |                      * sqrt(list_dot_product(cent.c, cent.c))) AS sim
+        |                 FROM embeddings e, cent)),
+        |x AS (SELECT a.cell, d.jj - 1 AS j,
+        |        CAST(floor(1000000 * (e.embedding::DOUBLE[])[CAST(d.jj AS INT)])
+        |             AS BIGINT) AS x_e6
+        |      FROM embeddings e
+        |      JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1,
+        |      unnest(generate_series(1, 64)) AS d(jj))
+        |SELECT CAST(cell AS INT) AS cell, CAST(j AS INT) AS j,
+        |  count(*) AS n_vecs,
+        |  CAST((sum(x_e6) - ((sum(x_e6) % count(*)) + count(*)) % count(*))
+        |       // count(*) AS BIGINT) AS mean_e6
+        |FROM x GROUP BY cell, j""".stripMargin,
 
     // chosen = longest response (ties: smallest text/conv/idx), rejected
     // = shortest (ties: largest) — rendered as two row_number windows

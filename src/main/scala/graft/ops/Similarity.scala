@@ -488,10 +488,10 @@ object Similarity {
     * avg centroid similarity flags a centroid that represents nothing.
     * Per-vector similarities floor to e6 integers; the avg is a FLOOR
     * integer division of their exact sum — rendered as
-    * `(s − pmod(s, n)) div n` so it matches SQL floor-division (`//`)
-    * even when a pathological cell sums negative (Spark's `div` alone
-    * truncates toward zero) — pure integer arithmetic after the floor,
-    * engine-reproducible bitwise.
+    * `(s − pmod(s, n)) div n` because both Spark's `div` and DuckDB's
+    * `//` truncate toward zero on a negative sum (a SQL mirror must
+    * subtract the mathematical mod the same way) — pure integer
+    * arithmetic after the floor, engine-reproducible bitwise.
     *
     * Scale: one narrow codegen assign+cosine pass over the corpus, then
     * a groupBy with codebook-sized output (map-side partials collapse
@@ -513,4 +513,38 @@ object Similarity {
         min("cent_e6").as("min_cent_e6"),
         max("cent_e6").as("max_cent_e6"))
   }
+
+  /** One Lloyd (k-means) iteration — the codebook-training step the IVF
+    * quantizer assumes has already happened: assign every vector to its
+    * nearest centroid ([[ivfAssign]], same cosine + tie-break as the
+    * index build), then recompute each cell's mean per dimension. Output
+    * = (cell, j, n_vecs, mean_e6): |cells|·dim rows, the updated
+    * codebook in exact integers.
+    *
+    * Arithmetic is engine-reproducible bitwise: each component floors to
+    * an e6 integer BEFORE the aggregate, so the per-cell sum is exact
+    * integer addition (order-free — a float mean would expose Spark's
+    * partition-order summation vs a sequential SQL engine); the mean is
+    * the same floor integer division idiom as [[ivfCellStats]]
+    * (`(s − pmod(s, n)) div n`, correct for negative sums — embedding
+    * components go negative, and bare `div`/`//` truncate toward zero).
+    *
+    * Scale: one narrow codegen assign pass, then posexplode (dim rows
+    * per vector — column-stable width, no data-dependent blowup) into a
+    * groupBy whose output is bounded by |cells|·dim regardless of corpus
+    * size; map-side partials collapse each partition to ≤ |cells|·dim
+    * rows before the shuffle. Iterating = re-calling with the returned
+    * means as `centroids`. */
+  def kmeansStep(df: DataFrame, vecCol: String,
+                 centroids: Seq[Array[Double]]): DataFrame =
+    ivfAssign(df, vecCol, centroids)
+      .select(col("cell"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "x")))
+      .select(col("cell"), col("j"),
+        floor(lit(1e6) * col("x")).cast("bigint").as("x_e6"))
+      .groupBy("cell", "j")
+      .agg(count(lit(1)).as("n_vecs"),
+        call_function("div",
+          sum("x_e6") - pmod(sum("x_e6"), count(lit(1))),
+          count(lit(1))).as("mean_e6"))
 }

@@ -441,4 +441,66 @@ class SimilaritySpec extends SparkSpec {
       (7L, 1L, 1000000L / 62),
       (6L, 1L, 1000000L / 63)), s"got $got")
   }
+
+  test("kmeansStep: hand case — per-cell per-dim integer means, floor div on negatives") {
+    val c0 = Array(1.0, 0.0); val c1 = Array(0.0, 1.0)
+    // cell 0: (1,0) and (0.8,-0.6) → dim0 e6 sum 1800000/2, dim1
+    // floor(1e6*-0.6) = -600000 → mean floor(-600000/2) = -300000;
+    // cell 1: (0,1) alone. -0.6 has no exact double, so floor() is the
+    // spec'd quantizer on BOTH sides — compute expectations the same way
+    val f = (x: Double) => math.floor(1e6 * x).toLong
+    val docs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.8, -0.6)), (3L, Array(0.0, 1.0))
+    ).toDF("vec_id", "vec")
+    val got = Similarity.kmeansStep(docs, "vec", Seq(c0, c1))
+      .as[(Int, Int, Long, Long)].collect().toSet
+    val want = Set(
+      (0, 0, 2L, Math.floorDiv(f(1.0) + f(0.8), 2L)),
+      (0, 1, 2L, Math.floorDiv(f(0.0) + f(-0.6), 2L)),
+      (1, 0, 1L, f(0.0)),
+      (1, 1, 1L, f(1.0)))
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("kmeansStep: output bounded by cells x dim; counts agree with ivfAssign") {
+    val centroids = vectors.filter(col("vec_id") % 30 === 0)
+      .select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray).toSeq
+    val step = Similarity.kmeansStep(vectors, "embedding", centroids).cache()
+    assert(step.count() <= centroids.size.toLong * dim)
+    // every present (cell, j) row carries that cell's full occupancy
+    val byCell = step.groupBy("cell").agg(
+      countDistinct("j").as("dims"), max("n_vecs").as("mx"),
+      min("n_vecs").as("mn")).as[(Int, Long, Long, Long)].collect()
+    assert(byCell.forall { case (_, dims, mx, mn) => dims == dim && mx == mn })
+    val assignCounts = Similarity.ivfAssign(vectors, "embedding", centroids)
+      .groupBy("cell").count().as[(Int, Long)].collect().toMap
+    val stepCounts = step.filter(col("j") === 0)
+      .select("cell", "n_vecs").as[(Int, Long)].collect().toMap
+    assert(stepCounts == assignCounts, s"$stepCounts vs $assignCounts")
+    step.unpersist()
+  }
+
+  test("two-stage re-rank recall (e20 shape) >= raw PQ@10 recall (e11 shape)") {
+    // the exactness argument the e20 query relies on, exercised on a
+    // corpus where PQ loss is visible: recall(two-stage) reads the
+    // 50-row shortlist's recall, which contains the raw top-10's
+    val seeds = vectors.filter(col("vec_id") % 7 === 1)
+      .orderBy("vec_id").limit(4)
+      .select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray).toSeq
+    val codebook = Similarity.pqCodebook(seeds, m = 4)
+    val gt = Similarity.l2TopK(vectors, "vec_id", "embedding", query, m = 4, k = 10)
+    def recall(approx: org.apache.spark.sql.DataFrame): Long =
+      Similarity.recallAtK(approx, gt, "vec_id", k = 10)
+        .select("recall_e4").as[Long].head()
+    val raw = recall(Similarity.pqTopK(vectors, "vec_id", "embedding",
+      query, codebook, k = 10))
+    val shortlist = Similarity.pqTopK(vectors, "vec_id", "embedding",
+      query, codebook, k = 50).select("vec_id")
+    val twoStage = recall(Similarity.l2TopK(
+      vectors.join(broadcast(shortlist), "vec_id"),
+      "vec_id", "embedding", query, m = 4, k = 10))
+    assert(twoStage >= raw, s"two-stage $twoStage < raw $raw")
+  }
 }
