@@ -829,8 +829,14 @@ object Bench {
             s""""d11_n_groups":$groupCount,""" +
             s""""d35_matrix_sec":${math.rint(d35Sec * 100) / 100},""" +
             s""""d35_matrix_rows":$matrixRows}"""
-          try Files.write(spCache, j.getBytes("UTF-8"))
-          catch { case _: Throwable => }
+          // cache only a COMPLETE phase: a partial result (d11/d35
+          // skipped or capped, -3/-4/-1 sentinels) must not overwrite a
+          // previously cached complete measurement — every later
+          // budget-starved run would then replay the degraded numbers
+          if (d11Sec >= 0 && d35Sec >= 0) {
+            try Files.write(spCache, j.getBytes("UTF-8"))
+            catch { case _: Throwable => }
+          }
           j
         }
       } catch { case t: Throwable =>

@@ -3326,7 +3326,8 @@ object SparkEntry {
         |             AS BIGINT) AS x_e6
         |      FROM embeddings e
         |      JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1,
-        |      unnest(generate_series(1, 64)) AS d(jj))
+        |      unnest(generate_series(1, 64)) AS d(jj)
+        |      WHERE e.embedding IS NOT NULL)
         |SELECT CAST(cell AS INT) AS cell, CAST(j AS INT) AS j,
         |  count(*) AS n_vecs,
         |  CAST((sum(x_e6) - ((sum(x_e6) % count(*)) + count(*)) % count(*))

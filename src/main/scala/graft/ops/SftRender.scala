@@ -181,6 +181,40 @@ object SftRender {
           .otherwise(0).as("valid"))
   }
 
+  /** Prompt-prefix dedup groups — exact dedup of conversations that share
+    * their first `k` turns (digit-normalized): the standard SFT hygiene
+    * pass for prompt-seeded corpora, where one seed prompt fans out into
+    * many generations and training must keep one (or downweight the
+    * group — the d41 epochs op consumes exactly this group shape).
+    * Digit normalization (the p63/d12 CCNet trick) collapses ids,
+    * counters, and amounts so `user=17` and `user=3` seeds collide.
+    * Emits one row per group with ≥2 conversations: the normalized
+    * prefix, member count, and the canonical survivor (min conv_id).
+    *
+    * Scale: the prefix IS [[renderChat]] over the first `k` digit-
+    * normalized turns (one conv-keyed aggregation — reusing the render
+    * keeps the tag/separator/sort contract in one place; p67 composes
+    * the same way), then ONE aggregation groups prefixes.
+    * `hashed=true` (production default) keys that shuffle with
+    * xxhash64(prefix) — 8-byte keys, prefix string rides as a min
+    * payload; `hashed=false` groups raw strings so a SQL oracle
+    * reproduces it — the spec proves both identical. */
+  def prefixDedupGroups(t: DataFrame, k: Int = 2,
+                        hashed: Boolean = true): DataFrame = {
+    require(k > 0, s"prefixDedupGroups: k must be positive, got $k")
+    val pfx = renderChat(
+      t.filter(col("turn_idx") < k)
+        .withColumn("text", regexp_replace(col("text"), "[0-9]+", "0")))
+      .select(col("conv_id"), col("rendered").as("prefix"))
+    val key = if (hashed) xxhash64(col("prefix")) else col("prefix")
+    pfx.groupBy(key.as("_k"))
+      .agg(min(col("prefix")).as("prefix"),
+        count(lit(1)).as("n_convs"),
+        min(col("conv_id")).as("survivor"))
+      .filter(col("n_convs") >= 2)
+      .select(col("prefix"), col("n_convs"), col("survivor"))
+  }
+
   /** Context-window truncation audit — keep the LONGEST SUFFIX of each
     * conversation that fits a token budget (the standard chat-history
     * truncation: recent turns survive, the oldest spill). A turn is kept
@@ -195,44 +229,6 @@ object SftRender {
     * Scale: one running window per conversation ordered by turn_idx
     * DESC (high-cardinality partition, explicit ROWS frame) feeding one
     * hash aggregation keyed by conv_id — no join, no global sort. */
-  /** Prompt-prefix dedup groups — exact dedup of conversations that share
-    * their first `k` turns (digit-normalized): the standard SFT hygiene
-    * pass for prompt-seeded corpora, where one seed prompt fans out into
-    * many generations and training must keep one (or downweight the
-    * group — the d41 epochs op consumes exactly this group shape).
-    * Digit normalization (the p63/d12 CCNet trick) collapses ids,
-    * counters, and amounts so `user=17` and `user=3` seeds collide.
-    * Emits one row per group with ≥2 conversations: the normalized
-    * prefix, member count, and the canonical survivor (min conv_id).
-    *
-    * Scale: one conv-keyed aggregation builds the k-turn prefix (turns
-    * arrive one per row; collect_list + array_sort restores turn order
-    * inside the aggregate — the renderChat discipline), then ONE
-    * aggregation groups prefixes. `hashed=true` (production default)
-    * keys that shuffle with xxhash64(prefix) — 8-byte keys, prefix
-    * string rides as a min payload; `hashed=false` groups raw strings
-    * so a SQL oracle reproduces it — the spec proves both identical. */
-  def prefixDedupGroups(t: DataFrame, k: Int = 2,
-                        hashed: Boolean = true): DataFrame = {
-    require(k > 0, s"prefixDedupGroups: k must be positive, got $k")
-    val norm = regexp_replace(col("text"), "[0-9]+", "0")
-    val pfx = t.filter(col("turn_idx") < k)
-      .select(col("conv_id"),
-        struct(col("turn_idx"), col("role"), norm.as("text")).as("turn"))
-      .groupBy(col("conv_id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(col("turn"))),
-          s => concat(lit("<|"), s("role"), lit("|>"), s("text"))),
-        "\n").as("prefix"))
-    val key = if (hashed) xxhash64(col("prefix")) else col("prefix")
-    pfx.groupBy(key.as("_k"))
-      .agg(min(col("prefix")).as("prefix"),
-        count(lit(1)).as("n_convs"),
-        min(col("conv_id")).as("survivor"))
-      .filter(col("n_convs") >= 2)
-      .select(col("prefix"), col("n_convs"), col("survivor"))
-  }
-
   def contextTruncate(t: DataFrame, maxTokens: Long = 256L): DataFrame = {
     require(maxTokens > 0, s"contextTruncate: maxTokens must be positive, got $maxTokens")
     val toks = size(split(col("text"), "\\s+")).cast("bigint")

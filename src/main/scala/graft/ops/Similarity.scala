@@ -534,7 +534,9 @@ object Similarity {
     * groupBy whose output is bounded by |cells|·dim regardless of corpus
     * size; map-side partials collapse each partition to ≤ |cells|·dim
     * rows before the shuffle. Iterating = re-calling with the returned
-    * means as `centroids`. */
+    * means as `centroids`. Null vectors contribute nothing (posexplode
+    * of a null array emits zero rows) — a SQL mirror must filter them
+    * explicitly or its count(*) denominator silently includes them. */
   def kmeansStep(df: DataFrame, vecCol: String,
                  centroids: Seq[Array[Double]]): DataFrame =
     ivfAssign(df, vecCol, centroids)

@@ -217,11 +217,16 @@ object TextAnalysis {
       s"boilerplateScrub: minConvPermille in (0, 1000], got $minConvPermille")
     val tmpl = regexp_replace(col(textCol), "[0-9]+", "0")
     // null-preserving key (the repeatedLineFraction discipline): a null
-    // turn must never match a boilerplate template in either path
+    // turn must never match a boilerplate template in either path. The
+    // guard covers BOTH columns: xxhash64 silently SKIPS a null child
+    // (a null role would still hash to a matchable key) while concat
+    // and a SQL equality join null out, so guarding only tmpl would let
+    // the hashed path drop null-role turns the other two paths keep
+    val nonNull = col(roleCol).isNotNull && col("tmpl").isNotNull
     val key =
-      if (hashed) when(col("tmpl").isNotNull,
+      if (hashed) when(nonNull,
         xxhash64(col(roleCol), col("tmpl")))
-      else when(col("tmpl").isNotNull,
+      else when(nonNull,
         concat(col(roleCol), lit("\u0000"), col("tmpl")))
     val tt = turns.select(col(convCol), col(roleCol), tmpl.as("tmpl"))
       .withColumn("k", key)
