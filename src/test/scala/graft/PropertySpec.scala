@@ -163,4 +163,38 @@ class PropertySpec extends SparkSpec {
         got("update") == t.map { case (k, v) => k -> s.getOrElse(k, v) }
     })
   }
+
+  // ---- k-means Lloyd step laws (Similarity.kmeansStep / e21) ----
+
+  test("property: kmeansStep partitions the corpus; means bounded; input-order invariant") {
+    val dim = 4
+    val genVec: Gen[Array[Double]] =
+      Gen.containerOfN[Array, Double](dim, Gen.chooseNum(-2.0, 2.0))
+    val genCorpus: Gen[List[Array[Double]]] =
+      Gen.nonEmptyListOf(genVec).map(_.take(40))
+    check("kmeans", 8)(Prop.forAll(genCorpus, Gen.chooseNum(1, 3)) { (vecs, k) =>
+      val centroids = Seq.tabulate(k)(i =>
+        Array.tabulate(dim)(j => if (j == i % dim) 1.0 else 0.1 * i))
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "vec")
+      val rows = graft.ops.Similarity.kmeansStep(df, "vec", centroids)
+        .as[(Int, Int, Long, Long)].collect().toSeq
+      // every occupied cell reports all dims with one shared occupancy,
+      // occupancies sum to the corpus size (assignment is a partition)
+      val byCell = rows.groupBy(_._1)
+      val partitioned = byCell.values.forall { rs =>
+        rs.map(_._2).sorted == (0 until dim) && rs.map(_._3).distinct.size == 1
+      } && byCell.values.map(_.head._3).sum == vecs.size.toLong
+      // each mean lies within the generator's floored component range
+      // (floor division of exact e6 sums cannot escape [min, max])
+      val bounded = rows.forall { case (_, _, n, mean) =>
+        n > 0 && mean >= -2000000L && mean <= 2000000L
+      }
+      // order invariance: reversed input produces the identical row set
+      val rev = graft.ops.Similarity.kmeansStep(
+        df.orderBy(col("vec_id").desc), "vec", centroids)
+        .as[(Int, Int, Long, Long)].collect().toSeq
+      partitioned && bounded && rows.toSet == rev.toSet
+    })
+  }
 }
