@@ -3141,9 +3141,9 @@ object SparkEntry {
     "p56_servicegraph_ttl" -> withT(
       """SELECT COALESCE(c.client_service, 'user') AS client_service,
         |  COALESCE(s.server_service, 'unknown') AS server_service,
-        |  CASE WHEN c.client_service IS NOT NULL AND s.server_service IS NOT NULL
+        |  CASE WHEN c.client_ts IS NOT NULL AND s.server_ts IS NOT NULL
         |         THEN 'complete'
-        |       WHEN s.server_service IS NULL THEN 'expired_no_server'
+        |       WHEN s.server_ts IS NULL THEN 'expired_no_server'
         |       ELSE 'expired_no_client' END AS connection_type,
         |  count(*) AS n_edges,
         |  CAST(SUM(CASE WHEN COALESCE(c.client_failed, FALSE)

@@ -82,7 +82,9 @@ object ConfigLoader {
                                    metrics: Seq[MetricFileSpec] = Nil,
                                    window: String = "1 hour")
 
-  private def mapper = new ObjectMapper(new YAMLFactory())
+  // one configured ObjectMapper is thread-safe; rebuilding it per
+  // load()/render() call would pay full Jackson factory setup each time
+  private val mapper = new ObjectMapper(new YAMLFactory())
 
   // ---------------- load ----------------
 
@@ -95,8 +97,8 @@ object ConfigLoader {
     require(root.has("parse"), "config: `parse` section is required")
     GraftFileConfig(
       parse = parseSection(root.get("parse")),
-      enrich = Option(root.get("enrich")).map(enrichSection),
-      routes = Option(root.get("routes")).map(routesSection)
+      enrich = opt(root, "enrich").map(enrichSection),
+      routes = opt(root, "routes").map(routesSection)
         .getOrElse(RoutesFile()),
       metrics = seq(root.get("metrics")).map(metricSection),
       window = str(root, "window", "1 hour"))
@@ -122,10 +124,10 @@ object ConfigLoader {
       case other => throw new IllegalArgumentException(
         s"config: enrich action must be insert|update|upsert, got '$other'")
     },
-    dimPath = Option(n.get("dim_path")).map(_.asText()))
+    dimPath = opt(n, "dim_path").map(_.asText()))
 
   private def routesSection(n: JsonNode): RoutesFile = RoutesFile(
-    matchOnce = Option(n.get("match_once")).exists(_.asBoolean(false)),
+    matchOnce = opt(n, "match_once").exists(_.asBoolean(false)),
     default = str(n, "default", "default"),
     table = seq(n.get("table")).map(r =>
       RouteFileSpec(req(r, "name"), req(r, "where"))))
@@ -134,15 +136,29 @@ object ConfigLoader {
     name = req(n, "name"),
     conditions = seq(n.get("conditions")).map(_.asText()),
     attributes = seq(n.get("attributes")).map(a =>
-      MetricAttr(req(a, "key"), Option(a.get("default")).map(_.asText()))))
+      MetricAttr(req(a, "key"), opt(a, "default").map(_.asText()))))
 
+  // A PRESENT-but-non-array section is a config mistake (usually a
+  // mis-indented block Jackson parsed as an object/scalar) and must
+  // error loudly — silently reading it as Nil would run the pipeline
+  // with an empty pattern bank / route table and produce empty output
+  // with no clue. Absent (null) and explicit-null sections mean "none".
   private def seq(n: JsonNode): Seq[JsonNode] =
-    if (n == null || !n.isArray) Nil else n.elements().asScala.toSeq
+    if (n == null || n.isNull) Nil
+    else if (!n.isArray) throw new IllegalArgumentException(
+      s"config: expected a YAML list, got ${n.getNodeType}: $n")
+    else n.elements().asScala.toSeq
+  // explicit-null values ("field:" with a blank value) behave like the
+  // field was absent — NullNode.asText() is the literal string "null",
+  // which would otherwise leak in as a column/path/attribute name
+  private def opt(n: JsonNode, field: String): Option[JsonNode] =
+    Option(n.get(field)).filterNot(_.isNull)
   private def str(n: JsonNode, field: String, dflt: String): String =
-    Option(n.get(field)).map(_.asText()).getOrElse(dflt)
+    opt(n, field).map(_.asText()).getOrElse(dflt)
   private def req(n: JsonNode, field: String): String = {
     val v = n.get(field)
-    require(v != null, s"config: missing required field `$field` in ${n}")
+    require(v != null && !v.isNull,
+      s"config: missing required field `$field` in ${n}")
     v.asText()
   }
 

@@ -102,8 +102,16 @@ object ExprLang {
         var j = i + 1
         while (j < n && (s(j).isDigit || s(j) == '.')) j += 1
         val raw = s.substring(i, j)
-        if (raw.contains('.')) out += TFloat(raw.toDouble, i)
-        else out += TInt(raw.toLong, i)
+        // positioned parse error, not a raw NumberFormatException: a
+        // config author typing "1.2.3" or an over-Long integer should
+        // get the language's error with an offset
+        try {
+          if (raw.contains('.')) out += TFloat(raw.toDouble, i)
+          else out += TInt(raw.toLong, i)
+        } catch {
+          case _: NumberFormatException =>
+            throw ExprParseException(s"malformed numeric literal '$raw'", i)
+        }
         i = j
       } else if (c.isLetter || c == '_') {
         var j = i + 1
@@ -316,7 +324,9 @@ object ExprLang {
     name match {
       case "IsMatch" => Ottl.isMatch(c(0), str(1))
       case "Concat" => args.head match {
-        case EList(items) => concat_ws(str(1), items.map(compileExpr(_, resolve)): _*)
+        // Ottl.ottlConcat, not bare concat_ws: OTTL renders nil elements
+        // as empty strings with delimiters kept
+        case EList(items) => Ottl.ottlConcat(str(1), items.map(compileExpr(_, resolve)): _*)
         case _ => throw new IllegalArgumentException("Concat: first argument must be a list")
       }
       // try_cast, not cast: an unconvertible value is an OTTL eval ERROR,
@@ -372,9 +382,13 @@ object ExprLang {
     compileExpr(parse(s), resolve)
 
   /** Multiple conditions OR-ed — the reference's default multi-condition
-    * combination (`connector/countconnector`, `parser.go:332-340`). */
+    * combination (`connector/countconnector`, `parser.go:332-340`). An
+    * EMPTY list matches everything (the count connector's no-conditions
+    * default — and what a `conditions: []` config block means), not an
+    * empty-reduce crash. */
   def anyOf(conds: Seq[String], resolve: Resolver): Column =
-    conds.map(condition(_, resolve)).reduce(_ || _)
+    if (conds.isEmpty) lit(true)
+    else conds.map(condition(_, resolve)).reduce(_ || _)
 
   // ---------------- statement application (editors + where) ----------------
 
@@ -432,7 +446,13 @@ object ExprLang {
         s"${st.editor}: argument ${i + 1} must be a list, got $other")
     }
     val (colName, mapKey) = targets(targetPath(0))
-    val current = col(colName)
+    // OTTL set() CREATES a missing attribute (pdata Map.PutStr upserts);
+    // a brand-new top-level target starts as a null string so
+    // `set(attributes["env"], "prod") where ...` introduces the column
+    // (non-matching rows keep null) instead of throwing UNRESOLVED_COLUMN
+    val current =
+      if (df.columns.contains(colName)) col(colName)
+      else lit(null).cast("string")
     // the rewritten value of the TARGET COLUMN when the condition holds
     val edited: Column = (st.editor, mapKey) match {
       case ("set", None) => compileExpr(st.args(1), resolve)
@@ -471,7 +491,16 @@ object ExprLang {
   /** Stanza-style string template: literal text with embedded
     * `EXPR(expression)` segments (reference
     * `pkg/stanza/operator/helper/expr_string.go:29-88`). Compiles to a
-    * `concat` of literal chunks and stringified sub-expressions. */
+    * `concat` of literal chunks and stringified sub-expressions.
+    *
+    * Null semantics are INTENTIONAL and reference-faithful: `concat`
+    * nulls the whole rendered string when any segment is null — the
+    * per-row analog of `Render` failing the ENTIRE template when a
+    * sub-expression yields nil/non-string (expr_string.go:109-125)
+    * under error_mode=ignore. (We are already more lenient than Go on
+    * types: non-string segments cast to string instead of erroring.)
+    * A caller wanting missing→empty wraps the attribute in a coalesce
+    * inside the EXPR itself. */
   def template(s: String, resolve: Resolver): Column = {
     val parts = Seq.newBuilder[Column]
     var i = 0

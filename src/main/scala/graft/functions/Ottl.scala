@@ -77,7 +77,12 @@ object Ottl {
 
   // ---------------- converters (pure; func_*.go) ----------------
 
-  def ottlConcat(sep: String, cols: Column*): Column = concat_ws(sep, cols: _*)
+  /** Concat (func_concat.go): nil values render as EMPTY STRING with
+    * their delimiters kept — bare concat_ws would silently DROP a null
+    * element and its delimiter, shifting field positions for any
+    * downstream split of the joined value. */
+  def ottlConcat(sep: String, cols: Column*): Column =
+    concat_ws(sep, cols.map(c => coalesce(c.cast("string"), lit(""))): _*)
 
   /** ConvertCase — upper/lower/snake/camel (func_convert_case.go). */
   def convertCase(c: Column, to: String): Column = to match {

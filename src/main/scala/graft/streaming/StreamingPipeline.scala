@@ -293,7 +293,14 @@ object StreamingPipeline {
             else {
               state.update(buf)
               val maxTs = buf.iterator.map(_.ts.getTime).max
-              state.setTimeoutTimestamp(maxTs + gapMs)
+              // clamp above the current watermark (the tailSample /
+              // recombineFixedWait discipline): a turn admitted by the
+              // PREVIOUS batch's watermark can carry an event time whose
+              // natural deadline is already behind the CURRENT one, and
+              // setTimeoutTimestamp below the watermark throws and kills
+              // the query — such a session just times out next batch
+              state.setTimeoutTimestamp(
+                math.max(maxTs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }
@@ -508,9 +515,13 @@ object StreamingPipeline {
       coalesce(col("sgc.corr_id"), col("sgs.corr_id")).as("corr_id"),
       coalesce(col("client_service"), lit("user")).as("client_service"),
       coalesce(col("server_service"), lit("unknown")).as("server_service"),
-      when(col("client_service").isNotNull && col("server_service").isNotNull,
+      // half-presence is decided on the EVENT-TIME columns (mandatory on
+      // each half — the watermark rides on them), not the service
+      // values: a successfully joined edge whose service attribute is
+      // null must still count as complete, not as an expired half
+      when(col("sgc.client_ts").isNotNull && col("sgs.server_ts").isNotNull,
         "complete")
-        .when(col("server_service").isNull, "expired_no_server")
+        .when(col("sgs.server_ts").isNull, "expired_no_server")
         .otherwise("expired_no_client").as("connection_type"),
       (coalesce(col("client_failed"), lit(false)) ||
         coalesce(col("server_failed"), lit(false))).as("failed"),

@@ -69,6 +69,31 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(a.getMessage.contains("action"))
   }
 
+  test("explicit-null values default; present-but-non-array sections are loud") {
+    // "source:" with a blank value is a NullNode whose asText() is the
+    // literal string "null" — it must behave like an absent field, not
+    // become a column named "null"
+    val c = ConfigLoader.load(
+      "parse:\n  source:\n  patterns:\n    - name: p\n      regex: '^x$'\n      fields: []\nenrich:\n  keys: [tool]\n  dim_path:\n")
+    assert(c.parse.sourceCol == "text")
+    assert(c.enrich.get.dimPath.isEmpty)
+    // an explicitly-null section ≡ absent
+    assert(ConfigLoader.load(
+      "parse:\n  patterns:\n    - name: p\n      regex: '^x$'\n      fields: []\nmetrics:\n").metrics.isEmpty)
+    // a mis-indented block parsed as an object must error loudly, not
+    // silently run the pipeline with an empty pattern bank
+    val e = intercept[IllegalArgumentException] {
+      ConfigLoader.load("parse:\n  patterns:\n    name: p\n    regex: '^x$'\n")
+    }
+    assert(e.getMessage.contains("expected a YAML list"))
+    // a required field set to explicit null is missing, not "null"
+    val r = intercept[IllegalArgumentException] {
+      ConfigLoader.load(
+        "parse:\n  patterns:\n    - name:\n      regex: '^x$'\n      fields: []\n")
+    }
+    assert(r.getMessage.contains("name"))
+  }
+
   test("enrich dim_path loads a user-supplied parquet dimension") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cfg_dim").toString

@@ -182,4 +182,38 @@ class ExprLangSpec extends SparkSpec {
       .head().getMap[String, String](0).toMap
     assert(one == Map("k" -> "v", "k2" -> "v2"))
   }
+
+  test("anyOf with an empty condition list matches everything (count-connector default)") {
+    assert(df.filter(ExprLang.anyOf(Nil, R)).count() == df.count())
+  }
+
+  test("Concat renders nil elements as empty string with delimiters kept (func_concat.go)") {
+    val d = Seq((Option("a"), Option("c")), (None, Option("c")),
+      (Option("a"), None)).toDF("x", "y")
+    val got = d.select(ExprLang.value("""Concat([x, y], "-")""", R).as("s"))
+      .as[String].collect().toSeq
+    // bare concat_ws would emit "c" / "a" (delimiter dropped with the null)
+    assert(got == Seq("a-c", "-c", "a-"))
+  }
+
+  test("set() creates a missing attribute instead of throwing UNRESOLVED_COLUMN") {
+    val T = ExprLang.transcriptTargets(Set("level"))
+    val out = ExprLang.applyStatement(df,
+      """set(attributes["env"], "prod") where role == "user"""", R, T)
+    assert(out.columns.contains("env"))
+    val envs = out.select("role", "env").as[(String, Option[String])]
+      .collect().toSet
+    assert(envs == Set(("user", Some("prod")), ("assistant", None), ("tool", None)))
+  }
+
+  test("malformed numeric literals raise a positioned parse error, not NumberFormatException") {
+    val bad = intercept[ExprLang.ExprParseException] {
+      ExprLang.parse("dur_ms > 1.2.3")
+    }
+    assert(bad.getMessage.contains("1.2.3"))
+    val over = intercept[ExprLang.ExprParseException] {
+      ExprLang.parse("turn_idx == 99999999999999999999")
+    }
+    assert(over.getMessage.contains("99999999999999999999"))
+  }
 }
