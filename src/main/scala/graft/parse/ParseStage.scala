@@ -75,8 +75,14 @@ object ParseStage {
   // ---- sub-parsers (reference `helper/parser.go:152-186` post-parse ops) ----
 
   /** Timestamp parse (`pkg/stanza/operator/helper/time.go:19-83`):
-    * strptime/gotime layouts map to Java patterns; epoch variants below. */
-  def parseTime(c: Column, javaFormat: String): Column = to_timestamp(c, javaFormat)
+    * strptime/gotime layouts map to Java patterns; epoch variants below.
+    * try_to_timestamp / try_cast throughout, NOT the plain forms: a
+    * malformed stamp is a per-row parse failure (null, handled by the
+    * on_error policy) — under Spark 4's default ANSI mode a plain
+    * to_timestamp or cast would abort the WHOLE query on the first bad
+    * value (the same contract nullif defends in Parsers' int casts). */
+  def parseTime(c: Column, javaFormat: String): Column =
+    try_to_timestamp(c, lit(javaFormat))
 
   /** Config-driven time parse with the reference's layout_type dispatch
     * (`time.go:101-132`): strptime layouts translate via the ctimefmt
@@ -84,25 +90,35 @@ object ParseStage {
     * sub-layouts (`time.go:83-96`). */
   def parseTime(c: Column, layoutType: String, layout: String): Column =
     layoutType match {
-      case "strptime" => to_timestamp(c, TimeFormats.strptimeToJava(layout))
-      case "gotime" => to_timestamp(c, TimeFormats.gotimeToJava(layout))
+      // space-padded day directives (strptime %e, gotime _2 — the
+      // classic syslog "Jan  5" alignment) have no Spark pattern
+      // equivalent (no pad modifier in Spark's datetime patterns, both
+      // translate to bare "d"), so squeeze interior space runs in the
+      // VALUE before parsing — that is exactly the information the
+      // padding carries
+      case "strptime" =>
+        val v = if (layout.contains("%e")) regexp_replace(c, "  +", " ") else c
+        try_to_timestamp(v, lit(TimeFormats.strptimeToJava(layout)))
+      case "gotime" =>
+        val v = if (layout.contains("_2")) regexp_replace(c, "  +", " ") else c
+        try_to_timestamp(v, lit(TimeFormats.gotimeToJava(layout)))
       case "epoch" => layout match {
         case "s" => parseEpochSeconds(c)
         case "ms" => parseEpochMillis(c)
-        case "us" => timestamp_micros(c.cast("long"))
+        case "us" => timestamp_micros(c.try_cast("long"))
         // integral division (`div` = IntegralDivide), NOT `/`: Column `/`
         // promotes to double, whose 2^53 mantissa loses µs precision for
         // modern nanosecond epochs (~1.7e18, ulp ≈ 256 ns)
         case "ns" => timestamp_micros(
-          call_function("div", c.cast("long"), lit(1000L)))
+          call_function("div", c.try_cast("long"), lit(1000L)))
         case "s.ms" | "s.us" | "s.ns" => // fractional seconds as double
-          timestamp_micros((c.cast("double") * 1e6).cast("long"))
+          timestamp_micros((c.try_cast("double") * 1e6).try_cast("long"))
         case other => throw new IllegalArgumentException(s"invalid epoch layout: $other")
       }
       case other => throw new IllegalArgumentException(s"unknown layout_type: $other")
     }
-  def parseEpochSeconds(c: Column): Column = timestamp_seconds(c.cast("long"))
-  def parseEpochMillis(c: Column): Column = timestamp_millis(c.cast("long"))
+  def parseEpochSeconds(c: Column): Column = timestamp_seconds(c.try_cast("long"))
+  def parseEpochMillis(c: Column): Column = timestamp_millis(c.try_cast("long"))
 
   /** Severity mapping — the reference's FULL default builtin table
     * (`helper/severity_builder.go:17-87`: otel aliases with 2/3/4

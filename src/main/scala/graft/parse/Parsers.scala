@@ -18,14 +18,19 @@ object Parsers {
   /** jsonarray with header: zip names onto the parsed slice
     * (the `assign_keys` composition the reference uses). */
   def parseJsonArrayWithHeader(c: Column, headers: Seq[String]): Column =
-    map_from_arrays(
-      lit(headers.toArray),
-      slice(parseJsonArray(c), 1, headers.length))
+    assignKeys(parseJsonArray(c), headers)
 
   /** assign_keys transformer (`transformer/assignkeys/transformer.go:
-    * 21-60`): zip a value list with configured key names → map. */
+    * 21-60`): zip a value list with configured key names → map.
+    *
+    * A list SHORTER than the key set is a per-row parse failure → null
+    * map (the on_error rendering), never a crash: map_from_arrays
+    * throws a SparkRuntimeException on mismatched lengths, so one short
+    * row would otherwise kill the whole query. Longer lists keep the
+    * first `keys.length` values (the original slice tolerance). */
   def assignKeys(values: Column, keys: Seq[String]): Column =
-    map_from_arrays(lit(keys.toArray), slice(values, 1, keys.length))
+    when(size(values) >= keys.length,
+      map_from_arrays(lit(keys.toArray), slice(values, 1, keys.length)))
 
   /** RFC3164 syslog parse (`parser/syslog/parser.go:132` RFC3164 branch):
     * `<PRI>MMM dd HH:mm:ss host tag: msg` → struct(priority, facility,
@@ -89,10 +94,20 @@ object Parsers {
   def parseScope(c: Column): Column = c.as("scope")
 
   /** Newline split (`pkg/stanza/split/split.go:141` NewlineSplitFunc):
-    * one raw blob → one row per line, with (source, line_no) identity. */
-  def splitLines(df: DataFrame, blobCol: String, sourceCol: String): DataFrame =
+    * one raw blob → one row per line, with (source, line_no) identity.
+    * A newline-TERMINATED blob emits no trailing empty row (Spark's
+    * split keeps trailing empties; the reference's split func does not
+    * emit an entry after the final delimiter — the spurious '' row
+    * would fail every bank pattern and inflate error-rate metrics by
+    * one per source blob). Interior empty lines are real entries and
+    * are kept. */
+  def splitLines(df: DataFrame, blobCol: String, sourceCol: String): DataFrame = {
+    val parts = split(col(blobCol), "\n")
+    val trimmed = when(element_at(parts, -1) === "",
+      slice(parts, lit(1), size(parts) - 1)).otherwise(parts)
     df.select(col(sourceCol).as("source"),
-        posexplode(split(col(blobCol), "\n")).as(Seq("line_no", "line")))
+        posexplode(trimmed).as(Seq("line_no", "line")))
+  }
 
   /** Multiline recombine by line-start pattern (`split.go:59`
     * LineStartSplitFunc + the recombine transformer): consecutive lines

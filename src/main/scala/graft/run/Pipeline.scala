@@ -138,15 +138,25 @@ object Pipeline {
 
   /** Full batch run: returns (per-sink frames, per-sink windowed counts).
     * Callers write each sink frame to its own table (multi-match fan-out,
-    * routing-connector semantics). */
+    * routing-connector semantics).
+    *
+    * ALL count frames derive from ONE exploded-tag pass (the p07 /
+    * PipelineJob single-scan plan): a count per fanOut frame would
+    * re-scan the source and re-evaluate the pattern bank once per sink
+    * (2k scans for k sinks when a caller materializes everything). The
+    * sink frames stay the lazy fanOut filters — a caller that writes
+    * them pays one scan each, or uses [[graft.run.PipelineJob]]'s
+    * partitionBy fan-out for the one-scan write. */
   def run(spark: SparkSession, transcripts: DataFrame, windowDur: String = "1 hour")
       : (Map[String, DataFrame], Map[String, DataFrame]) = {
     val enriched = parseEnrich(spark, transcripts)
     val sinks = RouteStage.fanOut(enriched, routeTable)
-    val counts = sinks.map { case (name, df) =>
+    val exploded = RouteStage.tagsExploded(enriched, routeTable)
+    val counts = sinks.keySet.map { name =>
       name -> CountStage.countWindowed(
-        df, MetricSpec(s"count"), col("ts"), windowDur, resolveAttr(parsedFields))
-    }
+        exploded.filter(col("route") === name),
+        MetricSpec(s"count"), col("ts"), windowDur, resolveAttr(parsedFields))
+    }.toMap
     (sinks, counts)
   }
 }

@@ -132,11 +132,21 @@ object PipelineJob {
         RouteStage.writeMatchOnce(enriched, routeTable, sinksDir)
       else
         RouteStage.writeMultiMatch(enriched, routeTable, sinksDir)
-      // per-route per-file lineage from the committed partition dirs
-      val routeDirs = routeTable.routes.map(_.name) :+ routeTable.defaultName
-      val lineage = routeDirs.flatMap(r =>
-        Lineage.fileLineage(spark, s"$sinksDir/route=$r")
-          .map(f => f.copy(file = s"route=$r/${f.file}")))
+      // per-route per-file lineage from the ACTUAL committed partition
+      // dirs (listed, not reconstructed from route names: Spark
+      // URI-escapes special characters in partition paths — a route
+      // named "a:b" writes to "route=a%3Ab", and a name-keyed lookup
+      // would silently record zero rows for it)
+      val sd = new org.apache.hadoop.fs.Path(sinksDir)
+      val sfs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val routePartDirs =
+        if (sfs.exists(sd))
+          sfs.listStatus(sd).filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("route=")).map(_.getPath).toSeq
+        else Seq.empty
+      val lineage = routePartDirs.flatMap(p =>
+        Lineage.fileLineage(spark, p.toString)
+          .map(f => f.copy(file = s"${p.getName}/${f.file}")))
       Lineage.commitManifest(outDir, Lineage.Manifest("sinks_fanout", fpFanout,
         lineage.map(_.rows).sum, lineage))
     }
@@ -185,11 +195,25 @@ object PipelineJob {
     val report = Lineage.runResumable(spark, routeCounts ++ userMetrics,
       outDir, fpCounts)
 
-    // metrics manifest (rows read/written, shuffle, task time)
+    // metrics manifest (rows read/written, shuffle, task time) — drain
+    // the async listener bus first or the final tasks' onTaskEnd events
+    // may still be queued and the snapshot undercounts
+    org.apache.spark.sql.graftbridge.Bridge.waitListenerBusEmpty(
+      spark.sparkContext, 30000L)
     metrics.writeJson(s"$outDir/_lineage/run_metrics.json")
     println(s"[pipeline] executed=${report.executed.mkString(",")} " +
       s"skipped=${report.skipped.mkString(",")} failed=${report.failed.keys.mkString(",")}")
     spark.stop()
+    // a run with ANY failed sink must not exit 0: runResumable holds the
+    // failure so the OTHER sinks still commit (their manifests make the
+    // retry cheap), but the scheduler has to see the run as failed or
+    // the missing table is only discovered downstream
+    if (report.failed.nonEmpty) {
+      report.failed.foreach { case (name, msg) =>
+        System.err.println(s"[pipeline] sink $name failed: $msg")
+      }
+      sys.exit(3)
+    }
   }
 }
 

@@ -43,7 +43,12 @@ object Bucketing {
     // ANY exchange that is not a broadcast is a shuffle — enumerating
     // partitionings (hash/range/single) missed RoundRobinPartitioning
     // (repartition(n)) and rebalance, letting a fully-shuffled plan
-    // pass the zero-shuffle gate
-    !"(?<!Broadcast)Exchange".r.findFirstIn(plan).isDefined
+    // pass the zero-shuffle gate. ReusedExchange is exempt too: a plan
+    // reusing a BroadcastExchange prints "ReusedExchange", whose
+    // "Exchange" is preceded by "Reused", not "Broadcast" — without the
+    // second guard the gate reports a shuffle on a genuinely
+    // exchange-free plan. (A reused SHUFFLE exchange cannot slip
+    // through: its original Exchange node is still in the plan text.)
+    !"(?<!Broadcast)(?<!Reused)Exchange".r.findFirstIn(plan).isDefined
   }
 }

@@ -92,8 +92,11 @@ object Incremental {
       // (route=X/part-N.parquet) must keep the partition columns the
       // empty-plan branch's whole-table read carries — without it the
       // partition values vanish and the two branches disagree on schema
+      // the length is the LAST '|'-separated segment — split at the
+      // last bar, not the first: a legal file name may itself contain
+      // '|' and a first-bar split would truncate the path
       else spark.read.option("basePath", tablePath)
-        .parquet(p.newFiles.map(_.split('|')(0)): _*)
+        .parquet(p.newFiles.map(f => f.substring(0, f.lastIndexOf('|'))): _*)
     (df, p)
   }
 }

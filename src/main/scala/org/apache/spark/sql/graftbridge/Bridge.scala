@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drain the async listener bus (`SparkContext.listenerBus` is
+    * `private[spark]`): task-end events are delivered on AsyncEventQueue
+    * threads, so a metrics snapshot taken right after the last action
+    * can miss the final tasks' counts unless the bus is empty. Best
+    * effort — on timeout the snapshot proceeds with what has arrived. */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext,
+                           timeoutMs: Long): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => }
 }

@@ -23,6 +23,47 @@ class ParsersSpec extends SparkSpec {
     assert(m == Map("a" -> "1", "b" -> "2"))
   }
 
+  test("assign_keys: a short value list is a per-row null map, never a crash") {
+    // map_from_arrays throws SparkRuntimeException on mismatched lengths
+    // — one short-but-valid JSON array row must not kill the query
+    val df = Seq(Tuple1(Seq("only"))).toDF("v")
+    val r = df.select(Parsers.assignKeys(col("v"), Seq("a", "b")).as("r"))
+      .collect().head
+    assert(r.isNullAt(0))
+    // same through the jsonarray+header composition, and null body → null
+    val j = Seq(Tuple1("""["x"]"""), Tuple1(null: String)).toDF("s")
+      .select(Parsers.parseJsonArrayWithHeader(col("s"), Seq("x", "y")).as("r"))
+      .collect()
+    assert(j.forall(_.isNullAt(0)))
+    // longer lists keep the first n values (slice tolerance unchanged)
+    val long = Seq(Tuple1(Seq("1", "2", "3"))).toDF("v")
+      .select(Parsers.assignKeys(col("v"), Seq("a", "b")).as("r"))
+      .collect().head.getMap[String, String](0).toMap
+    assert(long == Map("a" -> "1", "b" -> "2"))
+  }
+
+  test("parseTime: malformed stamps null out (on_error), space-padded days parse") {
+    import graft.parse.ParseStage
+    val df = Seq("2024-01-02 03:04:05", "", "not a time").toDF("s")
+    val got = df.select(ParseStage.parseTime(col("s"), "strptime",
+        "%Y-%m-%d %H:%M:%S").as("t"))
+      .collect().map(r => Option(r.getTimestamp(0)).map(_.toString))
+    assert(got(0).contains("2024-01-02 03:04:05.0"))
+    assert(got(1).isEmpty && got(2).isEmpty) // nulls, not a query abort
+    // epoch branches: garbage nulls out instead of an ANSI cast crash
+    val e = Seq("garbage").toDF("s")
+      .select(ParseStage.parseTime(col("s"), "epoch", "ms").as("t"))
+      .collect().head
+    assert(e.isNullAt(0))
+    // %e / _2: the classic syslog space-padded single-digit day
+    val pad = Seq("Jan  5 2024 12:00:00").toDF("s")
+    def parsed(lt: String, layout: String): Option[String] =
+      Option(pad.select(ParseStage.parseTime(col("s"), lt, layout).as("t"))
+        .collect().head.getTimestamp(0)).map(_.toString)
+    assert(parsed("strptime", "%b %e %Y %H:%M:%S").contains("2024-01-05 12:00:00.0"))
+    assert(parsed("gotime", "Jan _2 2006 15:04:05").contains("2024-01-05 12:00:00.0"))
+  }
+
   test("RFC3164 syslog parse extracts pri/facility/severity/host/tag/msg") {
     val line = "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed for lonvick"
     val r = Seq(Tuple1(line)).toDF("s")
@@ -93,6 +134,13 @@ class ParsersSpec extends SparkSpec {
     val blob = "ERROR boom\n  at frame1\n  at frame2\nINFO ok\nERROR again\n  at frameX"
     val lines = Parsers.splitLines(Seq(("f1", blob)).toDF("src", "blob"), "blob", "src")
     assert(lines.count() == 6)
+    // a newline-TERMINATED blob emits no trailing empty row (split.go's
+    // NewlineSplitFunc never yields an entry after the final delimiter);
+    // interior empty lines stay
+    val terminated = Parsers.splitLines(
+      Seq(("f2", "a\n\nb\n")).toDF("src", "blob"), "blob", "src")
+      .select("line").as[String].collect().toSeq
+    assert(terminated == Seq("a", "", "b"))
     val entries = Parsers.recombineMultiline(lines, "^(ERROR|INFO|WARN)")
       .orderBy("first_line").select("entry").as[String].collect().toSeq
     assert(entries == Seq(
