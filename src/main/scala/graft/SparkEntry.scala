@@ -2842,7 +2842,7 @@ object SparkEntry {
         |last AS (SELECT grp, max(ts) AS last_seen FROM g GROUP BY 1),
         |now AS (SELECT max(ts) AS n FROM g)
         |SELECT g.grp, count(*) AS n
-        |FROM g JOIN last USING (grp), now
+        |FROM g JOIN last ON g.grp IS NOT DISTINCT FROM last.grp, now
         |WHERE last.last_seen >= now.n - INTERVAL 1 DAY
         |GROUP BY 1""".stripMargin,
 

@@ -33,9 +33,16 @@ object ExpHistogram {
   def bucketOf(v: Long): Int =
     if (v <= 0) -1 else 63 - java.lang.Long.numberOfLeadingZeros(v)
 
-  val aggregator: Aggregator[Long, Buf, Result] = new Aggregator[Long, Buf, Result] {
+  // boxed input, NOT Long: the primitive encoder coerces a NULL input
+  // to 0L (the hazard TopKExemplars.scala documents), which would count
+  // every null duration as a real underflow observation — SQL aggregate
+  // semantics skip nulls, and so must this
+  val aggregator: Aggregator[java.lang.Long, Buf, Result] =
+      new Aggregator[java.lang.Long, Buf, Result] {
     def zero: Buf = emptyBuf
-    def reduce(b: Buf, v: Long): Buf = {
+    def reduce(b: Buf, boxed: java.lang.Long): Buf = {
+      if (boxed == null) return b
+      val v = boxed.longValue
       val i = bucketOf(v)
       if (i < 0) b.underflow += 1 else b.counts(i) += 1
       b.total += 1; b.sum += v; if (v > b.max) b.max = v

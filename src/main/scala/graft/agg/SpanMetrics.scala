@@ -138,10 +138,16 @@ object SpanMetrics {
     // the span input, and broadcast as a 1-row frame instead of an
     // eager driver-side action
     val nowDf = lastSeen.agg(max(col("_last_seen")).as("_now"))
-    lastSeen
+    // NULL-SAFE semi join back onto the spans: groupBy keeps a null dim
+    // value as a real group, so the join must too — a bare equi-join on
+    // dims never matches NULL=NULL and would silently drop every
+    // null-dim span that the expiration=0 path passes through (enabling
+    // expiration must not change results for non-stale data)
+    val kept = lastSeen
       .crossJoin(broadcast(nowDf))
       .filter(col("_last_seen") >= col("_now") - expr(s"INTERVAL $expiration"))
-      .select(keys: _*)
-      .join(spans, dims)
+      .select(dims.map(d => col(d).as(s"_k_$d")): _*)
+    spans.join(kept,
+      dims.map(d => col(d) <=> col(s"_k_$d")).reduce(_ && _), "left_semi")
   }
 }

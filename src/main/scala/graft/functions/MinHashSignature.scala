@@ -89,20 +89,18 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def okType(dt: DataType): Boolean = dt match {
-    case ArrayType(StringType, _) | ArrayType(LongType, _) => true
-    case _ => false
-  }
-
+  // the rule is exactly: both arrays, same SUPPORTED element type
+  // (containsNull ignored) — spelled once, not as two overlapping
+  // disjuncts
   override def checkInputDataTypes(): TypeCheckResult =
-    if (okType(left.dataType) && right.dataType == left.dataType ||
-        okType(left.dataType) && okType(right.dataType) &&
-          right.dataType.asInstanceOf[ArrayType].elementType ==
-          left.dataType.asInstanceOf[ArrayType].elementType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"jaccard_sim requires two array<string> or two array<long> inputs, " +
-      s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if (l == StringType || l == LongType) && l == r =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sim requires two array<string> or two array<long> inputs, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"

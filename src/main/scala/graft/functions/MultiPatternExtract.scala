@@ -131,7 +131,11 @@ case class MultiPatternExtract(child: Expression, patterns: Seq[PatternSpec])
 }
 
 object MultiPatternExtract {
-  private val NamedGroup = "\\(\\?P?<([A-Za-z_][A-Za-z0-9_]*)>".r
+  /** The named-group grammar `(?P<name>` / `(?<name>` — ONE definition
+    * shared with [[SpanToAttributes]] (which binds attribute names to
+    * group positions): two copies drifting apart would bind values to
+    * the wrong names. */
+  private[functions] val NamedGroup = "\\(\\?P?<([A-Za-z_][A-Za-z0-9_]*)>".r
 
   /** Rewrite `(?P<name>` / `(?<name>` named groups to Java-safe synthetic
     * names `gg0..ggN` (Java group names reject underscores and the RE2 `P`).

@@ -124,6 +124,14 @@ case class PqCellAssignE6(child: Expression,
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_cell_assign_e6"
 
+  require(centroids.nonEmpty, "pq_cell_assign_e6: empty codebook")
+  // truncating division would silently IGNORE trailing dimensions in
+  // every distance when dim is not a multiple of m — two vectors
+  // differing only past dim m*sub would assign identically with no
+  // error; the misconfiguration must fail at construction
+  require(centroids(0).length % m == 0,
+    s"pq_cell_assign_e6: centroid dim ${centroids(0).length} not divisible by m=$m")
+
   private val sub = centroids(0).length / m
 
   /** Public so generated code can call it. */

@@ -92,13 +92,17 @@ case class RedactAttrsExpr(child: Expression, cfg: graft.ops.Redaction.Config)
         var hit = false
         var p = 0
         while (p < blockedRes.length) {
-          if (!hit && blockedRes(p).matcher(sv).find()) hit = true
-          sv = blockedRes(p).matcher(sv).replaceAll("****")
+          // ONE matcher per pattern: replaceAll resets before scanning,
+          // so reusing the find() matcher halves the regex passes; the
+          // replaceAll only runs when the pattern actually matched
+          val m = blockedRes(p).matcher(sv)
+          if (m.find()) { hit = true; sv = m.replaceAll("****") }
           p += 1
         }
         if (hit) masked.add(kStr)
         keptK.add(k)
-        keptV.add(if (hit || (sv ne null)) UTF8String.fromString(sv) else v)
+        // untouched values keep the original UTF8String — no re-encode
+        keptV.add(if (hit) UTF8String.fromString(sv) else v)
       }
       i += 1
     }

@@ -59,6 +59,12 @@ case class SpanToAttributes(child: Expression, rules: Seq[String],
       require(p.matcher("").groupCount() == names.length,
         s"rule must use only NAMED capturing groups " +
         s"(found ${p.matcher("").groupCount()} groups, ${names.length} named): $r")
+      // nested named groups make the {attr} name-rewrite ill-defined
+      // (the rewrite walks groups left-to-right assuming disjoint
+      // spans; the Go reference PANICS on them at match time via an
+      // oldName[idx:start] slice with idx > start, span.go:205-209) —
+      // reject the config at construction, not one task at a time
+      SpanToAttributes.assertNoNestedNamedGroups(javaRegex, r)
       (p, names)
     }.toArray
 
@@ -71,6 +77,9 @@ case class SpanToAttributes(child: Expression, rules: Seq[String],
     var done = false
     while (r < compiled.length && !done) {
       val (p, attrNames) = compiled(r)
+      // empty names are skipped BY THE REFERENCE ("There is no span
+      // name to work on", span.go:161-164) — the guard is faithful,
+      // not defensive
       if (name.nonEmpty && attrNames.nonEmpty) {
         val m = p.matcher(name)
         if (m.find()) { // Go FindStringSubmatch: first match, unanchored
@@ -115,9 +124,41 @@ case class SpanToAttributes(child: Expression, rules: Seq[String],
 }
 
 object SpanToAttributes {
-  private val NamedGroup = "\\(\\?P?<([A-Za-z_][A-Za-z0-9_]*)>".r
-
-  /** Named-group attribute names in order of appearance. */
+  /** Named-group attribute names in order of appearance — the grammar is
+    * [[MultiPatternExtract.NamedGroup]], the same regex normalizeGroups
+    * rewrites with, so the two walks can never disagree on what counts
+    * as a named group. */
   def groupNames(regex: String): Array[String] =
-    NamedGroup.findAllMatchIn(regex).map(_.group(1)).toArray
+    MultiPatternExtract.NamedGroup.findAllMatchIn(regex).map(_.group(1)).toArray
+
+  /** Reject a rule whose NAMED group opens inside another named group —
+    * syntactic walk over the (already-normalized, Java-syntax) regex:
+    * escapes and character classes are skipped; `(?<name>` counts as
+    * named (lookbehinds `(?<=`/`(?<!` do not). */
+  private[functions] def assertNoNestedNamedGroups(javaRegex: String,
+                                                   rule: String): Unit = {
+    var i = 0; var esc = false; var inClass = false; var namedDepth = 0
+    val stack = scala.collection.mutable.Stack.empty[Boolean]
+    while (i < javaRegex.length) {
+      val c = javaRegex.charAt(i)
+      if (esc) esc = false
+      else c match {
+        case '\\' => esc = true
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass =>
+          val named = javaRegex.startsWith("(?<", i) &&
+            !javaRegex.startsWith("(?<=", i) && !javaRegex.startsWith("(?<!", i)
+          if (named && namedDepth > 0) throw new IllegalArgumentException(
+            s"to_attributes rule has NESTED named groups (the {attr} " +
+            s"name-rewrite is ill-defined for overlapping spans): $rule")
+          stack.push(named)
+          if (named) namedDepth += 1
+        case ')' if !inClass =>
+          if (stack.nonEmpty && stack.pop()) namedDepth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+  }
 }

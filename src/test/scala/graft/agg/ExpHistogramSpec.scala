@@ -45,4 +45,14 @@ class ExpHistogramSpec extends SparkSpec {
       .select("h.bucket_counts").head().getSeq[Long](0)
     assert(one == many)
   }
+
+  test("null inputs are skipped like SQL aggregates, not counted as underflow 0s") {
+    // the primitive-Long encoder would coerce null → 0L (a phantom
+    // underflow observation); the boxed input type must skip it
+    val df = Seq(Some(4L), None, Some(1L), None).toDF("v")
+    val r = df.agg(ExpHistogram.of(col("v")).as("h"))
+      .select("h.total", "h.underflow", "h.sum", "h.max").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 0 &&
+      r.getLong(2) == 5 && r.getLong(3) == 4)
+  }
 }

@@ -195,6 +195,21 @@ class ProcessorOpsSpec extends SparkSpec {
     assert(kept == Set("live")) // "old" last seen 18 days before max
   }
 
+  test("spanmetrics expiration: a NULL dim value is a real group, not silently dropped") {
+    // groupBy keeps null keys, so the semi join back must be null-safe —
+    // a bare equi-join never matches NULL=NULL and enabling expiration
+    // would change results for non-stale null-dim data
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val spans = Seq((Option("a"), ts(19)), (None, ts(20)), (None, ts(1)))
+      .toDF("grp", "ts")
+    val kept = SpanMetrics.withExpiration(spans, Seq("grp"), "ts", "7 days")
+      .select("grp", "ts").as[(Option[String], java.sql.Timestamp)]
+      .collect().toSet
+    // the null group's last_seen is day 20 (fresh) → BOTH its rows pass,
+    // exactly like the expiration=0 path would pass them
+    assert(kept == Set((Option("a"), ts(19)), (None, ts(20)), (None, ts(1))))
+  }
+
   test("redaction: allowlist deletes, blocked masks, ignore passes, audit attrs") {
     val df = Seq(1).toDF("x").select(map(
       lit("name"), lit("alice"),

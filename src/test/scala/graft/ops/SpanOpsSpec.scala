@@ -73,4 +73,20 @@ class SpanOpsSpec extends SparkSpec {
     val (code, msg) = SpanOps.setStatus("Ok", "ignored")
     assert(one(code).getString(0) == "Ok" && one(msg).getString(0) == "")
   }
+
+  test("to_attributes rejects NESTED named groups at construction, not per row") {
+    // the {attr} rewrite is ill-defined for overlapping spans (the Go
+    // reference panics at match time on oldName[idx:start] with
+    // idx > start); the config error must surface when the rule is
+    // built, with the rule text in the message
+    val e = intercept[IllegalArgumentException] {
+      one(SpanOps.toAttributes(lit("xy"), Seq("^(?P<outer>x(?P<inner>y))")))
+    }
+    assert(e.getMessage.contains("NESTED"))
+    // non-nested sibling groups (and lookbehind, which is not a named
+    // group) still compile and run
+    val ok = one(SpanOps.toAttributes(lit("a-b"),
+      Seq("^(?P<l>[a-z])-(?P<r>[a-z])$")))
+    assert(ok.getStruct(0).getString(0) == "{l}-{r}")
+  }
 }
