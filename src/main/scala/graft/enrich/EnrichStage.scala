@@ -27,7 +27,13 @@ object EnrichStage {
     val factCols = df.columns.toSet
     // Prefix dim payload cols to avoid collision during the join.
     val prefixed = dimCols.foldLeft(dim) { (d, c) => d.withColumnRenamed(c, s"__dim_$c") }
-    val joined = df.join(broadcast(prefixed), keys, "left")
+    // the dim is semantically a LOOKUP — the reference's attraction
+    // processor can never duplicate records, so a dim with two rows for
+    // one key (a user-supplied dim_path parquet is arbitrary) must not
+    // silently multiply fact rows through the join; first-by-key wins
+    // (dedup a dim deliberately for a deterministic pick)
+    val unique = prefixed.dropDuplicates(keys)
+    val joined = df.join(broadcast(unique), keys, "left")
     dimCols.foldLeft(joined) { (acc, c) =>
       val dimc = col(s"__dim_$c")
       val out = if (!factCols.contains(c)) dimc

@@ -30,9 +30,20 @@ object SchemaTransform {
     }, "revisions must be in strictly ascending version order")
   }
 
-  /** Numeric-tuple version ordering ("1.10.0" > "1.9.0"). */
+  /** Numeric-tuple version ordering ("1.10.0" > "1.9.0"). A
+    * non-numeric component is a config error reported WITH the
+    * offending version string — schema-family URLs end in exactly these
+    * strings, so a typo must not surface as a bare
+    * NumberFormatException with no context. */
   def versionKey(v: String): Seq[Int] = {
-    val parts = v.split("\\.").toSeq.map(_.toInt)
+    val parts = v.split("\\.").toSeq.map { p =>
+      try p.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"schema version '$v' has a non-numeric component '$p' " +
+          "(expected dotted integers like 1.9.0)")
+      }
+    }
     parts.padTo(3, 0)
   }
 
@@ -68,27 +79,56 @@ object SchemaTransform {
   }
 
   /** Translate a frame whose attributes are TOP-LEVEL COLUMNS: each
-    * revision is one simultaneous select-with-aliases projection. */
+    * revision is one simultaneous select-with-aliases projection.
+    * A rename landing on an EXISTING untouched column OVERWRITES it
+    * (the renamed value wins, like a pdata `Remove`+`PutStr`) — keeping
+    * both would emit two columns of one name and every later reference
+    * would die with an ambiguous-reference AnalysisException. */
   def translate(df: DataFrame, family: Family,
                 fromVersion: String, toVersion: String): DataFrame =
     renameChain(family, fromVersion, toVersion).foldLeft(df) { (acc, rev) =>
       val mapping = rev.toMap
-      acc.select(acc.columns.map { c =>
-        mapping.get(c).map(to => col(c).as(to)).getOrElse(col(c))
+      val sources = mapping.keySet
+      val present = acc.columns.toSet
+      // a rename target collides when it names an existing column that
+      // is NOT itself renamed away this revision AND whose overwriting
+      // source column exists
+      val overwritten = rev.collect {
+        case (s, t) if s != t && present(t) && !sources(t) && present(s) => t
+      }.toSet
+      acc.select(acc.columns.flatMap { c =>
+        mapping.get(c) match {
+          case Some(to) => Some(col(c).as(to))
+          case None if overwritten(c) => None
+          case None => Some(col(c))
+        }
       }.toIndexedSeq: _*)
     }
 
-  /** Translate a map-typed attributes COLUMN (one `transform_keys`
-    * pass; revisions compose, entries within a revision do not). */
+  /** Translate a map-typed attributes COLUMN (one `transform_keys` +
+    * possibly one `map_filter` per revision; revisions compose, entries
+    * within a revision do not). A rename landing on an existing
+    * untouched key OVERWRITES it when the rename's source key is
+    * present in the row's map (the renamed value wins, matching
+    * [[translate]]) — without the filter, transform_keys would emit a
+    * duplicate key and crash with DUPLICATED_MAP_KEY under the default
+    * mapKeyDedupPolicy. */
   def translateAttrs(attrs: Column, family: Family,
                      fromVersion: String, toVersion: String): Column = {
     val chain = renameChain(family, fromVersion, toVersion)
-    if (chain.isEmpty) attrs
-    else transform_keys(attrs, (k, _) =>
-      chain.foldLeft(k) { (cur, rev) =>
-        // `cur` = the key as of the START of this revision: each
-        // revision is one simultaneous map lookup; revisions compose
-        graft.functions.Ottl.simultaneousRemap(cur, rev)
-      })
+    chain.foldLeft(attrs) { (m, rev) =>
+      val sources = rev.map(_._1).toSet
+      // targets that could collide with an untouched key: not renamed
+      // away this revision (a swap's targets ARE its sources — exempt)
+      val collidable = rev.filter { case (s, t) => s != t && !sources(t) }
+      val cleaned =
+        if (collidable.isEmpty) m
+        else map_filter(m, (k, _) =>
+          collidable.map { case (s, t) =>
+            !(k === lit(t) && map_contains_key(m, lit(s)))
+          }.reduce(_ && _))
+      transform_keys(cleaned, (k, _) =>
+        graft.functions.Ottl.simultaneousRemap(k, rev))
+    }
   }
 }

@@ -30,6 +30,13 @@ object TranscriptSynth {
   /** Raw turn rows; turn_idx dense per conversation via one row_number
     * shuffle (synth-only cost, not pipeline cost). */
   def generate(spark: SparkSession, cfg: Config): DataFrame = {
+    // fail fast: pmod(_, 0) is null (or DIVIDE_BY_ZERO under ANSI), so
+    // nConvs=0 would silently emit null conv_ids into a column the Turn
+    // schema declares non-nullable
+    require(cfg.nConvs > 0, s"nConvs must be positive, got ${cfg.nConvs}")
+    require(cfg.nTurns >= 0, s"nTurns must be non-negative, got ${cfg.nTurns}")
+    require(cfg.hotPct >= 0 && cfg.hotPct <= 100,
+      s"hotPct must be in [0,100], got ${cfg.hotPct}")
     val h = xxhash64(col("id"), lit(cfg.seed))
     val hotCut = lit(cfg.hotPct.toLong)
     val convNum = when(pmod(h, lit(100L)) < hotCut, lit(0L))

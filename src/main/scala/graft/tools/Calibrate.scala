@@ -23,15 +23,23 @@ object Calibrate {
     for (r <- 1 to reps) {
       what match {
         case "skew" => // hot-conv rollup: plain groupBy vs salted two-phase
-          val skewPath = "/tmp/graft_bench/turns_skew"
+          // fixture dir is keyed by the generator knobs: a stale
+          // /tmp cache from a run with different (nTurns, nConvs,
+          // hotPct) must not be silently reused as this configuration
+          val (nT, nC, hot) = (8000000L, 40000L, 40)
+          val skewPath = s"/tmp/graft_bench/turns_skew_${nT}_${nC}_h$hot"
           if (!java.nio.file.Files.exists(java.nio.file.Paths.get(skewPath, "_SUCCESS"))) {
             graft.synth.TranscriptSynth.generate(s,
-              graft.synth.TranscriptSynth.Config(8000000L, 40000L, hotPct = 40))
+              graft.synth.TranscriptSynth.Config(nT, nC, hotPct = hot))
               .write.mode("overwrite").parquet(skewPath)
           }
           val turns = s.read.parquet(skewPath)
           val plainSec = time(noop(graft.agg.Rollup.rollup(turns)))
-          val saltedSec = time(noop(graft.agg.Rollup.rollupSalted(turns, 32)))
+          // DEFAULT blockSize (the shipped configuration) — the old
+          // positional `32` predated the saltBuckets→blockSize
+          // signature change and measured 32-turn blocks (256× below
+          // design), a configuration production never runs
+          val saltedSec = time(noop(graft.agg.Rollup.rollupSalted(turns)))
           println(s"CALIB skew cores=$cores rep=$r plain=$plainSec salted=$saltedSec")
         case "readonly" =>
           val sec = time {

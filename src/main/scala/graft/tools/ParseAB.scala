@@ -18,17 +18,12 @@ import graft.run.Pipeline
   */
 object ParseAB {
 
-  /** Round-2 rendering: plain projection, no barrier. */
-  private def parsePlain(df: DataFrame, config: ParseConfig): DataFrame = {
-    val ex = ParseStage.extract(col(config.sourceCol), config.patterns)
-    df.withColumn("_x", ex)
-      .withColumn("pattern", col("_x.pattern"))
-      .withColumn("parsed", col("_x.fields"))
-      .drop("_x")
-      .withColumn("_error",
-        when(col("pattern").isNull, lit(ParseStage.ErrorMessage))
-          .otherwise(lit(null: String)))
-  }
+  /** Round-2 rendering: plain projection, no barrier — THE production
+    * `barrier=false` path, not a copy of it: the A/B must measure
+    * exactly the shape the engine ships, or a ParseStage change makes
+    * the harness silently measure something else. */
+  private def parsePlain(df: DataFrame, config: ParseConfig): DataFrame =
+    ParseStage(df, config, barrier = false)
 
   private def exhaust(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

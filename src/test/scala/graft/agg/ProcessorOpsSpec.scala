@@ -332,6 +332,33 @@ class ProcessorOpsSpec extends SparkSpec {
     assert(m2 == Map("b" -> "v1", "c" -> "v2"))
   }
 
+  test("schema translation: a rename landing on an untouched key OVERWRITES it") {
+    import graft.enrich.SchemaTransform._
+    // {a→b} over a frame/map that ALREADY has b: the renamed value wins
+    // (pdata Remove+PutStr semantics) — keeping both would crash later
+    // references with ambiguous columns / DUPLICATED_MAP_KEY
+    val fam = Family("t", Seq(Revision("2.0.0", Map("a" -> "b"))))
+    val df = Seq((1, 2, 3)).toDF("a", "b", "z")
+    val up = translate(df, fam, "1.0.0", "2.0.0")
+    assert(up.columns.toSeq == Seq("b", "z"))
+    assert(up.select("b").head().getInt(0) == 1) // a's value won
+    // map-typed attrs: same overwrite, value-dependent (only when the
+    // SOURCE key is present in the row's map)
+    val both = Seq(1).toDF("i")
+      .select(map(lit("a"), lit("va"), lit("b"), lit("vb")).as("m"))
+    val got = both.select(translateAttrs(col("m"), fam, "1.0.0", "2.0.0").as("t"))
+      .head().getMap[String, String](0).toMap
+    assert(got == Map("b" -> "va"))
+    // source absent → untouched target survives with ITS value
+    val onlyB = Seq(1).toDF("i").select(map(lit("b"), lit("vb")).as("m"))
+    val kept = onlyB.select(translateAttrs(col("m"), fam, "1.0.0", "2.0.0").as("t"))
+      .head().getMap[String, String](0).toMap
+    assert(kept == Map("b" -> "vb"))
+    // a non-numeric version component errors WITH the version string
+    val bad = intercept[IllegalArgumentException] { versionKey("1.0.0-rc1") }
+    assert(bad.getMessage.contains("1.0.0-rc1"))
+  }
+
   test("redaction: re-redacting already-redacted attrs refreshes the audit (no dup keys)") {
     val cfg = Redaction.Config(allowAllKeys = false,
       allowedKeys = Seq("name", "card"), ignoredKeys = Seq("trace"),

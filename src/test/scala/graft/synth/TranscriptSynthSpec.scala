@@ -41,4 +41,15 @@ class TranscriptSynthSpec extends SparkSpec {
       .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
     assert(pats.keySet == Set("tool_call", "status", "kv", "null"))
   }
+
+  test("degenerate configs fail fast instead of emitting null conv_ids") {
+    // pmod(_, 0) is null — nConvs=0 would silently null a column the
+    // Turn schema declares non-nullable
+    intercept[IllegalArgumentException] {
+      TranscriptSynth.generate(spark, TranscriptSynth.Config(1000, 0))
+    }
+    intercept[IllegalArgumentException] {
+      TranscriptSynth.generate(spark, TranscriptSynth.Config(1000, 10, hotPct = 101))
+    }
+  }
 }
