@@ -242,7 +242,15 @@ object ConfigLoader {
       enrich match {
         case None => parsed
         case Some(e) =>
-          val dim = e.dimPath.map(spark.read.parquet(_))
+          // dedup an ARBITRARY user parquet on the join keys: the
+          // enrich is semantically a lookup, and duplicate dim keys
+          // would silently multiply every matching fact row through
+          // the join (first-by-key wins; dedup deliberately upstream
+          // for a deterministic pick). Built-in dims are statically
+          // unique, so EnrichStage itself stays dedup-free and its
+          // zero-shuffle tagging plans hold.
+          val dim = e.dimPath.map(p =>
+              spark.read.parquet(p).dropDuplicates(e.keys))
             .getOrElse(EnrichStage.dimTool(spark))
           val action = e.action match {
             case "insert" => EnrichAction.Insert

@@ -27,13 +27,15 @@ object EnrichStage {
     val factCols = df.columns.toSet
     // Prefix dim payload cols to avoid collision during the join.
     val prefixed = dimCols.foldLeft(dim) { (d, c) => d.withColumnRenamed(c, s"__dim_$c") }
-    // the dim is semantically a LOOKUP — the reference's attraction
-    // processor can never duplicate records, so a dim with two rows for
-    // one key (a user-supplied dim_path parquet is arbitrary) must not
-    // silently multiply fact rows through the join; first-by-key wins
-    // (dedup a dim deliberately for a deterministic pick)
-    val unique = prefixed.dropDuplicates(keys)
-    val joined = df.join(broadcast(unique), keys, "left")
+    // CONTRACT: the dim is semantically a LOOKUP (the reference's
+    // attraction processor can never duplicate records) — callers must
+    // pass a key-unique dim. The dedup is NOT done here: a
+    // dropDuplicates would put an exchange on the build side of every
+    // enrich plan (breaking the zero-shuffle tagging plans the gates
+    // pin) to defend built-in dims that are statically unique. The one
+    // arbitrary-input path (a user dim_path parquet) dedups at load in
+    // ConfigLoader.parseEnrich.
+    val joined = df.join(broadcast(prefixed), keys, "left")
     dimCols.foldLeft(joined) { (acc, c) =>
       val dimc = col(s"__dim_$c")
       val out = if (!factCols.contains(c)) dimc

