@@ -1452,6 +1452,21 @@ object SparkEntry {
       // codegen map; the only shuffle is the alphabet²-bounded pair agg
       TextAnalysis.bpeMergeCandidates(documents(s, dir), "text", topK = 20)),
 
+    "d45_bigram_lm" -> ((s, dir) =>
+      // add-one-smoothed bigram LM trained on the corpus, scoring each
+      // doc by summed floored log P(w2|w1) — the KenLM-proxy rung above
+      // d25's unigram frequency (catches shuffled/garbled token order).
+      // Bigram extraction is a narrow adjacent-pair map (no positional
+      // self-join); the model table broadcasts back over the corpus
+      TextAnalysis.bigramLmScore(documents(s, dir), "doc_id", "text")),
+
+    "e22_label_centroid_matrix" -> ((s, dir) =>
+      // vector-side mixture audit: per-label e6-integer centroids (one
+      // |labels|·dim-bounded shuffle) → pairwise centroid dot products +
+      // squared L2 — all bigint, so the panel replays bitwise in SQL
+      Similarity.labelCentroidMatrix(
+        s.read.parquet(s"$dir/embeddings.parquet"), "embedding", "label")),
+
     "p64_role_alternation" -> ((s, dir) =>
       // chat-format structural hygiene: adjacent same-role repeats +
       // opener legality, per conversation — the quarantine predicate an
@@ -3500,6 +3515,51 @@ object SparkEntry {
         |SELECT pair, CAST(count(*) AS BIGINT) AS n_occ
         |FROM p GROUP BY pair
         |ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin,
+
+    // bigram LM: DuckDB retrains the model independently — adjacent
+    // pairs via generate_series over the split array, context totals
+    // from the bigram frame, add-one V from the unigram vocabulary; the
+    // one float per MODEL entry is ln((c12+1)/(c1+V)) floored at e6,
+    // then integer-summed per doc (d25/d30 hazard class)
+    "d45_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
+        |  FROM documents WHERE text IS NOT NULL),
+        |big AS (SELECT doc_id, arr[CAST(g.i AS INT)] AS w1,
+        |    arr[CAST(g.i AS INT) + 1] AS w2
+        |  FROM d, unnest(generate_series(1, len(arr) - 1)) AS g(i)
+        |  WHERE len(arr) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(arr) AS tok FROM d)),
+        |model AS (SELECT w1, w2,
+        |    CAST(floor(1e6 * ln(CAST(c12 + 1 AS DOUBLE) /
+        |      (CAST(c1 AS DOUBLE) + v))) AS BIGINT) AS s_micro
+        |  FROM c12 JOIN c1 USING (w1), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(s_micro) AS BIGINT) AS logprob_micro
+        |FROM big JOIN model USING (w1, w2)
+        |GROUP BY doc_id""".stripMargin,
+
+    // label-centroid matrix: DuckDB recomputes the e6-integer centroids
+    // (exact sums, the e21 floor-division idiom) and the pairwise
+    // bigint dot/dist² — no floats anywhere, bitwise by construction
+    "e22_label_centroid_matrix" ->
+      """WITH x AS (SELECT label, d.jj - 1 AS j,
+        |    CAST(floor(1000000 * (embedding::DOUBLE[])[CAST(d.jj AS INT)])
+        |         AS BIGINT) AS x_e6
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS d(jj)
+        |  WHERE embedding IS NOT NULL),
+        |m AS (SELECT label, j,
+        |    CAST((sum(x_e6) - ((sum(x_e6) % count(*)) + count(*)) % count(*))
+        |         // count(*) AS BIGINT) AS mean_e6
+        |  FROM x GROUP BY label, j)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  CAST(sum(a.mean_e6 * b.mean_e6) AS BIGINT) AS dot_e12,
+        |  CAST(sum((a.mean_e6 - b.mean_e6) * (a.mean_e6 - b.mean_e6))
+        |       AS BIGINT) AS dist2_e12
+        |FROM m a JOIN m b ON a.j = b.j AND a.label < b.label
+        |GROUP BY a.label, b.label""".stripMargin,
 
     "p64_role_alternation" -> withT(
       """SELECT conv_id, count(*) AS n_turns,

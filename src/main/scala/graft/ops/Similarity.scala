@@ -549,4 +549,40 @@ object Similarity {
         call_function("div",
           sum("x_e6") - pmod(sum("x_e6"), count(lit(1))),
           count(lit(1))).as("mean_e6"))
+
+  /** Inter-group centroid geometry — the vector-side mixture audit: per
+    * label/source, the e6-integer centroid (exact order-free sums +
+    * floor-div means, the [[kmeansStep]] arithmetic keyed by label
+    * instead of cell), then for every label pair the centroid dot
+    * product and squared L2 distance — both pure bigint, so the whole
+    * panel replays bitwise in SQL. Answers "are my sources semantically
+    * distinct, and which two are collapsing?" before a mixture is
+    * committed — the embedding analog of the d35 duplication matrix.
+    *
+    * Scale shape: the corpus pass is a narrow posexplode map into ONE
+    * shuffle bounded by |labels|·dim (10^12 vectors reduce map-side to
+    * a few hundred rows); the pairwise stage is a self-join of that
+    * tiny frame on the dimension index — |labels|²·dim rows at most,
+    * never a corpus operation. Output: |labels|·(|labels|−1)/2 rows. */
+  def labelCentroidMatrix(df: DataFrame, vecCol: String,
+                          labelCol: String): DataFrame = {
+    val m = df.filter(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "x")))
+      .select(col("label"), col("j"),
+        floor(lit(1e6) * col("x")).cast("bigint").as("x_e6"))
+      .groupBy("label", "j")
+      .agg(call_function("div",
+        sum("x_e6") - pmod(sum("x_e6"), count(lit(1))),
+        count(lit(1))).as("mean_e6"))
+    val a = m.select(col("label").as("label_a"), col("j"),
+      col("mean_e6").as("ma"))
+    val b = m.select(col("label").as("label_b"), col("j"),
+      col("mean_e6").as("mb"))
+    a.join(b, Seq("j")).filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("ma") * col("mb")).as("dot_e12"),
+        sum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+          .as("dist2_e12"))
+  }
 }

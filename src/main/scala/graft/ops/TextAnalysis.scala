@@ -410,6 +410,61 @@ object TextAnalysis {
           .cast("bigint").as("logmeanfreq_micro"))
   }
 
+  /** Bigram-LM document quality score — the next rung above
+    * [[unigramFreqScore]] on the CCNet/KenLM ladder: an add-one-smoothed
+    * bigram language model trained ON the corpus itself, scoring each
+    * document by the summed log-probability of its adjacent token pairs
+    * P(w2|w1) = (C(w1,w2)+1) / (C(w1→·)+V). Repetitive/templated text
+    * scores high, shuffled or garbled text scores low even when every
+    * individual token is corpus-common — the failure mode the unigram
+    * proxy cannot see.
+    *
+    * Scale shape: bigram extraction is a zero-shuffle narrow map
+    * (adjacent pairs from the split array — no positional self-join);
+    * model training is ONE shuffle bounded by the bigram vocabulary
+    * (≪ corpus; the context totals and V reduce that frame, no second
+    * corpus pass); scoring re-joins the corpus to the `broadcast` model
+    * table — the 10^12-doc side never shuffles except the final 8-byte
+    * doc-key reduction. Same broadcast size contract as
+    * [[unigramFreqScore]]: a web-scale bigram table should be
+    * min-frequency cut by the caller first.
+    *
+    * Hash-stability (the d25/d30 contract): per-bigram scores floor to
+    * e6 integers BEFORE the per-doc sum, so the reduction is exact and
+    * order-free; the one inexact step is a single ln of a
+    * deterministically-computed double ratio per MODEL entry. Documents
+    * with fewer than two tokens have no bigrams and drop out — the same
+    * on both engines. */
+  def bigramLmScore(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val docs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+    // sequence(0, size-2) needs size ≥ 2: sequence(0, -1) would emit
+    // [0, -1] (Spark picks step -1 when start > stop), not empty
+    val big = docs.filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(_toks) - 2)," +
+          " i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))")).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // context totals C(w1→·) reduce the bigram frame — the sum over
+    // observed followers, NOT the unigram count (the last token of each
+    // doc opens no bigram); V is the full unigram vocabulary, the
+    // add-one denominator mass
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = docs.select(explode(col("_toks")).as("tok"))
+      .agg(count_distinct(col("tok")).cast("double").as("_v"))
+    val model = c12.join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        floor(lit(1e6) * log((col("c12") + lit(1L)).cast("double") /
+          (col("c1").cast("double") + col("_v"))))
+          .cast("bigint").as("s_micro"))
+    big.join(broadcast(model), Seq("w1", "w2"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("s_micro").as("logprob_micro"))
+  }
+
   /** Per-document top-k TF-IDF terms — the classic keyword/topic signal
     * a curation pipeline uses for domain tagging and mixture audits.
     * score(t, d) = tf(t, d) · ln(N / df(t)) with df = number of docs

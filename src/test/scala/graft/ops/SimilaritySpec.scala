@@ -481,6 +481,43 @@ class SimilaritySpec extends SparkSpec {
     step.unpersist()
   }
 
+  test("labelCentroidMatrix: hand-computed integer dot/dist², all pairs a<b") {
+    // exact-binary components so the e6 floors are unambiguous
+    val docs = Seq(
+      (1L, 0, Array(1.0, 0.0)), (2L, 0, Array(0.5, 0.5)), // centroid (750000, 250000)
+      (3L, 1, Array(0.0, 1.0)),                           // centroid (0, 1000000)
+      (4L, 2, Array(-0.25, -0.75))                        // centroid (-250000, -750000)
+    ).toDF("vec_id", "label", "vec")
+    val got = Similarity.labelCentroidMatrix(docs, "vec", "label")
+      .as[(Int, Int, Long, Long)].collect().toSet
+    def dot(a: (Long, Long), b: (Long, Long)) = a._1 * b._1 + a._2 * b._2
+    def d2(a: (Long, Long), b: (Long, Long)) = {
+      val (x, y) = (a._1 - b._1, a._2 - b._2); x * x + y * y
+    }
+    val c0 = (750000L, 250000L); val c1 = (0L, 1000000L)
+    val c2 = (-250000L, -750000L)
+    val want = Set(
+      (0, 1, dot(c0, c1), d2(c0, c1)),
+      (0, 2, dot(c0, c2), d2(c0, c2)),
+      (1, 2, dot(c1, c2), d2(c1, c2)))
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("labelCentroidMatrix: pair completeness and identical-label-distribution zero distance") {
+    val m = Similarity.labelCentroidMatrix(vectors
+      .withColumn("label", (col("vec_id") % 4).cast("int")), "embedding", "label")
+      .as[(Int, Int, Long, Long)].collect()
+    // every unordered label pair appears exactly once, a < b
+    assert(m.length == 6 && m.forall { case (a, b, _, _) => a < b })
+    // duplicating a label's rows under a new label yields an identical
+    // centroid → dist² = 0 against its twin
+    val twin = vectors.filter(col("vec_id") < 50).withColumn("label", lit(0))
+    val both = twin.union(twin.withColumn("label", lit(1)))
+    val z = Similarity.labelCentroidMatrix(both, "embedding", "label")
+      .as[(Int, Int, Long, Long)].head()
+    assert(z._4 == 0L, s"twin labels must be at distance 0, got ${z._4}")
+  }
+
   test("two-stage re-rank recall (e20 shape) >= raw PQ@10 recall (e11 shape)") {
     // the exactness argument the e20 query relies on, exercised on a
     // corpus where PQ loss is visible: recall(two-stage) reads the

@@ -237,6 +237,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._3 < out(1L)._3) // the quality ordering the cut relies on
   }
 
+  test("bigramLmScore: hand-computed smoothed bigram log-probs") {
+    val docs = Seq(
+      (1L, "a b a b"),     // bigrams (a,b) ×2, (b,a) ×1
+      (2L, "a b c"),       // (a,b), (b,c)
+      (3L, "z"),           // 1 token → no bigrams, drops out
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // corpus model: C(a,b)=3 C(b,a)=1 C(b,c)=1; contexts a→3, b→2;
+    // V = |{a,b,c,z}| = 4 (the 1-token doc still feeds the vocabulary)
+    def s(c12: Long, c1: Long): Long =
+      math.floor(1e6 * math.log((c12 + 1).toDouble / (c1.toDouble + 4.0))).toLong
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 3L, 2 * s(3, 3) + s(1, 2)),
+      (2L, 2L, s(3, 3) + s(1, 2)))
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("bigramLmScore: garbled token order scores below natural order") {
+    // same unigram bag in every doc — the unigram proxy is blind here;
+    // 9 docs share the (the,cat)(cat,sat) pattern, one doc reverses it
+    val natural = (1L to 9L).map(i => (i, "the cat sat"))
+    val garbled = Seq((10L, "sat cat the"))
+    val out = TextAnalysis.bigramLmScore(
+      (natural ++ garbled).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(10L) < out(1L),
+      s"garbled ${out(10L)} must score below natural ${out(1L)}")
+  }
+
   test("tfIdfTopTerms: hand-computed scores, score-desc/tok-asc ranking") {
     val docs = Seq(
       (1L, "a b a"),
