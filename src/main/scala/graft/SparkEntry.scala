@@ -1467,6 +1467,22 @@ object SparkEntry {
       Similarity.labelCentroidMatrix(
         s.read.parquet(s"$dir/embeddings.parquet"), "embedding", "label")),
 
+    "e23_embedding_hygiene" -> ((s, dir) =>
+      // vector ingestion validation: null / wrong-dim / NaN-Inf /
+      // all-zero counts in one narrow scan (array HOFs, no explode);
+      // the testdata is clean so every defect counter reads 0 — the
+      // spec plants one specimen of each defect to prove the detectors
+      Similarity.embeddingHygiene(
+        s.read.parquet(s"$dir/embeddings.parquet"), "embedding", dim = 64)),
+
+    "p68_periodic_loop_audit" -> ((s, dir) =>
+      // structural agent-loop detection: smallest whole-conversation
+      // template period (≥2 full cycles) + trailing stuck-run over
+      // digit-normalized templates; one conv-keyed aggregation, the
+      // checks are array HOFs over each conversation's bounded list
+      TextAnalysis.periodicLoopAudit(t(s, dir), "conv_id", "turn_idx",
+        "text")),
+
     "p64_role_alternation" -> ((s, dir) =>
       // chat-format structural hygiene: adjacent same-role repeats +
       // opener legality, per conversation — the quarantine predicate an
@@ -3560,6 +3576,60 @@ object SparkEntry {
         |       AS BIGINT) AS dist2_e12
         |FROM m a JOIN m b ON a.j = b.j AND a.label < b.label
         |GROUP BY a.label, b.label""".stripMargin,
+
+    // embedding hygiene: exact integer counters over one scan — DuckDB
+    // mirrors the lambda semantics (NULL lambda results drop from
+    // list_filter on both engines, so an all-null vector counts zero)
+    "e23_embedding_hygiene" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN embedding IS NOT NULL
+        |       AND len(embedding) != 64 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_wrong_dim,
+        |  CAST(sum(CASE WHEN embedding IS NOT NULL
+        |       AND len(list_filter(embedding,
+        |             x -> isnan(x) OR isinf(x))) > 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_nonfinite,
+        |  CAST(sum(CASE WHEN embedding IS NOT NULL
+        |       AND len(list_filter(embedding, x -> x != 0)) = 0
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM embeddings""".stripMargin,
+
+    // periodic loop audit: DuckDB rebuilds each conversation's ordered
+    // template list, then replays the p-periodicity checks (lateral
+    // generate_series over positions, IS DISTINCT FROM = the null-safe
+    // <=>) and the trailing stuck-run (max mismatch position vs the
+    // last template); convs too short for a p's window simply produce
+    // no candidate row and fall to period 0
+    "p68_periodic_loop_audit" -> withT(
+      """SELECT x.conv_id, x.n AS n_turns,
+        |  CAST(coalesce(pr.period, 0) AS INT) AS period,
+        |  x.n - coalesce(mm.m, 0) AS tail_run,
+        |  CASE WHEN coalesce(pr.period, 0) > 0 THEN 1 ELSE 0 END AS looping
+        |FROM x LEFT JOIN pr ON pr.conv_id = x.conv_id
+        |LEFT JOIN mm ON mm.conv_id = x.conv_id""".stripMargin,
+      extra = Seq(
+        """tt AS (SELECT conv_id, turn_idx,
+          |  regexp_replace(text, '[0-9]+', '0', 'g') AS tmpl
+          |  FROM transcripts)""".stripMargin,
+        """x AS (SELECT conv_id, list(tmpl ORDER BY turn_idx) AS arr,
+          |  count(*) AS n FROM tt GROUP BY conv_id)""".stripMargin,
+        """per AS (SELECT x.conv_id, pp.p,
+          |  CASE WHEN max(x.n) >= 2 * pp.p AND count(*) FILTER (
+          |    WHERE arr[CAST(i AS INT)] IS DISTINCT FROM
+          |          arr[CAST(i - pp.p AS INT)]) = 0
+          |  THEN 1 ELSE 0 END AS ok
+          |  FROM x, (VALUES (1), (2), (3), (4)) pp(p),
+          |    unnest(generate_series(pp.p + 1, x.n)) g(i)
+          |  GROUP BY x.conv_id, pp.p)""".stripMargin,
+        """pr AS (SELECT conv_id, min(p) AS period FROM per
+          |  WHERE ok = 1 GROUP BY conv_id)""".stripMargin,
+        """mm AS (SELECT x.conv_id,
+          |  max(CASE WHEN arr[CAST(i AS INT)] IS DISTINCT FROM
+          |        arr[CAST(x.n AS INT)] THEN i END) AS m
+          |  FROM x, unnest(generate_series(1, x.n)) g(i)
+          |  GROUP BY x.conv_id)""".stripMargin)),
 
     "p64_role_alternation" -> withT(
       """SELECT conv_id, count(*) AS n_turns,

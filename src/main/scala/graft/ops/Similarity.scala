@@ -550,6 +550,34 @@ object Similarity {
           sum("x_e6") - pmod(sum("x_e6"), count(lit(1))),
           count(lit(1))).as("mean_e6"))
 
+  /** Embedding ingestion hygiene — the validation gate every vector
+    * index build runs before committing a corpus: counts of null
+    * vectors, wrong-dimension vectors, vectors carrying any NaN/±Inf
+    * component, and all-zero vectors (which break cosine normalization
+    * and hash to degenerate LSH/IVF buckets). One narrow full scan into
+    * a single global aggregate — map-side partials, a one-row result,
+    * no shuffle payload beyond five counters per partition; the checks
+    * are array HOFs, no explode. All counts are exact integers, so the
+    * audit replays bitwise in SQL. */
+  def embeddingHygiene(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0, s"embeddingHygiene: dim must be positive, got $dim")
+    val v = col(vecCol)
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val nonfinite = expr(s"size(filter($vecCol, x -> isnan(x) " +
+      "OR x = cast('Infinity' as double) " +
+      "OR x = cast('-Infinity' as double))) > 0")
+    // null ELEMENTS drop from both filters (lambda null ≠ true) — an
+    // all-null vector therefore counts as zero-norm, matching SQL
+    val allZero = expr(s"size(filter($vecCol, x -> x != 0.0)) = 0")
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      cnt(v.isNull).as("n_null"),
+      cnt(v.isNotNull && size(v) =!= dim).as("n_wrong_dim"),
+      cnt(v.isNotNull && nonfinite).as("n_nonfinite"),
+      cnt(v.isNotNull && allZero).as("n_zero"))
+  }
+
   /** Inter-group centroid geometry — the vector-side mixture audit: per
     * label/source, the e6-integer centroid (exact order-free sums +
     * floor-div means, the [[kmeansStep]] arithmetic keyed by label

@@ -148,6 +148,56 @@ object TextAnalysis {
       .withColumn("loopy", col("dup_turn_frac_e4") > 3000)
   }
 
+  /** Periodic agent-loop audit — the structural upgrade of
+    * [[repeatedLineFraction]]: a duplicate-turn FRACTION cannot tell "a
+    * greeting repeated across a long conversation" from "the agent is
+    * cycling the same k turns forever". Per conversation, over
+    * digit-normalized turn templates in (conv, turn_idx) order, this
+    * reports (a) the smallest period p ≤ maxPeriod for which the WHOLE
+    * template sequence is p-periodic with at least two full cycles
+    * (0 = aperiodic) and (b) the trailing stuck-run: how many final
+    * turns share the last turn's template (re-emitting one turn is the
+    * most common agent-loop failure and needs no full periodicity).
+    *
+    * Scale design: ONE aggregation keyed by the high-cardinality
+    * conversation column (the [[repeatedLineFraction]] shuffle shape);
+    * the periodicity and tail-run checks are pure array HOFs over each
+    * conversation's bounded template list — no self-join, no window, no
+    * second pass. Null templates compare with null-safe equality so a
+    * run of null turns is a run, not a mismatch. */
+  def periodicLoopAudit(df: DataFrame, convCol: String, idxCol: String,
+                        textCol: String, maxPeriod: Int = 4): DataFrame = {
+    require(maxPeriod >= 1 && maxPeriod <= 16,
+      s"periodicLoopAudit: maxPeriod must be in [1,16], got $maxPeriod")
+    // p63's template convention: digits collapse so "step 7 of 9" and
+    // "step 8 of 9" cycle as one template
+    val tmpl = regexp_replace(col(textCol), "[0-9]+", "0")
+    val periodic = (1 to maxPeriod).map { p =>
+      // if() evaluates lazily per row — sequence(p, n-1) is only built
+      // when n ≥ 2p, so the descending-sequence trap (n-1 < p) can't fire
+      expr(s"if(n_turns >= ${2 * p}, " +
+        s"forall(sequence($p, cast(n_turns as int) - 1), " +
+        s"i -> _arr[i] <=> _arr[i - $p]), false)")
+    }
+    val period = periodic.zipWithIndex.foldRight(lit(0)) {
+      case ((c, i), els) => when(c, lit(i + 1)).otherwise(els)
+    }
+    // last mismatch position vs the final template (ascending fold keeps
+    // the max); -1 = every turn matches the last one
+    val tailRun = expr("cast(n_turns as int) - 1 - " +
+      "aggregate(sequence(0, cast(n_turns as int) - 1), -1, " +
+      "(acc, i) -> if(NOT(_arr[i] <=> _arr[cast(n_turns as int) - 1]), i, acc))")
+    df.select(col(convCol), col(idxCol).as("_i"), tmpl.as("_t"))
+      .groupBy(convCol)
+      .agg(expr("transform(array_sort(collect_list(struct(_i, _t))), s -> s._t)")
+        .as("_arr"))
+      .withColumn("n_turns", size(col("_arr")).cast("bigint"))
+      .select(col(convCol), col("n_turns"),
+        period.as("period"),
+        tailRun.cast("bigint").as("tail_run"),
+        when(period > 0, 1).otherwise(0).as("looping"))
+  }
+
   // ---- cross-corpus boilerplate ----
 
   /** Cross-document frequent word n-grams — the detection side of

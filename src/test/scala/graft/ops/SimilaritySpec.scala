@@ -481,6 +481,20 @@ class SimilaritySpec extends SparkSpec {
     step.unpersist()
   }
 
+  test("embeddingHygiene: one specimen of each defect is counted, clean rows are not") {
+    val rows = Seq(
+      (1L, null.asInstanceOf[Array[Float]]),        // null vector
+      (2L, Array(1.0f, 2.0f)),                      // wrong dim (2 of 3)
+      (3L, Array(Float.NaN, 1.0f, 0.0f)),           // NaN component
+      (4L, Array(0.0f, 0.0f, 0.0f)),                // all-zero
+      (5L, Array(1.0f, 2.0f, 3.0f)),                // clean
+      (6L, Array(Float.PositiveInfinity, 0.0f, 0.0f)) // Inf component
+    ).toDF("vec_id", "vec")
+    val got = Similarity.embeddingHygiene(rows, "vec", dim = 3)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((6L, 1L, 1L, 2L, 1L)), s"got $got")
+  }
+
   test("labelCentroidMatrix: hand-computed integer dot/dist², all pairs a<b") {
     // exact-binary components so the e6 floors are unambiguous
     val docs = Seq(

@@ -268,6 +268,37 @@ class TextAnalysisSpec extends SparkSpec {
       s"garbled ${out(10L)} must score below natural ${out(1L)}")
   }
 
+  test("periodicLoopAudit: period detection, stuck tail-run, digit normalization") {
+    val turns = Seq(
+      // 2-cycle over digit-normalized templates ("step 1"≡"step 3")
+      ("A", 0, "step 1"), ("A", 1, "go 2"), ("A", 2, "step 3"), ("A", 3, "go 4"),
+      ("B", 0, "same"), ("B", 1, "same"), ("B", 2, "same"), // period 1
+      ("C", 0, "x"), ("C", 1, "y"), ("C", 2, "z"),          // aperiodic
+      ("D", 0, "x"), ("D", 1, "y"), ("D", 2, "y"),          // stuck tail only
+      ("E", 0, "solo"),                                     // 1 turn
+      ("F", 0, "x"), ("F", 1, "y"), ("F", 2, "x")           // p2 needs ≥2 cycles
+    ).toDF("conv_id", "turn_idx", "text")
+    val got = TextAnalysis.periodicLoopAudit(turns, "conv_id", "turn_idx", "text")
+      .as[(String, Long, Int, Long, Int)].collect().toSet
+    val want = Set(
+      ("A", 4L, 2, 1L, 1),
+      ("B", 3L, 1, 3L, 1),
+      ("C", 3L, 0, 1L, 0),
+      ("D", 3L, 0, 2L, 0),
+      ("E", 1L, 0, 1L, 0),
+      ("F", 3L, 0, 1L, 0))
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("periodicLoopAudit: null turns run null-safe (a null run is a run)") {
+    val turns = Seq(
+      ("N", 0, null.asInstanceOf[String]), ("N", 1, null.asInstanceOf[String])
+    ).toDF("conv_id", "turn_idx", "text")
+    val got = TextAnalysis.periodicLoopAudit(turns, "conv_id", "turn_idx", "text")
+      .as[(String, Long, Int, Long, Int)].head()
+    assert(got == (("N", 2L, 1, 2L, 1)), s"got $got")
+  }
+
   test("tfIdfTopTerms: hand-computed scores, score-desc/tok-asc ranking") {
     val docs = Seq(
       (1L, "a b a"),
