@@ -472,10 +472,15 @@ object TextAnalysis {
     * Scale shape: bigram extraction is a zero-shuffle narrow map
     * (adjacent pairs from the split array — no positional self-join);
     * model training is ONE shuffle bounded by the bigram vocabulary
-    * (≪ corpus; the context totals and V reduce that frame, no second
-    * corpus pass); scoring re-joins the corpus to the `broadcast` model
-    * table — the 10^12-doc side never shuffles except the final 8-byte
-    * doc-key reduction. Same broadcast size contract as
+    * (≪ corpus; the context totals reduce that frame); scoring re-joins
+    * the corpus to the `broadcast` model table — the 10^12-doc side
+    * never shuffles except the final 8-byte doc-key reduction. The
+    * corpus LINEAGE (scan + split) runs three times per action — the
+    * count pass, the vocabulary pass (V must see last/lone tokens that
+    * open no bigram, so it cannot derive from the bigram frame), and
+    * the scoring pass; each is a narrow single-column scan, and a
+    * caller with memory to spare can persist the tokenized frame to
+    * collapse them. Same broadcast size contract as
     * [[unigramFreqScore]]: a web-scale bigram table should be
     * min-frequency cut by the caller first.
     *
