@@ -34,6 +34,14 @@ object SparkEntry {
   private def withT(body: String, extra: Seq[String] = Nil): String =
     (Transcripts.OracleCte +: extra).mkString("", ",\n", "\n") + body
 
+  /** p69's DuckDB occurrence expression, generated from the SAME phrase
+    * bank the Spark side folds over — one definition, no drift. */
+  private def refusalOccSql: String =
+    graft.ops.TextAnalysis.DefaultRefusalPhrases.map { p =>
+      val esc = p.replace("'", "''")
+      s"(length(lt) - length(replace(lt, '$esc', ''))) // ${p.length}"
+    }.mkString(" + ")
+
   private def t(s: SparkSession, dir: String): DataFrame = Transcripts.fromEvents(s, dir)
   private def parsedT(s: SparkSession, dir: String): DataFrame =
     ParseStage(t(s, dir), Pipeline.parseConfig)
@@ -1482,6 +1490,14 @@ object SparkEntry {
       // checks are array HOFs over each conversation's bounded list
       TextAnalysis.periodicLoopAudit(t(s, dir), "conv_id", "turn_idx",
         "text")),
+
+    "p69_refusal_audit" -> ((s, dir) =>
+      // over-refusal rate per conversation: assistant turns hitting the
+      // refusal-phrase bank, total hits, integer-permille rate — the
+      // (len − len(replace))/len(phrase) codegen idiom, one conv-keyed
+      // aggregation; the oracle's occ expression is GENERATED from the
+      // same phrase bank so the two can't drift
+      TextAnalysis.refusalAudit(t(s, dir), "conv_id", "role", "text")),
 
     "p64_role_alternation" -> ((s, dir) =>
       // chat-format structural hygiene: adjacent same-role repeats +
@@ -3630,6 +3646,29 @@ object SparkEntry {
           |        arr[CAST(x.n AS INT)] THEN i END) AS m
           |  FROM x, unnest(generate_series(1, x.n)) g(i)
           |  GROUP BY x.conv_id)""".stripMargin)),
+
+    // refusal audit: the occ expression below is GENERATED from
+    // TextAnalysis.DefaultRefusalPhrases (see refusalOccSql) so the
+    // Spark bank and the oracle bank are one definition
+    "p69_refusal_audit" -> withT(
+      """SELECT conv_id,
+        |  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_assistant,
+        |  CAST(sum(CASE WHEN role = 'assistant' AND occ > 0
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_refusal_turns,
+        |  CAST(sum(CASE WHEN role = 'assistant' THEN occ END)
+        |       AS BIGINT) AS n_refusal_hits,
+        |  CASE WHEN sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) > 0
+        |    THEN CAST((sum(CASE WHEN role = 'assistant' AND occ > 0
+        |           THEN 1 ELSE 0 END) * 1000) //
+        |         sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+        |         AS BIGINT)
+        |    ELSE 0 END AS refusal_permille
+        |FROM o GROUP BY conv_id""".stripMargin,
+      extra = Seq(
+        s"""o AS (SELECT conv_id, role, $refusalOccSql AS occ
+           |  FROM (SELECT conv_id, role, lower(text) AS lt
+           |        FROM transcripts))""".stripMargin)),
 
     "p64_role_alternation" -> withT(
       """SELECT conv_id, count(*) AS n_turns,

@@ -198,6 +198,51 @@ object TextAnalysis {
         when(period > 0, 1).otherwise(0).as("looping"))
   }
 
+  /** Default refusal-phrase bank (public boilerplate-refusal markers;
+    * lowercase, matched as literal substrings). */
+  val DefaultRefusalPhrases: Seq[String] = Seq(
+    "i cannot", "i can't", "i won't", "i am unable", "i'm unable",
+    "as an ai", "i'm sorry, but")
+
+  /** Refusal/compliance audit — the over-refusal filter an SFT ingest
+    * applies: per conversation, how many assistant turns contain a
+    * refusal-boilerplate phrase, total phrase hits, and the refusal
+    * rate in integer permille. Conversations where the assistant
+    * reflexively refuses teach the model to refuse; ones with zero
+    * refusals on harmful prompts are a separate (labelled) concern —
+    * this op surfaces the rate, the policy sits with the caller.
+    *
+    * Scale design: occurrence counting is the pure-codegen
+    * (len − len(replace))/len(phrase) idiom on the lowered text —
+    * exact integers, no regex, no explode — folded over the phrase
+    * bank in one projection; then ONE aggregation keyed by the
+    * high-cardinality conversation column. Null assistant texts count
+    * as turns but score no hits (null-skipping sums on both engines). */
+  def refusalAudit(df: DataFrame, convCol: String, roleCol: String,
+                   textCol: String,
+                   phrases: Seq[String] = DefaultRefusalPhrases): DataFrame = {
+    require(phrases.nonEmpty, "refusalAudit: phrase bank must be non-empty")
+    require(phrases.forall(p => p.nonEmpty && p == p.toLowerCase),
+      "refusalAudit: phrases must be non-empty and lowercase")
+    val lt = lower(col(textCol))
+    val occ = phrases.map { p =>
+      call_function("div",
+        (length(lt) - length(call_function("replace", lt, lit(p), lit(""))))
+          .cast("bigint"),
+        lit(p.length.toLong))
+    }.reduce(_ + _)
+    val isAssist = col(roleCol) === "assistant"
+    df.groupBy(convCol)
+      .agg(
+        sum(when(isAssist, 1L).otherwise(0L)).as("n_assistant"),
+        sum(when(isAssist && occ > 0, 1L).otherwise(0L)).as("n_refusal_turns"),
+        sum(when(isAssist, occ)).as("n_refusal_hits"))
+      .withColumn("refusal_permille",
+        when(col("n_assistant") > 0,
+          call_function("div", col("n_refusal_turns") * lit(1000L),
+            col("n_assistant"))).otherwise(0L))
+  }
+
   // ---- cross-corpus boilerplate ----
 
   /** Cross-document frequent word n-grams — the detection side of

@@ -290,6 +290,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("refusalAudit: phrase hits, turn counts, permille rate, null/absent assistant") {
+    val turns = Seq(
+      // conv R: one refusing assistant turn (2 hits), one clean one
+      ("R", "user", "please do the thing"),
+      ("R", "assistant", "I cannot do that. I CANNOT comply."),
+      ("R", "assistant", "sure thing"),
+      // conv S: no assistant turns at all
+      ("S", "user", "hello"),
+      // conv T: assistant with null text — a turn, but no hits
+      ("T", "assistant", null.asInstanceOf[String]),
+      // conv U: two distinct phrases in one turn
+      ("U", "assistant", "i'm unable to help and i am unable to continue")
+    ).toDF("conv_id", "role", "text")
+    val got = TextAnalysis.refusalAudit(turns, "conv_id", "role", "text")
+      .as[(String, Long, Long, Option[Long], Long)].collect().toSet
+    val want = Set(
+      ("R", 2L, 1L, Some(2L), 500L),
+      ("S", 0L, 0L, None, 0L),
+      ("T", 1L, 0L, None, 0L),
+      ("U", 1L, 1L, Some(2L), 1000L))
+    assert(got == want, s"got $got want $want")
+  }
+
   test("periodicLoopAudit: null turns run null-safe (a null run is a run)") {
     val turns = Seq(
       ("N", 0, null.asInstanceOf[String]), ("N", 1, null.asInstanceOf[String])
