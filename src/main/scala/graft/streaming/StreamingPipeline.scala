@@ -132,6 +132,9 @@ object StreamingPipeline {
     * silently restarting its running sum. */
   def deltaToCumulativeStream(points: Dataset[MetricPoint], lateness: String,
                               maxStaleMs: Long): Dataset[CumulativePoint] = {
+    require(maxStaleMs > 0, s"maxStaleMs must be positive, got $maxStaleMs"
+      + " (zero/negative would evict live series or set timeouts at/behind"
+      + " the watermark, killing the query)")
     import points.sparkSession.implicits._
     points.withWatermark("ts", lateness)
       .groupByKey(_.series)
@@ -177,6 +180,9 @@ object StreamingPipeline {
     * restart-on-stale). */
   def cumulativeToDeltaStream(points: Dataset[MetricPoint], lateness: String,
                               maxStaleMs: Long): Dataset[DeltaPoint] = {
+    require(maxStaleMs > 0, s"maxStaleMs must be positive, got $maxStaleMs"
+      + " (zero/negative would evict live series or set timeouts at/behind"
+      + " the watermark, killing the query)")
     import points.sparkSession.implicits._
     points.withWatermark("ts", lateness)
       .groupByKey(_.series)
@@ -219,6 +225,9 @@ object StreamingPipeline {
     * rendering's dt=0 null. */
   def deltaToRateStream(points: Dataset[MetricPoint], lateness: String,
                         maxStaleMs: Long): Dataset[RatePoint] = {
+    require(maxStaleMs > 0, s"maxStaleMs must be positive, got $maxStaleMs"
+      + " (zero/negative would evict live series or set timeouts at/behind"
+      + " the watermark, killing the query)")
     import points.sparkSession.implicits._
     points.withWatermark("ts", lateness)
       .groupByKey(_.series)
@@ -358,13 +367,30 @@ object StreamingPipeline {
             else {
               val keep = policy(st.buf)
               state.update(TailState(Vector.empty, st.firstMs, decided = true, keep))
-              state.setTimeoutTimestamp(aboveWatermark(st.firstMs + 2 * decisionWaitMs))
+              // purge one decisionWaitMs after the DECISION, which fires
+              // at ≈ the watermark — anchoring at firstMs + 2·wait would
+              // clamp to watermark+1 whenever the watermark jumped past
+              // it in one batch, purging the verdict on the very next
+              // batch and re-opening the conversation for a second
+              // independent decision
+              state.setTimeoutTimestamp(aboveWatermark(
+                math.max(state.getCurrentWatermarkMs(),
+                  st.firstMs + decisionWaitMs) + decisionWaitMs))
               if (keep) st.buf.sortBy(_.turn_idx).iterator else Iterator.empty
             }
           } else {
             val incoming = rows.toVector
             state.getOption match {
               case Some(st) if st.decided => // cached verdict: forward or drop
+                // GroupState clears the timeout on EVERY invocation — a
+                // return without re-arming would leave this cache entry
+                // in the state store forever. Re-arm one decisionWaitMs
+                // past "now" (watermark / newest straggler): each
+                // post-decision turn extends the cache's life, and the
+                // entry self-purges once stragglers stop
+                state.setTimeoutTimestamp(aboveWatermark(
+                  math.max(state.getCurrentWatermarkMs(),
+                    incoming.iterator.map(_.ts.getTime).max) + decisionWaitMs))
                 if (st.keep) incoming.sortBy(_.turn_idx).iterator else Iterator.empty
               case prev =>
                 val firstMs = prev.map(_.firstMs)
@@ -373,14 +399,17 @@ object StreamingPipeline {
                 val out = Vector.newBuilder[Turn]
                 var decidedEarly = false
                 var keepEarly = false
-                // max event time of the WHOLE buffer (earlier batches
-                // included), captured before the buffer is cleared —
-                // the current batch alone can be all-late rows with
-                // timestamps far behind what round 1 buffered
-                val bufMaxMs = buf.iterator.map(_.ts.getTime).max
+                var bufMaxMs = 0L
                 if (buf.size >= maxBuffer) { // forced early decision
                   decidedEarly = true
                   keepEarly = policy(buf)
+                  // max event time of the WHOLE buffer (earlier batches
+                  // included), captured before the buffer is cleared —
+                  // the current batch alone can be all-late rows far
+                  // behind what round 1 buffered. Computed only on this
+                  // rare path: the O(buffer) scan must not run on every
+                  // micro-batch of a 100k-turn hot conversation
+                  bufMaxMs = buf.iterator.map(_.ts.getTime).max
                   if (keepEarly) out ++= buf.sortBy(_.turn_idx)
                   buf = Vector.empty
                 }
@@ -428,13 +457,28 @@ object StreamingPipeline {
             else {
               state.update(TailState(Vector.empty, st.firstMs, decided = true,
                 keep = false))
-              state.setTimeoutTimestamp(aboveWatermark(st.firstMs + 2 * waitMs))
+              // marker purges one waitMs after the RELEASE (≈ the
+              // watermark when this timeout fired) — the firstMs + 2·wait
+              // anchor can already be behind a watermark that jumped,
+              // which would purge the marker next batch and let a
+              // straggler re-open the conversation as a spurious second
+              // session (tailSample has the same discipline)
+              state.setTimeoutTimestamp(aboveWatermark(
+                math.max(state.getCurrentWatermarkMs(),
+                  st.firstMs + waitMs) + waitMs))
               emit(convId, st.buf)
             }
           } else {
             val incoming = rows.toVector
             state.getOption match {
-              case Some(st) if st.decided => Iterator.empty // released: late turns drop
+              case Some(st) if st.decided =>
+                // released: late turns drop — but GroupState cleared the
+                // marker's timeout on this invocation; re-arm it or the
+                // marker row leaks in the state store forever
+                state.setTimeoutTimestamp(aboveWatermark(
+                  math.max(state.getCurrentWatermarkMs(),
+                    incoming.iterator.map(_.ts.getTime).max) + waitMs))
+                Iterator.empty
               case prev =>
                 val firstMs = prev.map(_.firstMs)
                   .getOrElse(incoming.iterator.map(_.ts.getTime).min)
@@ -531,7 +575,22 @@ object StreamingPipeline {
   /** The per-edge aggregate the connector flushes
     * (`aggregateMetricsForEdge`): request count + failed count per
     * (client, server, connection_type) pair, windowed on the edge's
-    * event time. Feed it [[serviceGraph]]'s output. */
+    * event time. Feed it [[serviceGraph]]'s output.
+    *
+    * WATERMARK CONTRACT (streaming): this stage re-watermarks the
+    * derived `edge_ts`, whose watermark is computed from OBSERVED edge
+    * timestamps. [[serviceGraph]]'s expired halves emit structurally
+    * LATE — an expired client half surfaces only once the join
+    * watermark passes client_ts + ttl, so its edge_ts trails the fresh
+    * completes by ~ttl. Chained directly onto a live [[serviceGraph]]
+    * stream with `lateness` equal to the join's, those expired rows
+    * would be silently discarded as late records. Deploy it the way the
+    * reference deploys the connector — edges land in a sink (store
+    * flush) and this aggregate runs over that edge stream/table — and
+    * size THIS stage's `lateness` ≥ join lateness + ttl so the
+    * timeout bucket survives the late-record filter. In batch (the
+    * p56 differential and the oracle) withWatermark is a no-op and
+    * every bucket aggregates exactly. */
   def serviceGraphMetrics(edges: DataFrame, windowDur: String,
                           lateness: String): DataFrame =
     edges

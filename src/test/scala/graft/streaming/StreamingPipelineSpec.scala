@@ -202,6 +202,47 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tail sampling decided cache: post-decision turns re-arm the purge (no state leak)") {
+    // GroupState clears the timeout on EVERY invocation — before the
+    // fix, a post-decision turn left the cached verdict armed with NO
+    // timeout, leaking one state row per straggler-touched conversation
+    // for the life of the query. Observable: the final state-store row
+    // count (the leaked entry survives every later watermark advance).
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val kept = StreamingPipeline.tailSample(
+      mem.toDS(), "0 seconds", decisionWaitMs = 2 * 60000L,
+      StreamingPipeline.streamErrorPolicy)
+    val q = kept.writeStream.format("memory").queryName("tailleak")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(turn("c1", 0, 1, "ERROR boom")) // decision deadline min 3
+      q.processAllAvailable()
+      mem.addData(turn("a0", 0, 10, "advance")) // wm → 10
+      q.processAllAvailable()
+      mem.addData(turn("a0", 1, 11, "advance")) // c1 decides KEEP; purge ~12
+      q.processAllAvailable()
+      // two post-decision turns: each must forward AND re-arm the purge
+      mem.addData(turn("c1", 1, 12, "late1"))
+      q.processAllAvailable()
+      mem.addData(turn("c1", 2, 20, "late2")) // re-arms purge to ~min 22
+      q.processAllAvailable()
+      mem.addData(turn("a1", 0, 30, "advance")) // wm → 30, past every purge
+      q.processAllAvailable()
+      mem.addData(turn("a1", 1, 31, "advance")) // purge batch: c1 + a0 evict
+      q.processAllAvailable()
+      val outs = spark.table("tailleak").as[Turn].collect()
+      assert(outs.count(_.conv_id == "c1") == 3,
+        s"cached KEEP verdict must forward both late turns: ${outs.toSeq}")
+      assert(!outs.exists(_.conv_id == "a0")) // plain conv dropped
+      // only a1's undecided buffer may remain: c1's cache (touched by
+      // stragglers — the leak case) and a0's cache must both have purged
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows == 1L,
+        s"expected only a1's buffer in state, got $stateRows rows (leak)")
+    } finally q.stop()
+  }
+
   test("groupbytrace fixed wait_duration: releases one gathered session, deadline not extended") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Turn]
