@@ -23,7 +23,7 @@ import graft.synth.TranscriptSynth
   *     per-query wall cap → -4.
   *
   * BUDGET PROTOCOL (round-1 shipped rc=124 with nothing parsed): the
-  * whole run honors `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 420s of
+  * whole run honors `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 450s of
   * in-main time), quiet-gating is capped globally, and the contract
   * line is printed IMMEDIATELY after the headline measurement, then
   * re-printed enriched after each optional phase — every line is a
@@ -97,18 +97,19 @@ object Bench {
   // ---- global wall-clock budget ----
   private val wallStart = System.nanoTime()
   private def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
-  private var budgetSec: Double = 420.0
+  private var budgetSec: Double = 450.0 // main() overwrites from the env
   private def remainingSec: Double = budgetSec - elapsedSec
 
   /** 1-minute load average of the host (ambient-noise indicator). */
   private def loadAvg(): Double =
-    try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
-      .split(" ")(0).toDouble
-    catch { case _: Throwable => 0.0 }
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => 0.0 }
 
   /** Wait for the shared host to go quiet before a probe — ambient load
     * is strictly additive noise, so sampling quiet windows is unbiased.
-    * Globally capped (60s cumulative across the whole run) and never
+    * Globally capped (40s cumulative across the whole run) and never
     * allowed to eat the remaining budget. */
   private var quietSpentSec: Double = 0.0
   private def awaitQuiet(threshold: Double = 2.0): Unit = {
@@ -128,13 +129,16 @@ object Bench {
     * manual commands minutes later ran fine — pin where it's quiet NOW,
     * not where tenants "usually" aren't. */
   private def idlestCores(n: Int): Seq[Int] = {
-    def snap(): Map[Int, (Long, Long)] =
-      scala.io.Source.fromFile("/proc/stat").getLines()
+    def snap(): Map[Int, (Long, Long)] = {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines()
         .filter(l => l.startsWith("cpu") && l.length > 3 && l(3).isDigit)
         .map { l =>
           val p = l.split("\\s+")
           (p(0).drop(3).toInt, (p(4).toLong, p.drop(1).map(_.toLong).sum))
         }.toMap
+      finally src.close()
+    }
     try {
       val a = snap(); Thread.sleep(700); val b = snap()
       b.keys.toSeq.map { c =>
@@ -189,7 +193,10 @@ object Bench {
       // HARD wall cap: under pathological ambient load a single pinned
       // 8M-turn pass has been observed >200 s — an unbounded child here
       // once pushed the whole bench past the driver timeout
-      val capSec = math.max(60.0, math.min(capOverrideSec, remainingSec - 60.0))
+      // floor 15 s (not 60): a 60 s floor silently defeated every
+      // capOverrideSec below it (the rescue's 45 s fail-fast was dead
+      // code) and overrode the remaining-budget clamp on tight tails
+      val capSec = math.max(15.0, math.min(capOverrideSec, remainingSec - 60.0))
       val drain = new Thread(() => { // avoid pipe-buffer deadlock
         try probeOut.set(new String(p.getInputStream.readAllBytes()))
         catch { case _: Throwable => }
@@ -329,7 +336,10 @@ object Bench {
     // 790k-1.02M turns/s. A min-over-reps below the FLOOR is not this
     // engine on a quiet host (round 3 shipped 139k/s from a co-tenant
     // memory-bandwidth storm) — flag it for an end-of-budget retry.
-    def headlinePolluted: Boolean = thr32 < 320000L
+    // calibrated for the 8M input: at the 1M-turn clamp the ~2-3 s
+    // fixed per-job cost alone pushes a QUIET pass under the floor, and
+    // the retry phase could never clear the flag — gate on size
+    def headlinePolluted: Boolean = nTurns >= 4000000L && thr32 < 320000L
 
     // Flush the headline's sink writeback and re-warm the probe inputs
     // BEFORE any child probe runs: the e2e reps just wrote gigabytes to
@@ -346,13 +356,17 @@ object Bench {
       Seq(probePathOf(nProbe), probePathOf(nProbeSmall)).distinct.foreach { p =>
         try {
           val dir = Paths.get(p)
-          if (Files.exists(dir)) Files.list(dir).forEach { f =>
-            if (f.toString.endsWith(".parquet")) {
-              val in = Files.newInputStream(f)
-              val buf = new Array[Byte](1 << 20)
-              while (in.read(buf) > 0) {}
-              in.close()
-            }
+          if (Files.exists(dir)) {
+            val ls = Files.list(dir)
+            try ls.forEach { f =>
+              if (f.toString.endsWith(".parquet")) {
+                val in = Files.newInputStream(f)
+                try {
+                  val buf = new Array[Byte](1 << 20)
+                  while (in.read(buf) > 0) {}
+                } finally in.close()
+              }
+            } finally ls.close()
           }
         } catch { case _: Throwable => }
       }
@@ -531,12 +545,17 @@ object Bench {
       // for the rescue/scale-point phases exactly when the host is the
       // problem (run-4 trace: the 3rd loaded rep pushed the pair cost
       // to 172 s and starved the rescue by 18 s)
+      probeOut.set("") // a held-both attempt must not show a stale child tail
       val heldN = sideBest.contains((probeSize, 2))
-      val pN = sideBest.get((probeSize, 2)).orElse {
+      // the clean flag travels WITH the value: a salvaged (wall-capped,
+      // storm-inflated) 2-core reading must never pair with a clean
+      // 8-core side — that OVERSTATES the ratio and (being >= 0.8)
+      // suppresses the rescue phase; held sides are clean by construction
+      val pN = sideBest.get((probeSize, 2)).map(v => (v._1, v._2, true)).orElse {
         val r = probe(2, sizePath, repBudgetSec = if (bigProbe) 34 else 40,
           maxReps = 3, capOverrideSec = if (bigProbe) 95.0 else 65.0)
         r.foreach(holdSide(probeSize, 2, _))
-        r.map(t => (t._1, t._2))
+        r
       }
       val tNdur = elapsedSec - t0
       // skip the 4N side when the N side was killed by pollution (its
@@ -548,11 +567,11 @@ object Bench {
       // reserve-sized guard here skipped the 4N side of a GOOD pair).
       val held4 = sideBest.contains((probeSize, 8))
       val p4N = if ((pN.isDefined || tNdur < 10) && remainingSec > 90)
-        sideBest.get((probeSize, 8)).orElse {
+        sideBest.get((probeSize, 8)).map(v => (v._1, v._2, true)).orElse {
           val r = probe(8, sizePath, repBudgetSec = if (bigProbe) 30 else 25,
             maxReps = 4, capOverrideSec = 65.0)
           r.foreach(holdSide(probeSize, 8, _))
-          r.map(t => (t._1, t._2))
+          r
         } else None
       // one status line per attempt: the round-3 sf0.1 run shipped
       // `scaling: null` with zero clues — child-probe failures must be
@@ -564,8 +583,13 @@ object Bench {
         s" load=${loadAvg()} childTail=" +
         probeOut.get.takeRight(160).replaceAll("[\\r\\n]", " | "))
       (pN, p4N) match {
+        // a salvaged N side (clean=false) would overstate eff when paired
+        // with a clean 4N side — drop the pair and let the loop retry.
+        // A salvaged 4N side only UNDERSTATES (conservative): keep it.
+        case (Some(tN), Some(_)) if !tN._3 =>
+          println(s"PROBE_STATUS salvaged_n_discarded attempt=$attempts")
         case (Some(tN), Some(t4N)) =>
-          pairs += ((tN, t4N))
+          pairs += (((tN._1, tN._2), (t4N._1, t4N._2)))
           // persist the pair IMMEDIATELY: round 3's kept artifact had
           // scaling:null because the run was cut after a good pair was
           // measured but before the post-loop emit — every later line
@@ -587,10 +611,15 @@ object Bench {
     if (pairs.isEmpty && remainingSec > 70) {
       val fallbackPath = probePathOf(nProbeSmall)
       def inProc(cores: Int): Double = {
+        // try/finally: a leaked SparkContext here would be silently
+        // REUSED by every later session() call (getOrCreate ignores the
+        // new master once a context lives), pinning the headline retry
+        // and the scale point to the wrong core count
         val s2 = session(cores)
-        computeOnly(s2, s2.read.parquet(fallbackPath).limit(50000))
-        val sec = time(computeOnly(s2, s2.read.parquet(fallbackPath)))
-        s2.stop(); sec
+        try {
+          computeOnly(s2, s2.read.parquet(fallbackPath).limit(50000))
+          time(computeOnly(s2, s2.read.parquet(fallbackPath)))
+        } finally s2.stop()
       }
       try {
         probeSize = nProbeSmall
@@ -635,6 +664,8 @@ object Bench {
           s" n=${pN.map(_._1).getOrElse(-1.0)} n4=${p4N.map(_._1).getOrElse(-1.0)}" +
           s" load=${loadAvg()}")
         (pN, p4N) match {
+          case (Some(a), Some(_)) if !a._3 =>
+            println("PROBE_STATUS rescue_salvaged_n_discarded")
           case (Some(a), Some(b)) =>
             pairs += (((a._1, a._2), (b._1, b._2)))
             val js = scalingJsons()
@@ -729,9 +760,17 @@ object Bench {
       }
     val scalePoint =
       if (remainingSec < 55.0) cachedScalePoint
-      else try {
-        val s2 = session(cpus)
+      else {
+      var s2opt: Option[SparkSession] = None
+      try {
+        val s2 = session(cpus); s2opt = Some(s2)
         val docs10x = s"$outRoot/docs10x_v2"
+        // the cold-start corpus build + count were the ONE uncapped step
+        // in a phase whose own rule is "never push the run past the
+        // driver timeout" — a storm-stretched first-run build otherwise
+        // blows the tail before any capped section runs
+        var nDocs = 0L
+        val buildSec = timeCapped(s2, "scale_point_build", {
         if (!Files.exists(Paths.get(docs10x, "_SUCCESS"))) {
           val base = s2.read.parquet(s"$sfDir/documents.parquet")
             .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -750,7 +789,10 @@ object Bench {
             .repartition(cpus)
             .write.mode("overwrite").parquet(docs10x)
         }
-        val nDocs = s2.read.parquet(docs10x).count()
+        nDocs = s2.read.parquet(docs10x).count()
+        }, capSec = math.min(120.0, remainingSec - 35.0))
+        if (buildSec < 0)
+          throw new RuntimeException(s"corpus build/count capped ($buildSec)")
         // quiet-gating only with slack to spare — on a tight tail the
         // remaining budget must go to the measurement, not the gate
         if (remainingSec > 140) awaitQuiet()
@@ -820,7 +862,6 @@ object Bench {
               scaleDf, docsSrc, "doc_id", "source").count()
           }, capSec = math.min(60.0, remainingSec - 15.0))
         scaleDf.unpersist()
-        s2.stop()
         if (sec < 0) cachedScalePoint
         else {
           val j = s"""{"name":"$name","n_docs":$scaleDocs,""" +
@@ -845,6 +886,11 @@ object Bench {
         println(s"SCALE_POINT_ERR ${t.getClass.getName}: " +
           String.valueOf(t.getMessage).take(200))
         cachedScalePoint
+      } finally {
+        // a leaked context would be REUSED (wrong core count) by any
+        // later session() call — same discipline as inProc
+        s2opt.foreach(x => try x.stop() catch { case _: Throwable => })
+      }
       }
     emit(scalingJson, qs, scalingCompact, qSummary, scalePoint)
   }
@@ -859,7 +905,13 @@ object Bench {
         s.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
         val sec = time(f)
         done.complete(sec)
-      } catch { case _: Throwable => done.complete(-1.0) }
+      } catch { case e: Throwable =>
+        // a bare -1 with zero clues cost six runs of scale_point:null
+        // before SCALE_POINT_ERR existed — same rule for queries
+        println(s"QUERY_ERR $name ${e.getClass.getName}: " +
+          String.valueOf(e.getMessage).take(160))
+        done.complete(-1.0)
+      }
       finally s.sparkContext.clearJobGroup()
     })
     t.setDaemon(true)
@@ -869,6 +921,10 @@ object Bench {
       case _: java.util.concurrent.TimeoutException =>
         s.sparkContext.cancelJobGroup(s"bench-$name")
         t.join(10000)
+        // a surviving thread (tasks stuck in non-interruptible IO) keeps
+        // occupying executor threads and inflates every later timing on
+        // this session — make it attributable from the log
+        if (t.isAlive) println(s"QUERY_ZOMBIE $name: job group did not release in 10s")
         -4.0
       case _: Throwable => -1.0
     }
