@@ -675,8 +675,11 @@ object SparkEntry {
     "d21_shuffle_order" -> ((s, dir) =>
       // deterministic corpus shuffle for training order: stable rank
       // under sort-by-(knuth(id), id), computed with the same two-phase
-      // prefix sum as d18; oracle is the global row_number rendering
-      Curation.shuffleOrder(documents(s, dir), "doc_id")),
+      // prefix sum as d18; oracle is the global row_number rendering.
+      // shuffleOrder carries the input columns through (so the
+      // packSequences composition works); the query pins the 2-col shape
+      Curation.shuffleOrder(documents(s, dir), "doc_id")
+        .select(col("doc_id"), col("shuffle_rank"))),
 
     "d20_source_cap" -> ((s, dir) =>
       // per-source cap (keep the 10 longest docs per source, ties →
@@ -1531,7 +1534,7 @@ object SparkEntry {
       Dedup.nearDupMinhashLsh(
         SftRender.renderChat(
           t(s, dir).withColumn("text",
-            regexp_replace(col("text"), "[0-9]+", "0")))
+            TextAnalysis.normalizeDigits(col("text"))))
           .select(col("conv_id"), col("rendered")),
         "conv_id", "rendered",
         numHashes = 64, bands = 32, shingleSize = 1, threshold = 0.80)

@@ -22,7 +22,11 @@ object Chunking {
     * (the last one shorter), so consecutive chunks overlap by
     * `chunkLen - stride` chars. Empty/whitespace-only docs still emit
     * their single (possibly empty) chunk 0 — droppable downstream, but
-    * the renderer itself must not silently lose documents.
+    * the renderer must not silently lose documents that HAVE text.
+    * NULL-text docs are excluded (the suite-wide convention, matching
+    * the d39 oracle's `WHERE text IS NOT NULL`); a pipeline that needs
+    * them quarantined should route them before chunking, as
+    * [[Curation.decide]] does with its explicit 'empty' verdict.
     *
     * Chunk count per doc = 1 + (max(len,1)-1) div stride — bounded by
     * doc length, so the explode fans out ~len/stride rows per input row

@@ -93,6 +93,9 @@ object Curation {
   def mixingSample(docs: DataFrame, idCol: String, sourceCol: String,
                    ratesE4: Map[String, Int],
                    defaultE4: Int = 0): DataFrame = {
+    (ratesE4.values.toSeq :+ defaultE4).foreach(r =>
+      require(r >= 0 && r <= 10000,
+        s"mixingSample: rates are e4 fractions in [0, 10000], got $r"))
     val rate: Column = ratesE4.foldLeft(lit(defaultE4)) {
       case (acc, (src, r)) => when(col(sourceCol) === src, lit(r)).otherwise(acc)
     }
@@ -111,6 +114,9 @@ object Curation {
                    valE4: Int): DataFrame = {
     require(valE4 >= 0 && valE4 <= 10000,
       s"holdoutSplit: valE4 must be in [0, 10000], got $valE4")
+    require(!docs.columns.contains("split"),
+      "holdoutSplit: input already has a 'split' column — refusing to" +
+        " silently overwrite an existing assignment")
     docs.withColumn("split",
       when(graft.functions.ConsistentHash.knuthBucket(col(idCol), 10000)
         < valE4, "val").otherwise("train"))
@@ -296,11 +302,14 @@ object Curation {
     * to pack in shuffled order. */
   def shuffleOrder(docs: DataFrame, idCol: String,
                    parts: Int = 32): DataFrame = {
-    val keyed = docs.select(col(idCol),
-      graft.functions.ConsistentHash.knuthBucket(col(idCol), 1048573)
-        .as("_k"))
+    // carry the input columns through: the documented composition
+    // (packSequences over the ranked frame) needs the text column, and
+    // a rank-only frame would force the caller into a re-join
+    val keyed = docs.withColumn("_k",
+      graft.functions.ConsistentHash.knuthBucket(col(idCol), 1048573))
     cumBefore(keyed, Seq(col("_k"), col(idCol)), lit(1L), parts)
-      .select(col(idCol), col("_cum_before").as("shuffle_rank"))
+      .withColumn("shuffle_rank", col("_cum_before"))
+      .drop("_k", "_cum_before")
   }
 
   /** Duplication-aware upsampling schedule (the "use each duplicate
@@ -356,7 +365,8 @@ object Curation {
     val strata = docs.filter(col(textCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col(textCol), "\\s+")).cast("bigint")).as("n_tokens"))
+        sum(graft.ops.TextAnalysis.tokenCountWhitespace(col(textCol))
+          .cast("bigint")).as("n_tokens"))
     val totals = strata.agg(sum(col("n_tokens")).as("_total"),
       count(lit(1)).as("_n_groups"))
     val share = call_function("div", col("n_tokens") * lit(10000L), col("_total"))

@@ -119,7 +119,7 @@ object SftRender {
     * aggregation keyed by conv_id (partials collapse map-side; turns of
     * a conversation are single rows), zero joins, zero sorts. */
   def supervisionDensity(t: DataFrame, maskRole: String = "assistant"): DataFrame = {
-    val toks = size(split(col("text"), "\\s+")).cast("bigint")
+    val toks = TextAnalysis.tokenCountWhitespace(col("text")).cast("bigint")
     t.groupBy(col("conv_id"))
       .agg(count(lit(1)).as("n_turns"),
         sum(when(col("role") === maskRole, toks).otherwise(0L)).as("mask_tokens"),
@@ -131,17 +131,21 @@ object SftRender {
   }
 
   /** Per-`maskRole` turn: [start_off, end_off) character offsets of its
-    * `<|role|>text` rendering inside [[renderChat]]'s output (1-char
-    * separator). start = Σ over prior turns of (len + 1); len =
-    * len(role) + len(text) + 4 (the `<|`, `|>` sigils). Integer-exact,
-    * so DuckDB reproduces it bitwise. */
-  def lossMaskSpans(t: DataFrame, maskRole: String = "assistant"): DataFrame = {
+    * `<|role|>text` rendering inside [[renderChat]]'s output. start =
+    * Σ over prior turns of (len + len(sep)); len = len(role) +
+    * len(text) + 4 (the `<|`, `|>` sigils). `sep` MUST match the sep
+    * passed to renderChat — a mismatch silently shifts every offset by
+    * one per prior turn and the mask supervises the wrong characters.
+    * Integer-exact, so DuckDB reproduces it bitwise. */
+  def lossMaskSpans(t: DataFrame, maskRole: String = "assistant",
+                    sep: String = "\n"): DataFrame = {
     val turnLen = length(col("role")) + length(col("text")) + lit(4)
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
       .rowsBetween(Window.unboundedPreceding, -1)
     t.select(col("conv_id"), col("turn_idx"), col("role"), turnLen.as("turn_len"))
       .withColumn("start_off",
-        coalesce(sum(col("turn_len") + lit(1)).over(w), lit(0L)).cast("bigint"))
+        coalesce(sum(col("turn_len") + lit(sep.length.toLong)).over(w), lit(0L))
+          .cast("bigint"))
       .filter(col("role") === maskRole)
       .select(col("conv_id"), col("turn_idx"), col("start_off"),
         (col("start_off") + col("turn_len")).cast("bigint").as("end_off"))
@@ -204,7 +208,7 @@ object SftRender {
     require(k > 0, s"prefixDedupGroups: k must be positive, got $k")
     val pfx = renderChat(
       t.filter(col("turn_idx") < k)
-        .withColumn("text", regexp_replace(col("text"), "[0-9]+", "0")))
+        .withColumn("text", TextAnalysis.normalizeDigits(col("text"))))
       .select(col("conv_id"), col("rendered").as("prefix"))
     val key = if (hashed) xxhash64(col("prefix")) else col("prefix")
     pfx.groupBy(key.as("_k"))
@@ -222,16 +226,20 @@ object SftRender {
     * including that turn is ≤ `maxTokens`; the suffix sum is monotone
     * walking backwards, so the greedy cut is exact per-turn. Returns the
     * per-conversation audit (total/kept turn and token counts, truncated
-    * flag) a packing stage budgets from. Tokens = whitespace tokens (the
-    * d02/p62 proxy; swap the column expression for a real tokenizer
-    * count at integration).
+    * flag) a packing stage budgets from. Tokens =
+    * [[TextAnalysis.tokenCountWhitespace]] (the d02/p62 proxy — note
+    * [[Curation.packSequences]] counts `split(text, " ")` empties-kept
+    * to match its manifest oracle; the two agree on single-spaced text
+    * like this corpus, and a deployment must standardize on ONE proxy
+    * before using this audit to budget that packer). Swap the column
+    * expression for a real tokenizer count at integration.
     *
     * Scale: one running window per conversation ordered by turn_idx
     * DESC (high-cardinality partition, explicit ROWS frame) feeding one
     * hash aggregation keyed by conv_id — no join, no global sort. */
   def contextTruncate(t: DataFrame, maxTokens: Long = 256L): DataFrame = {
     require(maxTokens > 0, s"contextTruncate: maxTokens must be positive, got $maxTokens")
-    val toks = size(split(col("text"), "\\s+")).cast("bigint")
+    val toks = TextAnalysis.tokenCountWhitespace(col("text")).cast("bigint")
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.select(col("conv_id"), col("turn_idx"), toks.as("toks"))

@@ -12,6 +12,14 @@ object TextAnalysis {
 
   // ---- normalization (pre-dedup canonicalization) ----
 
+  /** Digit collapse — the p63/d12 template trick ("step 7 of 9" and
+    * "step 8 of 9" normalize to one template). ONE definition: p63's
+    * boilerplate scrub, p66's prefix dedup, p67's near-dup render, and
+    * p68's loop audit must all cut on the SAME normalization, or their
+    * groups silently diverge. */
+  def normalizeDigits(text: Column): Column =
+    regexp_replace(text, "[0-9]+", "0")
+
   /** Canonical text for near/exact dedup: lowercase, punctuation
     * stripped, whitespace runs collapsed, edges trimmed. Exact dedup
     * over the NORMALIZED text catches trivially-reformatted duplicates
@@ -171,7 +179,7 @@ object TextAnalysis {
       s"periodicLoopAudit: maxPeriod must be in [1,16], got $maxPeriod")
     // p63's template convention: digits collapse so "step 7 of 9" and
     // "step 8 of 9" cycle as one template
-    val tmpl = regexp_replace(col(textCol), "[0-9]+", "0")
+    val tmpl = normalizeDigits(col(textCol))
     val periodic = (1 to maxPeriod).map { p =>
       // if() evaluates lazily per row — sequence(p, n-1) is only built
       // when n ≥ 2p, so the descending-sequence trap (n-1 < p) can't fire
@@ -310,7 +318,7 @@ object TextAnalysis {
                        hashed: Boolean = true): DataFrame = {
     require(minConvPermille > 0 && minConvPermille <= 1000,
       s"boilerplateScrub: minConvPermille in (0, 1000], got $minConvPermille")
-    val tmpl = regexp_replace(col(textCol), "[0-9]+", "0")
+    val tmpl = normalizeDigits(col(textCol))
     // null-preserving key (the repeatedLineFraction discipline): a null
     // turn must never match a boilerplate template in either path. The
     // guard covers BOTH columns: xxhash64 silently SKIPS a null child
