@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.agg.{CountStage, Rollup, Stateful}
 import graft.enrich.EnrichStage
 import graft.model.PipelineConfig._
-import graft.ops.{Chunking, Curation, Dedup, Multimodal, SftRender, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Curation, Dedup, Multimodal, SftRender, Similarity, Sketches, TextAnalysis}
 import graft.ops.TextAnalysis.{piiEmail, piiIpv4, piiPhone}
 import graft.parse.ParseStage
 import graft.route.RouteStage
@@ -1470,6 +1470,24 @@ object SparkEntry {
       // Bigram extraction is a narrow adjacent-pair map (no positional
       // self-join); the model table broadcasts back over the corpus
       TextAnalysis.bigramLmScore(documents(s, dir), "doc_id", "text")),
+
+    "d46_distinct_kmv" -> ((s, dir) =>
+      // bounded-memory cardinality: bottom-k (KMV) sketch of the
+      // distinct-text count — O(k) state per partition, ≤k longs per
+      // partition in the final exchange, vs an exact count_distinct
+      // that shuffles every distinct key at 10^12 rows. Integer-only
+      // estimator ((k-1)·M div h_(k)) so the oracle replays it bitwise
+      Sketches.distinctKmv(documents(s, dir), "text", k = 256)),
+
+    "d47_cms_token_counts" -> ((s, dir) =>
+      // count-min frequency sketch: depth-3 × width-1024 integer
+      // sketch of the corpus token stream (≤ depth·width rows shuffle
+      // after map-side combine, whatever the corpus size), point-read
+      // for a fixed probe set next to the exact counts — est >= exact
+      // by construction, equality unless buckets collide in every row
+      Sketches.cmsTokenCounts(documents(s, dir), "text",
+        Seq("join", "hash", "spark", "vector", "absent_probe_zz"),
+        width = 1024)),
 
     "e22_label_centroid_matrix" -> ((s, dir) =>
       // vector-side mixture audit: per-label e6-integer centroids (one
@@ -3575,6 +3593,61 @@ object SparkEntry {
         |  CAST(sum(s_micro) AS BIGINT) AS logprob_micro
         |FROM big JOIN model USING (w1, w2)
         |GROUP BY doc_id""".stripMargin,
+
+    // KMV sketch: DuckDB rebuilds the bottom-k from scratch (distinct
+    // rolling hashes, ascending, limit k) — with k=256 the kth smallest
+    // distinct hash exists iff ≥256 distinct texts; the estimator is
+    // pure integer division so both engines floor identically
+    "d46_distinct_kmv" ->
+      """WITH h AS (SELECT DISTINCT list_reduce(
+        |    [CAST(0 AS BIGINT)] || list_transform(string_split(text, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc*31 + x) % 2147483647) AS hv
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT hv FROM h ORDER BY hv LIMIT 256)
+        |SELECT CAST(count(*) AS INT) AS n_kept,
+        |  CASE WHEN count(*) >= 256 THEN CAST(max(hv) AS BIGINT) END AS kth_hash,
+        |  CAST(CASE WHEN count(*) < 256 THEN count(*)
+        |       ELSE (CAST(255 AS BIGINT) * 2147483647) // max(hv) END
+        |    AS BIGINT) AS est_distinct
+        |FROM b""".stripMargin,
+
+    // count-min sketch: DuckDB rebuilds the whole depth×width sketch —
+    // same rolling fingerprint per token, same literal hash family
+    // ((f·a_j + b_j) mod M mod width), same min-over-rows point read —
+    // so every collision-induced over-estimate reproduces exactly
+    "d47_cms_token_counts" ->
+      """WITH toks AS (SELECT t AS token FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        |    WHERE text IS NOT NULL) WHERE t <> ''),
+        |fp AS (SELECT token, list_reduce(
+        |    [CAST(0 AS BIGINT)] || list_transform(string_split(token, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc*31 + x) % 2147483647) AS fp FROM toks),
+        |jb AS (SELECT h.j AS j, ((fp * h.a + h.b) % 2147483647) % 1024 AS bucket
+        |  FROM fp, (VALUES (0, CAST(1000003 AS BIGINT), CAST(12345 AS BIGINT)),
+        |                   (1, 999983, 54321),
+        |                   (2, 1000033, 98765)) AS h(j, a, b)),
+        |sketch AS (SELECT j, bucket, count(*) AS c FROM jb GROUP BY 1, 2),
+        |p AS (SELECT unnest(['join','hash','spark','vector','absent_probe_zz'])
+        |    AS token),
+        |pfp AS (SELECT token, list_reduce(
+        |    [CAST(0 AS BIGINT)] || list_transform(string_split(token, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc*31 + x) % 2147483647) AS fp FROM p),
+        |pjb AS (SELECT token, h.j AS j,
+        |    ((fp * h.a + h.b) % 2147483647) % 1024 AS bucket
+        |  FROM pfp, (VALUES (0, CAST(1000003 AS BIGINT), CAST(12345 AS BIGINT)),
+        |                    (1, 999983, 54321),
+        |                    (2, 1000033, 98765)) AS h(j, a, b)),
+        |est AS (SELECT token, CAST(min(coalesce(s.c, 0)) AS BIGINT) AS cms_est
+        |  FROM pjb LEFT JOIN sketch s USING (j, bucket) GROUP BY token),
+        |ex AS (SELECT token, count(*) AS exact_n FROM toks
+        |  WHERE token IN ('join','hash','spark','vector','absent_probe_zz')
+        |  GROUP BY token)
+        |SELECT est.token, CAST(coalesce(ex.exact_n, 0) AS BIGINT) AS exact_n,
+        |  cms_est
+        |FROM est LEFT JOIN ex USING (token)""".stripMargin,
 
     // label-centroid matrix: DuckDB recomputes the e6-integer centroids
     // (exact sums, the e21 floor-division idiom) and the pairwise

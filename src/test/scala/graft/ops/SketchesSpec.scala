@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int, dups: Int): org.apache.spark.sql.DataFrame =
+    // n distinct texts, each duplicated `dups` times, plus a null row
+    (0 until n).flatMap(i => Seq.fill(dups)(s"doc body number $i with words"))
+      .zipWithIndex.map { case (t, id) => (id.toLong, t) }
+      .toDF("doc_id", "text")
+      .unionByName(Seq((9999L, null: String)).toDF("doc_id", "text"))
+
+  // ---- KMV ----
+
+  test("kmv: fewer distinct than k → exact count, null kth_hash") {
+    val out = Sketches.distinctKmv(corpus(37, 3), "text", k = 256).collect()
+    assert(out.length === 1)
+    assert(out(0) === Row(37, null, 37L))
+  }
+
+  test("kmv: estimator formula replayed from the declarative rendering") {
+    val docs = corpus(900, 2)
+    val fast = Sketches.distinctKmv(docs, "text", k = 64).collect()(0)
+    val slow = Sketches.distinctKmvDeclarative(docs, "text", k = 64).collect()(0)
+    assert(fast === slow)
+    assert(fast.getInt(0) === 64) // sketch full
+    val kth = fast.getLong(1)
+    assert(fast.getLong(2) === 63L * Sketches.M / kth) // integer div
+  }
+
+  test("kmv: estimate is within 3/sqrt(k) of the true distinct count") {
+    // standard KMV relative-error envelope (~1/sqrt(k) std): sanity
+    // that the small-modulus hash behaves uniformly enough on word-ish
+    // text for the estimator to be meaningful, not just bit-stable
+    val n = 5000
+    val est = Sketches.distinctKmv(corpus(n, 1), "text", k = 256)
+      .collect()(0).getLong(2)
+    val rel = math.abs(est.toDouble - n) / n
+    assert(rel < 3.0 / math.sqrt(256.0), s"relative error $rel (est $est)")
+  }
+
+  test("kmv aggregator: dedup, bound, merge associativity/commutativity") {
+    val agg = Sketches.kmvAggregator(4)
+    val items = Seq(9L, 3L, 3L, 7L, 1L, 9L, 5L, 2L)
+    val red = items.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(red) === Seq(1L, 2L, 3L, 5L)) // 4 smallest distinct
+    // merge of arbitrary splits == sequential reduce
+    for (cut <- 0 to items.length) {
+      val (l, r) = items.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+                        r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(m) === Seq(1L, 2L, 3L, 5L), s"cut=$cut")
+      val mRev = agg.merge(r.foldLeft(agg.zero)(agg.reduce),
+                           l.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(mRev) === Seq(1L, 2L, 3L, 5L), s"rev cut=$cut")
+    }
+  }
+
+  test("kmv: k below 2 is refused") {
+    intercept[IllegalArgumentException](Sketches.kmvAggregator(1))
+  }
+
+  // ---- CMS ----
+
+  test("cms: estimates dominate exact counts corpus-wide (min over rows)") {
+    val docs = corpus(400, 2)
+    // probe every distinct token in the corpus plus two absent ones
+    val present = docs.filter($"text".isNotNull)
+      .select(explode(split($"text", " ")).as("t"))
+      .distinct().as[String].collect().toSeq
+    val probes = present ++ Seq("absent_token_a", "absent_token_b")
+    val out = Sketches.cmsTokenCounts(docs, "text", probes, width = 64)
+      .collect()
+    assert(out.length === probes.distinct.length)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"cms underestimated ${r.getString(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+    // tiny width=64 over ~400 distinct tokens MUST collide somewhere:
+    // the over-estimate property is being exercised, not vacuous
+    assert(out.exists(r => r.getLong(2) > r.getLong(1)))
+  }
+
+  test("cms: sketch row sums each equal the total token count") {
+    val docs = corpus(50, 3)
+    val total = docs.filter($"text".isNotNull)
+      .select(explode(split($"text", " ")).as("t")).filter($"t" =!= "")
+      .count()
+    val sums = Sketches.cmsSketch(docs, "text", width = 32)
+      .groupBy("j").agg(sum("c").as("s"))
+      .select("s").as[Long].collect()
+    assert(sums.length === Sketches.cmsHashes.length)
+    assert(sums.forall(_ === total))
+  }
+
+  test("cms: exact for a collision-free probe in a tiny corpus") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta alpha"))
+      .toDF("doc_id", "text")
+    val out = Sketches.cmsTokenCounts(docs, "text",
+      Seq("alpha", "beta", "gamma"), width = 1024)
+      .orderBy("token").collect()
+    // width 1024 over 2 distinct tokens: collisions impossible to matter
+    // unless both tokens share a bucket in EVERY row — verify exactness
+    assert(out(0) === Row("alpha", 3L, 3L))
+    assert(out(1) === Row("beta", 2L, 2L))
+    assert(out(2).getString(0) === "gamma")
+    assert(out(2).getLong(1) === 0L)
+  }
+
+  test("cms: empty probe set refused; null texts excluded") {
+    intercept[IllegalArgumentException](
+      Sketches.cmsTokenCounts(corpus(2, 1), "text", Nil))
+    val onlyNull = Seq((1L, null: String)).toDF("doc_id", "text")
+    val out = Sketches.cmsTokenCounts(onlyNull, "text", Seq("x")).collect()
+    assert(out.toSeq === Seq(Row("x", 0L, 0L)))
+  }
+}
