@@ -1489,6 +1489,19 @@ object SparkEntry {
         Seq("join", "hash", "spark", "vector", "absent_probe_zz"),
         width = 1024)),
 
+    "d48_bloom_membership" -> ((s, dir) => {
+      // Bloom-filter dedup PRE-FILTER: shard docs whose 3 filter bits
+      // are all set MIGHT be in the kept index (verify downstream);
+      // any unset bit = DEFINITELY new, skipping the exact join. The
+      // filter is ≤m distinct bit rows (bounded aggregation over the
+      // index) broadcast to a narrow shard-side map — the shard never
+      // shuffles. exact_member is the demonstration column; false
+      // positives replay bitwise in the oracle (same bit array)
+      val docs = documents(s, dir)
+      Sketches.bloomMembership(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 =!= 0), "text", m = 4096)
+    }),
+
     "e22_label_centroid_matrix" -> ((s, dir) =>
       // vector-side mixture audit: per-label e6-integer centroids (one
       // |labels|·dim-bounded shuffle) → pairwise centroid dot products +
@@ -3648,6 +3661,39 @@ object SparkEntry {
         |SELECT est.token, CAST(coalesce(ex.exact_n, 0) AS BIGINT) AS exact_n,
         |  cms_est
         |FROM est LEFT JOIN ex USING (token)""".stripMargin,
+
+    // Bloom membership: DuckDB rebuilds the same bit array (distinct
+    // ((fp·a_j+b_j) mod M) mod m over the index) and replays the
+    // all-bits-set test — false positives included, since the bit
+    // array is deterministic on both sides
+    "d48_bloom_membership" ->
+      """WITH idx AS (SELECT text FROM documents
+        |  WHERE doc_id % 97 <> 0 AND text IS NOT NULL),
+        |ifp AS (SELECT list_reduce(
+        |    [CAST(0 AS BIGINT)] || list_transform(string_split(text, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc*31 + x) % 2147483647) AS fp FROM idx),
+        |bits AS (SELECT DISTINCT ((fp * h.a + h.b) % 2147483647) % 4096 AS bit,
+        |    TRUE AS is_set
+        |  FROM ifp, (VALUES (CAST(1000003 AS BIGINT), CAST(12345 AS BIGINT)),
+        |                    (999983, 54321),
+        |                    (1000033, 98765)) AS h(a, b)),
+        |s AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |sfp AS (SELECT doc_id, text, list_reduce(
+        |    [CAST(0 AS BIGINT)] || list_transform(string_split(text, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc*31 + x) % 2147483647) AS fp FROM s),
+        |sb AS (SELECT doc_id, ((fp * h.a + h.b) % 2147483647) % 4096 AS bit
+        |  FROM sfp, (VALUES (CAST(1000003 AS BIGINT), CAST(12345 AS BIGINT)),
+        |                    (999983, 54321),
+        |                    (1000033, 98765)) AS h(a, b)),
+        |bm AS (SELECT doc_id,
+        |    (count(CASE WHEN b.is_set THEN 1 END) = 3) AS bloom_member
+        |  FROM sb LEFT JOIN bits b USING (bit) GROUP BY doc_id),
+        |em AS (SELECT s.doc_id, (i.text IS NOT NULL) AS exact_member
+        |  FROM s LEFT JOIN (SELECT DISTINCT text FROM idx) i USING (text))
+        |SELECT bm.doc_id, bloom_member, exact_member
+        |FROM bm JOIN em USING (doc_id)""".stripMargin,
 
     // label-centroid matrix: DuckDB recomputes the e6-integer centroids
     // (exact sums, the e21 floor-division idiom) and the pairwise

@@ -167,6 +167,68 @@ object Sketches {
       .agg(count(lit(1)).as("c"))
   }
 
+  // ---- Bloom-filter membership ----
+
+  /** The set bits of a Bloom filter over the index documents' text
+    * fingerprints: each doc sets `depth` bits
+    * `((fp·a_j + b_j) mod M) mod m` (the CMS hash family re-used as the
+    * Bloom family — same constants, so one oracle idiom covers both).
+    * Returned as the DISTINCT bit positions — ≤m rows whatever the
+    * index size, the broadcastable representation of the filter. */
+  def bloomBits(index: DataFrame, textCol: String, m: Int = 4096): DataFrame = {
+    require(m > 0, s"bloom: m must be positive, got $m")
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    index.filter(col(textCol).isNotNull)
+      .select(explode(array(cmsHashes.map { case (a, b) =>
+        cmsBucket(fp, a, b, m)
+      }: _*)).as("bit"))
+      .distinct()
+  }
+
+  /** Probabilistic membership of each shard document in the index — the
+    * ingest-time dedup PRE-FILTER: a shard doc whose `depth` bits are
+    * all set MIGHT be in the index (verify exactly downstream); a doc
+    * with ANY unset bit is DEFINITELY new and skips the exact check.
+    * No false negatives (`bloom_member >= exact_member` row-wise,
+    * asserted in SketchesSpec); false positives at the classic
+    * (fill_ratio)^depth rate, and each one reproduces exactly in the
+    * SQL oracle because the bit array is deterministic.
+    *
+    * Returns `(idCol, bloom_member, exact_member)` — exact_member (an
+    * unbounded anti-join in general) is the demonstration column; the
+    * production path keeps only `bloom_member` and routes the
+    * maybe-members to the real dedup join, shrinking ITS left side by
+    * the definite-new fraction.
+    *
+    * Scale design: the filter is ≤m distinct bit rows built in one
+    * bounded aggregation over the index, then BROADCAST; the shard side
+    * is a narrow map (3 bit expressions) + a broadcast semi-join shaped
+    * count — the 10^12-doc shard never shuffles. */
+  def bloomMembership(shard: DataFrame, idCol: String, textCol: String,
+                      index: DataFrame, indexTextCol: String,
+                      m: Int = 4096): DataFrame = {
+    val depth = cmsHashes.length
+    val bits = bloomBits(index, indexTextCol, m)
+      .withColumn("_set", lit(true))
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val shardBits = shard.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol),
+        explode(array(cmsHashes.map { case (a, b) =>
+          cmsBucket(fp, a, b, m)
+        }: _*)).as("bit"))
+    val bloom = shardBits
+      .join(broadcast(bits), Seq("bit"), "left")
+      .groupBy(idCol)
+      .agg((count(when(col("_set"), 1)) === depth).as("bloom_member"))
+    val exact = shard.filter(col(textCol).isNotNull)
+      .join(index.filter(col(indexTextCol).isNotNull)
+          .select(col(indexTextCol).as(textCol)).distinct()
+          .withColumn("_in", lit(true)),
+        Seq(textCol), "left")
+      .select(col(idCol), coalesce(col("_in"), lit(false)).as("exact_member"))
+    bloom.join(exact, Seq(idCol))
+  }
+
   /** Point-query the sketch for a fixed probe-token set and report the
     * estimate next to the exact count: `(token, exact_n, cms_est)`.
     * CMS guarantees `cms_est >= exact_n` (each row j's bucket count is

@@ -111,6 +111,50 @@ class SketchesSpec extends SparkSpec {
     assert(out(2).getLong(1) === 0L)
   }
 
+  // ---- Bloom ----
+
+  test("bloom: no false negatives — exact members are always flagged") {
+    val docs = corpus(300, 1)
+    val index = docs.filter($"doc_id" % 7 =!= 0)
+    val out = Sketches.bloomMembership(docs, "doc_id", "text",
+      index, "text", m = 4096).collect()
+    assert(out.length === 300) // null-text row excluded
+    out.foreach { r =>
+      if (r.getBoolean(2)) assert(r.getBoolean(1),
+        s"false negative for doc ${r.getLong(0)}")
+    }
+    // the index docs themselves are exact members and bloom members
+    assert(out.count(_.getBoolean(2)) === out.count(r => r.getLong(0) % 7 != 0))
+  }
+
+  test("bloom: definite-new detection works at a healthy fill ratio") {
+    val docs = corpus(200, 1)
+    val index = docs.filter($"doc_id" < 100)
+    val out = Sketches.bloomMembership(docs, "doc_id", "text",
+      index, "text", m = 65536).collect()
+    // at ~0.5% fill the FP rate is ~1e-7: every non-member reads false
+    val nonMembersFlagged = out.count(r => r.getBoolean(1) && !r.getBoolean(2))
+    assert(nonMembersFlagged === 0)
+    assert(out.count(r => !r.getBoolean(1)) === 100) // the 100 new docs
+  }
+
+  test("bloom: saturated filter (tiny m) flags everything, never errs") {
+    val docs = corpus(100, 1)
+    val index = docs.filter($"doc_id" < 50)
+    val out = Sketches.bloomMembership(docs, "doc_id", "text",
+      index, "text", m = 4).collect()
+    // 50 docs × 3 hashes into 4 bits: filter saturates → all maybe-members
+    assert(out.forall(_.getBoolean(1)))
+    assert(out.count(_.getBoolean(2)) === 50)
+  }
+
+  test("bloom: bit set is bounded by m and by 3·|index|") {
+    val docs = corpus(40, 1)
+    val n = Sketches.bloomBits(docs, "text", m = 4096).count()
+    assert(n <= 4096 && n <= 3L * 40)
+    assert(Sketches.bloomBits(docs, "text", m = 16).count() <= 16)
+  }
+
   test("cms: empty probe set refused; null texts excluded") {
     intercept[IllegalArgumentException](
       Sketches.cmsTokenCounts(corpus(2, 1), "text", Nil))
