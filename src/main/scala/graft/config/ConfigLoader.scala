@@ -264,15 +264,21 @@ object ConfigLoader {
     }
 
     /** Full run: (per-sink frames, per-sink windowed counts) — the
-      * config-file rendering of Pipeline.run. */
+      * config-file rendering of Pipeline.run. Counts derive from ONE
+      * exploded-tag pass exactly like Pipeline.run (a count per fanOut
+      * frame would re-scan the source and re-evaluate the pattern bank
+      * once per sink — 2k scans for k sinks when a caller materializes
+      * everything). */
     def run(spark: SparkSession, transcripts: DataFrame)
         : (Map[String, DataFrame], Map[String, DataFrame]) = {
       val enriched = parseEnrich(spark, transcripts)
       val sinks = RouteStage.fanOut(enriched, routeTable)
-      val counts = sinks.map { case (name, df) =>
-        name -> CountStage.countWindowed(df, MetricSpec("count"),
-          col("ts"), window, resolveAttr)
-      }
+      val exploded = RouteStage.tagsExploded(enriched, routeTable)
+      val counts = sinks.keySet.map { name =>
+        name -> CountStage.countWindowed(
+          exploded.filter(col("route") === name),
+          MetricSpec("count"), col("ts"), window, resolveAttr)
+      }.toMap
       (sinks, counts)
     }
 
