@@ -1502,6 +1502,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 =!= 0), "text", m = 4096)
     }),
 
+    "d49_weighted_sample" -> ((s, dir) =>
+      // Efraimidis-Spirakis weighted sampling without replacement:
+      // deterministic exponential keys ln(u)/w from the text
+      // fingerprint, weight = token count, top-100 by key — selection
+      // probability proportional to length, no RNG, replayable. Key
+      // map is narrow codegen; top-n is TakeOrderedAndProject (partial
+      // top-n per partition, no corpus shuffle)
+      Curation.weightedSample(documents(s, dir), "doc_id", "text", n = 100)),
+
     "e22_label_centroid_matrix" -> ((s, dir) =>
       // vector-side mixture audit: per-label e6-integer centroids (one
       // |labels|·dim-bounded shuffle) → pairwise centroid dot products +
@@ -3694,6 +3703,22 @@ object SparkEntry {
         |  FROM s LEFT JOIN (SELECT DISTINCT text FROM idx) i USING (text))
         |SELECT bm.doc_id, bloom_member, exact_member
         |FROM bm JOIN em USING (doc_id)""".stripMargin,
+
+    // weighted sample: DuckDB replays the same deterministic draw —
+    // u from the rolling fingerprint, exponential key ln(u)/w floored
+    // at e6 (the d25/d30/d45 single-float hazard class), id tie-break
+    "d49_weighted_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |    greatest(len(string_split(text, ' ')), 1) AS w,
+        |    list_reduce(
+        |      [CAST(0 AS BIGINT)] || list_transform(string_split(text, ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 2147483647) AS fp
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w_tokens,
+        |  CAST(floor(1e6 * ln(CAST(fp + 1 AS DOUBLE) / 2147483648.0) / w)
+        |    AS BIGINT) AS key_micro
+        |FROM d ORDER BY key_micro DESC, doc_id ASC LIMIT 100""".stripMargin,
 
     // label-centroid matrix: DuckDB recomputes the e6-integer centroids
     // (exact sums, the e21 floor-division idiom) and the pairwise

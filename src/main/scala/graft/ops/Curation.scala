@@ -103,6 +103,39 @@ object Curation {
       graft.functions.ConsistentHash.knuthBucket(col(idCol), 10000) < rate)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006
+    * A-Res): each doc draws a deterministic uniform
+    * `u = (fingerprint(text)+1)/(M+1) ∈ (0,1]` and ranks by the
+    * exponential key `ln(u)/w` (monotone with the paper's `u^(1/w)`);
+    * the top-n keys are the sample, so a doc's selection probability
+    * is proportional to its weight and the draw replays bit-stably
+    * from the data alone — same no-RNG property as [[mixingSample]].
+    * Weight here = whitespace token count (longer docs proportionally
+    * likelier, the length-balanced epoch-sampling shape); zero-token
+    * docs get w=1 so they stay sampleable.
+    *
+    * The ONE float is `floor(1e6·ln(u)/w)` — the d25/d30/d45 hazard
+    * class: ln is evaluated once per doc on both engines and floored
+    * at e6, where a last-ulp libm divergence would need the true value
+    * within ~1e-10 of an integer/boundary to flip a rank (ties break
+    * by id). Scale: key computation is a narrow codegen map; top-n is
+    * TakeOrderedAndProject — per-partition partial top-n, ~n rows per
+    * partition to the driver-side merge, NO full sort, no shuffle of
+    * the corpus. */
+  def weightedSample(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, s"weightedSample: n must be positive, got $n")
+    val M = 2147483647L
+    val w = greatest(size(split(col(textCol), " ")), lit(1)).cast("double")
+    val u = (TextAnalysis.fingerprint(col(textCol)) + lit(1L)).cast("double") /
+      lit((M + 1).toDouble)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), w.cast("bigint").as("w_tokens"),
+        floor(lit(1e6) * log(u) / w).cast("bigint").as("key_micro"))
+      .orderBy(col("key_micro").desc, col(idCol).asc)
+      .limit(n)
+  }
+
   /** Stable train/validation holdout labels: a document's split is a
     * pure function of its id (the same Knuth verdict as
     * [[mixingSample]]), so the assignment survives corpus growth,

@@ -287,4 +287,35 @@ class CurationSpec extends SparkSpec {
     assert(row._5 === 0L)            // 1*10000/20001 floors to 0
     assert(row._6 === 50000000L)     // (5000*10000) div max(0,1)
   }
+
+  test("weightedSample: deterministic, weights exposed, n bound, all-docs case") {
+    val docs = (0 until 60).map(i =>
+        (i.toLong, ("tok " * (1 + i % 7)).trim))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((999L, null: String)).toDF("doc_id", "text"))
+    val a = Curation.weightedSample(docs, "doc_id", "text", n = 10).collect()
+    val b = Curation.weightedSample(docs, "doc_id", "text", n = 10).collect()
+    assert(a.toSeq === b.toSeq) // no RNG: the draw replays exactly
+    assert(a.length === 10)
+    // weights are the whitespace token counts of the selected docs
+    a.foreach { r =>
+      assert(r.getLong(1) === 1 + r.getLong(0) % 7)
+      assert(r.getLong(2) < 0) // ln(u) < 0 always: u < 1 by construction
+    }
+    // n >= corpus: every non-null doc selected exactly once
+    val all = Curation.weightedSample(docs, "doc_id", "text", n = 1000).collect()
+    assert(all.length === 60)
+    assert(all.map(_.getLong(0)).toSet === (0 until 60).map(_.toLong).toSet)
+  }
+
+  test("weightedSample: selection is the global top-n of the key ranking") {
+    val docs = (0 until 200).map(i =>
+        (i.toLong, s"word$i " * (1 + i % 13))).toDF("doc_id", "text")
+    val full = Curation.weightedSample(docs, "doc_id", "text", n = 200)
+      .collect().map(r => (r.getLong(2), r.getLong(0)))
+    val expectTop = full.sortBy { case (k, id) => (-k, id) }.take(25).toSeq
+    val got = Curation.weightedSample(docs, "doc_id", "text", n = 25)
+      .collect().map(r => (r.getLong(2), r.getLong(0))).toSeq
+    assert(got.sortBy { case (k, id) => (-k, id) } === expectTop)
+  }
 }

@@ -37,22 +37,25 @@ def main(sf_dir, out_dir):
         if not spark_glob:
             failed.append((name, "no spark output"))
             continue
-        try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({spark_glob!r})").fetch_df()
-            want = con.execute(sql).fetch_df()
-        except Exception as e:
-            # The long-lived connection occasionally throws a spurious
-            # "Failed to allocate block" after ~100 queries; a fresh
-            # connection runs the same SQL fine. Retry once, isolated.
+        # The long-lived connection occasionally throws a spurious
+        # "Failed to allocate block" after ~100 queries; a fresh
+        # connection runs the same SQL fine (observed to hit the retry
+        # too, once in ~12 suite runs) — 3 isolated attempts total.
+        got = want = err = None
+        for attempt in range(3):
             try:
-                con = connect(sf_dir)
+                if attempt > 0:
+                    con = connect(sf_dir)
                 got = con.execute(
                     f"SELECT * FROM read_parquet({spark_glob!r})").fetch_df()
                 want = con.execute(sql).fetch_df()
-            except Exception as e2:
-                failed.append((name, f"exec error: {e2}"))
-                continue
+                err = None
+                break
+            except Exception as e:
+                err = e
+        if err is not None:
+            failed.append((name, f"exec error: {err}"))
+            continue
         gc, wc = sorted(got.columns), sorted(want.columns)
         if gc != wc:
             failed.append((name, f"schema mismatch: spark={gc} oracle={wc}"))
