@@ -105,6 +105,36 @@ object StreamingPipeline {
     records.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming per-window distinct-count ESTIMATE — the cardinality rung
+    * of the sketch layer ([[graft.ops.Sketches]]) run inside a
+    * watermarked event-time window: the same bottom-k (KMV) aggregator
+    * keeps the ≤k smallest distinct text fingerprints per open window,
+    * so state is O(k) longs per window where an exact streaming
+    * distinct-count holds EVERY key seen until the watermark closes the
+    * window. Emits `(window_start, n_kept, est_distinct)` per finalized
+    * window with d46's integer estimator — per-window results are
+    * bitwise equal to running [[graft.ops.Sketches.distinctKmv]] over
+    * that window's rows in batch (differential-tested). */
+  def windowedDistinctKmv(records: DataFrame, valueCol: String,
+                          tsCol: String, windowDur: String, lateness: String,
+                          k: Int = 256): DataFrame = {
+    import graft.ops.Sketches
+    val sketch = records
+      .filter(col(valueCol).isNotNull) // a null would reach the primitive
+                                       // Long encoder as 0 — a fake hash
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(Sketches.kmvOf(
+        graft.ops.TextAnalysis.fingerprint(col(valueCol)), k).as("ks"))
+    sketch.select(
+      col("window.start").as("window_start"),
+      size(col("ks")).cast("int").as("n_kept"),
+      when(size(col("ks")) < k, size(col("ks")).cast("bigint"))
+        .otherwise(call_function("div",
+          lit((k - 1).toLong * Sketches.M), element_at(col("ks"), k)))
+        .as("est_distinct"))
+  }
+
   /** One delta data point of a metric series (streaming metric input). */
   final case class MetricPoint(series: String, ts: Timestamp, value: Double)
 

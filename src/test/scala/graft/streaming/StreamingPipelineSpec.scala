@@ -37,6 +37,46 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed KMV distinct estimate: finalized windows ≡ batch sketch per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val est = StreamingPipeline.windowedDistinctKmv(
+      mem.toDF(), "text", "ts", "10 minutes", "5 minutes", k = 4)
+    val q = est.writeStream.format("memory").queryName("kmvw")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [0,10): 3 distinct texts (< k → exact); window [10,20):
+      // 6 distinct texts over 7 rows (> k → estimator path)
+      mem.addData(
+        turn("c1", 0, 1, "alpha"), turn("c1", 1, 2, "beta"),
+        turn("c1", 2, 3, "alpha"), turn("c2", 0, 4, "gamma"),
+        turn("c3", 0, 11, "t0"), turn("c3", 1, 12, "t1"),
+        turn("c3", 2, 13, "t2"), turn("c3", 3, 14, "t3"),
+        turn("c3", 4, 15, "t4"), turn("c3", 5, 16, "t5"),
+        turn("c3", 6, 17, "t0"))
+      q.processAllAvailable()
+      mem.addData(turn("c9", 0, 40, "closer")) // watermark past both windows
+      q.processAllAvailable()
+      val got = spark.table("kmvw")
+        .select("window_start", "n_kept", "est_distinct")
+        .as[(Timestamp, Int, Long)].collect().toSet
+      // the batch sketch over the same rows is the differential oracle
+      import org.apache.spark.sql.functions.lit
+      def batch(texts: Seq[String]) = {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val r = graft.ops.Sketches.distinctKmv(df, "text", k = 4).collect()(0)
+        (r.getInt(0), r.getLong(2))
+      }
+      val w0 = batch(Seq("alpha", "beta", "alpha", "gamma"))
+      val w1 = batch(Seq("t0", "t1", "t2", "t3", "t4", "t5", "t0"))
+      assert(got.contains((ts(0), w0._1, w0._2)), s"got $got")
+      assert(got.contains((ts(10), w1._1, w1._2)), s"got $got")
+      assert(w0 === (3, 3L))  // below k: exact
+      assert(w1._1 === 4)     // at k: estimator path exercised
+    } finally q.stop()
+  }
+
   test("streaming spanmetrics: windowed delta histograms finalize per bucket") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Long)]
