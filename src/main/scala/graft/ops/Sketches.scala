@@ -68,7 +68,12 @@ object Sketches {
     new Aggregator[Long, KmvBuf, Seq[Long]] {
       def zero: KmvBuf = KmvBuf(Nil)
       def reduce(buf: KmvBuf, v: Long): KmvBuf =
-        KmvBuf(mergeKmv(buf.items, Seq(v), k))
+        // fast path — after warmup almost every row fails v < h_(k):
+        // a full buffer rejects it (or already holds it, when v == last
+        // ∈ buffer) with ZERO allocation, instead of an O(k) merge copy
+        // per input row
+        if (buf.items.length >= k && v >= buf.items.last) buf
+        else KmvBuf(mergeKmv(buf.items, Seq(v), k))
       def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
         KmvBuf(mergeKmv(a.items, b.items, k))
       def finish(buf: KmvBuf): Seq[Long] = buf.items
