@@ -206,32 +206,47 @@ object Sketches {
     * the definite-new fraction.
     *
     * Scale design: the filter is ≤m distinct bit rows built in one
-    * bounded aggregation over the index, then BROADCAST; the shard side
-    * is a narrow map (3 bit expressions) + a broadcast semi-join shaped
-    * count — the 10^12-doc shard never shuffles. */
+    * bounded aggregation over the index, then BROADCAST — once per hash
+    * function, as a plain equality broadcast join on that function's
+    * bit column. The shard side is a narrow map (one fingerprint, 3 bit
+    * expressions) plus 3 broadcast probes and a conjunction: ZERO
+    * exchange of shard rows. (The first rendering exploded the 3 bits
+    * into rows and counted matches per doc — the map-side partial
+    * collapsed it to one narrow row per doc, but that is still a
+    * shuffle of every doc id at 10^12 docs, which this operator exists
+    * to avoid.) */
   def bloomMembership(shard: DataFrame, idCol: String, textCol: String,
                       index: DataFrame, indexTextCol: String,
                       m: Int = 4096): DataFrame = {
-    val depth = cmsHashes.length
-    val bits = bloomBits(index, indexTextCol, m)
-      .withColumn("_set", lit(true))
+    // materialize the ≤m-row bit set ONCE: each of the 3 probe joins
+    // broadcasts it, and without this the index would be rescanned and
+    // re-aggregated per hash function
+    val bits = bloomBits(index, indexTextCol, m).localCheckpoint(true)
     val fp = TextAnalysis.fingerprint(col(textCol))
-    val shardBits = shard.filter(col(textCol).isNotNull)
-      .select(col(idCol), col(textCol),
-        explode(array(cmsHashes.map { case (a, b) =>
-          cmsBucket(fp, a, b, m)
-        }: _*)).as("bit"))
-    val bloom = shardBits
-      .join(broadcast(bits), Seq("bit"), "left")
-      .groupBy(idCol)
-      .agg((count(when(col("_set"), 1)) === depth).as("bloom_member"))
-    val exact = shard.filter(col(textCol).isNotNull)
+    val withBuckets = shard.filter(col(textCol).isNotNull)
+      .select(Seq(col(idCol), col(textCol)) ++
+        cmsHashes.zipWithIndex.map { case ((a, b), j) =>
+          cmsBucket(fp, a, b, m).as(s"_b$j")
+        }: _*)
+    val probed = cmsHashes.indices.foldLeft(withBuckets) { (df, j) =>
+      df.join(
+        broadcast(bits.select(col("bit").as(s"_b$j"))
+          .withColumn(s"_s$j", lit(true))),
+        Seq(s"_b$j"), "left")
+    }
+    // exact_member is the DEMONSTRATION column (it joins the raw index
+    // texts — the unbounded work the bloom pre-filter exists to avoid);
+    // it chains onto the same frame so the production `bloom_member`
+    // path never re-keys by id. Drop this join in production.
+    probed
       .join(index.filter(col(indexTextCol).isNotNull)
           .select(col(indexTextCol).as(textCol)).distinct()
           .withColumn("_in", lit(true)),
         Seq(textCol), "left")
-      .select(col(idCol), coalesce(col("_in"), lit(false)).as("exact_member"))
-    bloom.join(exact, Seq(idCol))
+      .select(col(idCol),
+        cmsHashes.indices.map(j => coalesce(col(s"_s$j"), lit(false)))
+          .reduce(_ && _).as("bloom_member"),
+        coalesce(col("_in"), lit(false)).as("exact_member"))
   }
 
   /** Point-query the sketch for a fixed probe-token set and report the
