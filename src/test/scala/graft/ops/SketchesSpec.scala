@@ -148,6 +148,23 @@ class SketchesSpec extends SparkSpec {
     assert(out.count(_.getBoolean(2)) === 50)
   }
 
+  test("bloom: plan gate — zero shard-row exchange on the probe path") {
+    // the production path must stay a narrow map + broadcast-join chain:
+    // every Exchange in the plan belongs to the BOUNDED bit-set build
+    // (collapsed into the localCheckpoint scan) or a broadcast — a
+    // hashpartitioning exchange over shard rows is the regression the
+    // first rendering had (explode + groupBy(doc_id) = one shuffled row
+    // per shard doc at 10^12 docs)
+    val docs = corpus(100, 1)
+    val probe = Sketches.bloomMembership(docs, "doc_id", "text",
+      docs.filter($"doc_id" < 50), "text", m = 1024)
+      .select("doc_id", "bloom_member") // the production projection
+    val plan = probe.queryExecution.executedPlan.toString
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 0, s"unexpected shuffle in bloom probe plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("bloom: bit set is bounded by m and by 3·|index|") {
     val docs = corpus(40, 1)
     val n = Sketches.bloomBits(docs, "text", m = 4096).count()
