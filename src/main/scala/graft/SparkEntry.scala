@@ -1511,6 +1511,15 @@ object SparkEntry {
       // top-n per partition, no corpus shuffle)
       Curation.weightedSample(documents(s, dir), "doc_id", "text", n = 100)),
 
+    "d50_bpe_encode" -> ((s, dir) =>
+      // BPE merge APPLICATION — the encode step closing d44's training
+      // loop: 8 fixed merges applied in rank order as literal replaces
+      // over the U+0001-joined symbol sequence; per-doc char count vs
+      // BPE token count = the compression the merge table buys. Pure
+      // narrow projection, zero shuffle
+      TextAnalysis.bpeEncodeCounts(documents(s, dir), "doc_id", "text",
+        TextAnalysis.bpeDemoMerges)),
+
     "e22_label_centroid_matrix" -> ((s, dir) =>
       // vector-side mixture audit: per-label e6-integer centroids (one
       // |labels|·dim-bounded shuffle) → pairwise centroid dot products +
@@ -3719,6 +3728,23 @@ object SparkEntry {
         |  CAST(floor(1e6 * ln(CAST(fp + 1 AS DOUBLE) / 2147483648.0) / w)
         |    AS BIGINT) AS key_micro
         |FROM d ORDER BY key_micro DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    // BPE encode: the oracle SQL is GENERATED from the same merge list
+    // the engine folds over (TextAnalysis.bpeDemoMerges — the p69
+    // phrase-bank idiom), chained literal replace() over the
+    // chr(1)-joined symbol sequence: identical leftmost-non-overlapping
+    // semantics, so token counts replay bitwise
+    "d50_bpe_encode" -> {
+      val sym = "array_to_string(string_split(text, ''), chr(1))"
+      val encoded = TextAnalysis.bpeDemoMerges.foldLeft(sym) {
+        case (acc, (a, b)) =>
+          s"replace($acc, '$a' || chr(1) || '$b', '${a + b}')"
+      }
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split($encoded, chr(1))) AS BIGINT)
+         |    AS n_bpe_tokens
+         |FROM documents WHERE text IS NOT NULL""".stripMargin
+    },
 
     // label-centroid matrix: DuckDB recomputes the e6-integer centroids
     // (exact sums, the e21 floor-division idiom) and the pairwise

@@ -803,6 +803,51 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** BPE merge APPLICATION — the encode step that pairs with
+    * [[bpeMergeCandidates]]'s training statistics (together they are
+    * one full tokenizer-training loop: count pairs → pick merges →
+    * apply → recount). Classic BPE apply (Sennrich et al. 2016): the
+    * text becomes its character-symbol sequence joined by a separator,
+    * and each merge `(a,b)` in rank order rewrites `a SEP b → ab` —
+    * exactly Python's `word.replace(f"{a} {b}", f"{a}{b}")`, rendered
+    * as a chain of `replace` calls every SQL engine executes with the
+    * same leftmost-non-overlapping semantics, so the oracle replays the
+    * token counts bitwise. The separator is U+0001 (not space), so
+    * the original space SYMBOL sits between words and no merge can
+    * bridge a word boundary unless it names the space symbol itself.
+    *
+    * Returns `(id, n_chars, n_bpe_tokens)` — the compression the merge
+    * table achieves per doc. Pure per-row projection: zero shuffle,
+    * plan inherited from the scan. */
+  /** The d50 demonstration merge table: 8 plausible English merges in
+    * rank order (what one d44 iteration per rank would learn). ONE
+    * definition — the d50 oracle SQL is GENERATED from this list (the
+    * p69 phrase-bank idiom), so engine and oracle cannot drift. */
+  val bpeDemoMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d",
+    "i" -> "n", "o" -> "n", "e" -> "r", "s" -> "t")
+
+  def bpeEncodeCounts(docs: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeEncodeCounts: merge list must be non-empty")
+    val SEP = "\u0001"
+    merges.foreach { case (a, b) =>
+      require(!a.contains(SEP) && !b.contains(SEP) && a.nonEmpty && b.nonEmpty,
+        s"bpeEncodeCounts: bad merge ('$a','$b')")
+    }
+    val symbols = array_join(split(col(textCol), ""), SEP)
+    val encoded = merges.foldLeft(symbols) { case (acc, (a, b)) =>
+      // LITERAL replace (not regexp): leftmost non-overlapping, no
+      // rescan of replaced text — the exact Python str.replace /
+      // DuckDB replace() semantics the oracle runs
+      call_function("replace", acc, lit(a + SEP + b), lit(a + b))
+    }
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        length(col(textCol)).cast("bigint").as("n_chars"),
+        size(split(encoded, SEP)).cast("bigint").as("n_bpe_tokens"))
+  }
+
   /** Per-document fingerprint + analysis frame. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -492,4 +492,35 @@ class TextAnalysisSpec extends SparkSpec {
     val hashed = run(true)
     assert(hashed.size == 25 && hashed == run(false))
   }
+
+  test("bpeEncodeCounts: hand-traced merges, word-boundary isolation, rank order") {
+    val docs = Seq(
+      (1L, "the"),        // t+h→th, th+e→the: 3 chars → 1 token
+      (2L, "and"),        // a+n→an, an+d→and: 3 chars → 1 token
+      (3L, "t h"),        // space symbol between: NO merge → 3 tokens
+      (4L, "then"),       // th, the → "the","n": 4 chars → 2 tokens
+      (5L, "zzz"),        // no merge applies: 3 tokens
+      (6L, "stander")     // a+n→an, an+d→and, e+r→er, s+t→st: 7 chars →
+                          // "st","and","er" = 3 tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text",
+      TextAnalysis.bpeDemoMerges)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 3L, 3L),
+      (4L, 4L, 2L), (5L, 3L, 3L), (6L, 7L, 3L)))
+  }
+
+  test("bpeEncodeCounts: merges apply in rank order, not jointly") {
+    // "th" only forms via rank-1 (t,h); rank-2 (th,e) must see it —
+    // applying (th,e) BEFORE (t,h) would never fire
+    val docs = Seq((1L, "thethe")).toDF("doc_id", "text")
+    val one = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text",
+      Seq("t" -> "h", "th" -> "e")).collect()(0)
+    assert(one.getLong(2) === 2L) // "the","the"
+    val wrongOrder = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text",
+      Seq("th" -> "e", "t" -> "h")).collect()(0)
+    assert(wrongOrder.getLong(2) === 4L) // th,e,th,e — (th,e) fired on nothing
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text", Nil))
+  }
 }
