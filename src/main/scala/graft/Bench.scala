@@ -569,10 +569,13 @@ object Bench {
       // 8-core side — that OVERSTATES the ratio and (being >= 0.8)
       // suppresses the rescue phase; held sides are clean by construction
       val pN = sideBest.get((probeSize, 2)).map(v => (v._1, v._2, true)).orElse {
-        // 20M 2-core pass ≈ 25-28 s quiet: a 55 s rep budget fits two
-        // reps (min-over-2) and stays under the 95 s wall cap with margin
+        // 20M 2-core pass ≈ 25-28 s quiet: a 45 s rep budget stops
+        // after two quiet reps (elapsed ~52 s > 45 — min-over-2 as
+        // designed). 55 s let a THIRD rep launch (50-54 < 55), pushing
+        // child total to ~88-95 s against the 95 s wall cap — a QUIET
+        // attempt could be wall-killed and discarded
         val r = probe(2, sizePath,
-          repBudgetSec = if (probeSize >= 16000000L) 55
+          repBudgetSec = if (probeSize >= 16000000L) 45
                          else if (bigProbe) 34 else 40,
           maxReps = 3, capOverrideSec = if (bigProbe) 95.0 else 65.0)
         r.foreach(holdSide(probeSize, 2, _))
@@ -681,11 +684,17 @@ object Bench {
           (eff < 0.8 || eff > 1.05) && remainingSec > 170) {
         awaitQuiet()
         val sizePath = probePathOf(probeSize)
-        val pN = probe(2, sizePath, repBudgetSec = 25, maxReps = 2,
-          capOverrideSec = 70.0)
+        // slim budgets must scale with probeSize like the main loop's:
+        // a 25 s rep budget at the 20M input (quiet 2-core rep 25-28 s)
+        // stops after ONE rep — the retake that exists to correct a
+        // single noisy window would itself be a single-window sample
+        val big20 = probeSize >= 16000000L
+        val pN = probe(2, sizePath, repBudgetSec = if (big20) 45 else 25,
+          maxReps = 2, capOverrideSec = if (big20) 85.0 else 70.0)
         val p4N = if (pN.isDefined)
-          probe(8, sizePath, repBudgetSec = 15, maxReps = 3,
-            capOverrideSec = 45.0) else None
+          probe(8, sizePath, repBudgetSec = if (big20) 20 else 15,
+            maxReps = 3, capOverrideSec = if (big20) 55.0 else 45.0)
+          else None
         println(s"PROBE_STATUS rescue size=$probeSize" +
           s" n=${pN.map(_._1).getOrElse(-1.0)} n4=${p4N.map(_._1).getOrElse(-1.0)}" +
           s" load=${loadAvg()}")

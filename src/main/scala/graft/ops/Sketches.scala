@@ -87,6 +87,22 @@ object Sketches {
   def kmvOf(hash: Column, k: Int): Column =
     udaf(kmvAggregator(k), Encoders.scalaLong)(hash)
 
+  /** The KMV estimator columns shared by every rendering of the sketch
+    * (batch aggregator, declarative differential, streaming window) —
+    * ONE definition so the streaming path's "bitwise equal to
+    * [[distinctKmv]] per window" contract is enforced by construction,
+    * not by keeping hand-written copies in sync. `ks` is the ascending
+    * bottom-k hash array; returns (n_kept, kth_hash, est_distinct)
+    * where est_distinct = n_kept exactly while the sketch is short of
+    * k, else `(k-1)·M div h_(k)` in integer division. */
+  def kmvEstimate(ks: Column, k: Int): (Column, Column, Column) = (
+    size(ks).cast("int").as("n_kept"),
+    when(size(ks) >= k, element_at(ks, k)).as("kth_hash"),
+    when(size(ks) < k, size(ks).cast("bigint"))
+      .otherwise(call_function("div",
+        lit((k - 1).toLong * M), element_at(ks, k)))
+      .as("est_distinct"))
+
   /** Corpus distinct-TEXT estimate from a bottom-k sketch over the
     * rolling fingerprint. Returns ONE row:
     * `(n_kept:int, kth_hash:bigint?, est_distinct:bigint)` where
@@ -104,13 +120,8 @@ object Sketches {
       .filter(col(textCol).isNotNull)
       .select(TextAnalysis.fingerprint(col(textCol)).as("hv"))
       .agg(kmvOf(col("hv"), k).as("ks"))
-    sketch.select(
-      size(col("ks")).cast("int").as("n_kept"),
-      when(size(col("ks")) >= k, element_at(col("ks"), k)).as("kth_hash"),
-      when(size(col("ks")) < k, size(col("ks")).cast("bigint"))
-        .otherwise(call_function("div",
-          lit((k - 1).toLong * M), element_at(col("ks"), k)))
-        .as("est_distinct"))
+    val (nKept, kthHash, estDistinct) = kmvEstimate(col("ks"), k)
+    sketch.select(nKept, kthHash, estDistinct)
   }
 
   /** Declarative rendering of the same sketch (differential oracle for
@@ -126,13 +137,8 @@ object Sketches {
       .distinct().orderBy(col("hv").asc).limit(k)
       .as[Long].collect().toSeq // bounded: ≤k longs, test-only path
     val arr = typedLit(ks)
-    docs.sparkSession.range(1).select(
-      size(arr).cast("int").as("n_kept"),
-      when(size(arr) >= k, element_at(arr, k)).as("kth_hash"),
-      when(size(arr) < k, size(arr).cast("bigint"))
-        .otherwise(call_function("div",
-          lit((k - 1).toLong * M), element_at(arr, k)))
-        .as("est_distinct"))
+    val (nKept, kthHash, estDistinct) = kmvEstimate(arr, k)
+    docs.sparkSession.range(1).select(nKept, kthHash, estDistinct)
   }
 
   // ---- count-min frequency sketch ----

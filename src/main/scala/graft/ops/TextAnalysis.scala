@@ -803,6 +803,14 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** The d50 demonstration merge table: 8 plausible English merges in
+    * rank order (what one d44 iteration per rank would learn). ONE
+    * definition — the d50 oracle SQL is GENERATED from this list (the
+    * p69 phrase-bank idiom), so engine and oracle cannot drift. */
+  val bpeDemoMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d",
+    "i" -> "n", "o" -> "n", "e" -> "r", "s" -> "t")
+
   /** BPE merge APPLICATION — the encode step that pairs with
     * [[bpeMergeCandidates]]'s training statistics (together they are
     * one full tokenizer-training loop: count pairs → pick merges →
@@ -819,14 +827,6 @@ object TextAnalysis {
     * Returns `(id, n_chars, n_bpe_tokens)` — the compression the merge
     * table achieves per doc. Pure per-row projection: zero shuffle,
     * plan inherited from the scan. */
-  /** The d50 demonstration merge table: 8 plausible English merges in
-    * rank order (what one d44 iteration per rank would learn). ONE
-    * definition — the d50 oracle SQL is GENERATED from this list (the
-    * p69 phrase-bank idiom), so engine and oracle cannot drift. */
-  val bpeDemoMerges: Seq[(String, String)] = Seq(
-    "t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d",
-    "i" -> "n", "o" -> "n", "e" -> "r", "s" -> "t")
-
   def bpeEncodeCounts(docs: DataFrame, idCol: String, textCol: String,
                       merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty, "bpeEncodeCounts: merge list must be non-empty")

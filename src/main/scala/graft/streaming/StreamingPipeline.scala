@@ -126,13 +126,9 @@ object StreamingPipeline {
       .groupBy(window(col(tsCol), windowDur))
       .agg(Sketches.kmvOf(
         graft.ops.TextAnalysis.fingerprint(col(valueCol)), k).as("ks"))
+    val (nKept, _, estDistinct) = Sketches.kmvEstimate(col("ks"), k)
     sketch.select(
-      col("window.start").as("window_start"),
-      size(col("ks")).cast("int").as("n_kept"),
-      when(size(col("ks")) < k, size(col("ks")).cast("bigint"))
-        .otherwise(call_function("div",
-          lit((k - 1).toLong * Sketches.M), element_at(col("ks"), k)))
-        .as("est_distinct"))
+      col("window.start").as("window_start"), nKept, estDistinct)
   }
 
   /** One delta data point of a metric series (streaming metric input). */
