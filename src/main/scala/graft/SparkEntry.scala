@@ -1520,6 +1520,22 @@ object SparkEntry {
       TextAnalysis.bpeEncodeCounts(documents(s, dir), "doc_id", "text",
         TextAnalysis.bpeDemoMerges)),
 
+    "d51_frequency_spectrum" -> ((s, dir) =>
+      // Good-Turing count-of-counts: how many token TYPES occur exactly
+      // r times — the N_r table smoothing reads and the Zipf profile
+      // corpus-health checks watch. hashed=true shuffles 8-byte token
+      // keys; the oracle groups raw strings (TextAnalysisSpec proves
+      // hashed ≡ string); the second shuffle is bounded by the distinct
+      // occurrence counts, not the vocabulary
+      TextAnalysis.frequencySpectrum(documents(s, dir), "text")),
+
+    "d52_length_buckets" -> ((s, dir) =>
+      // curriculum quartile bucketing by token length WITHOUT ntile's
+      // global sort: nearest-rank boundaries from the length histogram
+      // (integer arithmetic), one-row broadcast back; ties land in the
+      // lower bucket so equal-length docs never split across buckets
+      TextAnalysis.lengthBuckets(documents(s, dir), "doc_id", "text")),
+
     "e22_label_centroid_matrix" -> ((s, dir) =>
       // vector-side mixture audit: per-label e6-integer centroids (one
       // |labels|·dim-bounded shuffle) → pairwise centroid dot products +
@@ -3745,6 +3761,32 @@ object SparkEntry {
          |    AS n_bpe_tokens
          |FROM documents WHERE text IS NOT NULL""".stripMargin
     },
+
+    "d51_frequency_spectrum" ->
+      """WITH tc AS (
+        |  SELECT tok, count(*) AS n_occ
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE tok <> '' GROUP BY tok)
+        |SELECT n_occ, count(*) AS n_types FROM tc GROUP BY n_occ""".stripMargin,
+
+    "d52_length_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT n_tokens AS v, count(*) AS c FROM d GROUP BY v),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+        |               sum(c) OVER () AS n FROM h),
+        |b AS (SELECT
+        |  min(CASE WHEN cum >= (1*n + 3) // 4 THEN v END) AS b1,
+        |  min(CASE WHEN cum >= (2*n + 3) // 4 THEN v END) AS b2,
+        |  min(CASE WHEN cum >= (3*n + 3) // 4 THEN v END) AS b3 FROM cum)
+        |SELECT d.doc_id, d.n_tokens,
+        |  CAST((CASE WHEN d.n_tokens > b.b1 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN d.n_tokens > b.b2 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN d.n_tokens > b.b3 THEN 1 ELSE 0 END) AS INT)
+        |    AS bucket
+        |FROM d, b""".stripMargin,
 
     // label-centroid matrix: DuckDB recomputes the e6-integer centroids
     // (exact sums, the e21 floor-division idiom) and the pairwise

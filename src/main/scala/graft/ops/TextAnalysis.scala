@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -289,6 +290,75 @@ object TextAnalysis {
         count(lit(1)).as("n_uses"))
       .filter(col("n_docs") >= minDocs)
       .select("gram", "n_docs", "n_uses")
+  }
+
+  /** Token frequency SPECTRUM — the count-of-counts table (how many
+    * token TYPES occur exactly r times in the corpus) that Good-Turing
+    * smoothing reads as its N_r input and corpus-health checks read as
+    * the Zipf head/tail profile (a singleton fraction collapsing after
+    * an ingest usually means a dedup or normalization bug upstream).
+    * Returns `(n_occ, n_types)` ascending by occurrence count.
+    *
+    * Scale design: shuffle 1 carries 8-byte hashed token keys with
+    * map-side partial combine (`hashed=true`, the production default;
+    * `hashed=false` groups raw token strings so a SQL oracle reproduces
+    * the aggregation — the spec proves both identical); shuffle 2 is
+    * bounded by the number of DISTINCT occurrence counts — O(√N) under
+    * any Zipf-like law — not by the vocabulary or the corpus. */
+  def frequencySpectrum(docs: DataFrame, textCol: String,
+                        hashed: Boolean = true): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val key = if (hashed) xxhash64(col("tok")) else col("tok")
+    toks.groupBy(key.as("k"))
+      .agg(count(lit(1)).as("n_occ"))
+      .groupBy(col("n_occ"))
+      .agg(count(lit(1)).as("n_types"))
+      .orderBy(col("n_occ"))
+  }
+
+  /** Curriculum LENGTH BUCKETING: assign each doc one of `nBuckets`
+    * corpus-quantile buckets by token length — the sampler input for
+    * length-ordered curricula and bucketed batch packing — WITHOUT
+    * `ntile`, which would range-partition and sort all 10^12 rows.
+    *
+    * Definition (all integer arithmetic, so any engine replays it
+    * bitwise): boundary_b = the smallest length whose cumulative doc
+    * count reaches `ceil(b·n/nBuckets)` (nearest-rank, the p59 idiom);
+    * a doc's bucket = how many boundaries are strictly below its
+    * length. Ties therefore always land in the LOWER bucket — docs of
+    * equal length are never split across buckets (what a curriculum
+    * needs) — and buckets are equal-sized up to tie mass.
+    *
+    * Scale design: the corpus collapses map-side to a length histogram
+    * (shuffle bounded by the length DOMAIN); the single-partition
+    * cumulative window runs over that tiny frame only; the boundary
+    * frame is ONE row broadcast back over the corpus (the
+    * SpanMetrics one-row-crossJoin idiom — not a real cross join). */
+  def lengthBuckets(docs: DataFrame, idCol: String, textCol: String,
+                    nBuckets: Int = 4): DataFrame = {
+    require(nBuckets >= 2, s"lengthBuckets: need >=2 buckets, got $nBuckets")
+    val d = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast("int").as("n_tokens"))
+    val hist = d.groupBy(col("n_tokens").as("v")).agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("_cum", sum("c").over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum("c").over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+    def rank(b: Int): Column = call_function("div",
+      lit(b.toLong) * col("_n") + lit((nBuckets - 1).toLong),
+      lit(nBuckets.toLong))
+    val bCols = (1 until nBuckets).map(b =>
+      min(when(col("_cum") >= rank(b), col("v"))).as(s"_b$b"))
+    val bounds = cum.agg(bCols.head, bCols.tail: _*)
+    val bucket = (1 until nBuckets)
+      .map(b => when(col("n_tokens") > col(s"_b$b"), 1).otherwise(0))
+      .reduce(_ + _)
+    d.crossJoin(broadcast(bounds))
+      .select(col(idCol), col("n_tokens"), bucket.cast("int").as("bucket"))
   }
 
   /** Cross-conversation boilerplate-turn scrub — the removal step over

@@ -445,6 +445,64 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hashed.nonEmpty && hashed == run(false))
   }
 
+  test("frequencySpectrum: hand-counted count-of-counts; hashed ≡ string; mass conserved") {
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "b d  e"),                  // double space → empty tok dropped
+      (3L, null.asInstanceOf[String])  // dropped
+    ).toDF("doc_id", "text")
+    // occurrences: a=2 b=2 c=1 d=1 e=1 → spectrum {1→3 types, 2→2 types}
+    val got = TextAnalysis.frequencySpectrum(docs, "text")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L), (2L, 2L)), s"got $got")
+
+    val rnd = new scala.util.Random(44)
+    val vocab = Vector.tabulate(15)(i => s"w$i")
+    val corpus = Seq.tabulate(80) { i =>
+      (i.toLong, Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(h: Boolean) = TextAnalysis.frequencySpectrum(corpus, "text",
+      hashed = h).as[(Long, Long)].collect().toSet
+    val hashed = run(true)
+    assert(hashed.nonEmpty && hashed == run(false))
+    // Σ r·N_r must equal the total token count — the Good-Turing
+    // mass-conservation identity the spectrum is consumed through
+    assert(hashed.map { case (r, nr) => r * nr }.sum == 80L * 25L)
+  }
+
+  test("lengthBuckets: nearest-rank quartiles, ties to the lower bucket, monotone") {
+    // lengths: 1,1,2,2,3,3,4,4 (n=8) → boundaries at ranks 2,4,6 →
+    // b1=1 b2=2 b3=3 → buckets: len1→0, len2→1, len3→2, len4→3
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "a b"), (4L, "c d"),
+      (5L, "a b c"), (6L, "d e f"), (7L, "a b c d"), (8L, "e f g h"),
+      (9L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lengthBuckets(docs, "doc_id", "text")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(got.map(_._3).toSeq == Seq(0, 0, 1, 1, 2, 2, 3, 3), s"got ${got.toSeq}")
+
+    // property corpus: buckets monotone in length, equal length ⇒ equal
+    // bucket, sizes near-equal up to tie mass
+    val rnd = new scala.util.Random(45)
+    val corpus = Seq.tabulate(200) { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))("t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = TextAnalysis.lengthBuckets(corpus, "doc_id", "text")
+      .as[(Long, Int, Int)].collect()
+    assert(rows.length == 200)
+    val byLen = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byLen.values.forall(_.size == 1), "equal length must mean equal bucket")
+    val sorted = rows.sortBy(_._2).map(_._3)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+      "bucket must be monotone in length")
+    assert(rows.map(_._3).toSet.subsetOf(Set(0, 1, 2, 3)))
+    // each bucket's size ≤ n/4 + the largest tie mass
+    val maxTie = rows.groupBy(_._2).values.map(_.length).max
+    rows.groupBy(_._3).values.map(_.length)
+      .foreach(sz => assert(sz <= 50 + maxTie, s"bucket size $sz"))
+  }
+
   test("boilerplateScrub: templates above the permille cut drop, rare ones stay") {
     // template "ok id=0" is in 3/3 convs (≥ 667‰); "rare id=0" in 1/3
     val turns = Seq(
