@@ -1504,11 +1504,13 @@ object SparkEntry {
 
     "d49_weighted_sample" -> ((s, dir) =>
       // Efraimidis-Spirakis weighted sampling without replacement:
-      // deterministic exponential keys ln(u)/w from the text
-      // fingerprint, weight = token count, top-100 by key — selection
-      // probability proportional to length, no RNG, replayable. Key
-      // map is narrow codegen; top-n is TakeOrderedAndProject (partial
-      // top-n per partition, no corpus shuffle)
+      // deterministic exponential keys floor(1e9·ln(u))/w from the text
+      // fingerprint (ln floored at e9 BEFORE the weight division so
+      // rank resolution is independent of doc length), weight = token
+      // count, top-100 by key — selection probability proportional to
+      // length, no RNG, replayable. Key map is narrow codegen; top-n is
+      // TakeOrderedAndProject (partial top-n per partition, no corpus
+      // shuffle)
       Curation.weightedSample(documents(s, dir), "doc_id", "text", n = 100)),
 
     "d50_bpe_encode" -> ((s, dir) =>
@@ -1523,11 +1525,16 @@ object SparkEntry {
     "d51_frequency_spectrum" -> ((s, dir) =>
       // Good-Turing count-of-counts: how many token TYPES occur exactly
       // r times — the N_r table smoothing reads and the Zipf profile
-      // corpus-health checks watch. hashed=true shuffles 8-byte token
-      // keys; the oracle groups raw strings (TextAnalysisSpec proves
-      // hashed ≡ string); the second shuffle is bounded by the distinct
-      // occurrence counts, not the vocabulary
-      TextAnalysis.frequencySpectrum(documents(s, dir), "text")),
+      // corpus-health checks watch. hashed=false here so engine and
+      // oracle share grouping semantics exactly: unlike d46/d47, the
+      // oracle does NOT replay the hash, so an xxhash64 key collision
+      // (birthday ~n²/2^65 — no longer negligible at 10^9 token types)
+      // would silently merge two types and diverge. hashed=true stays
+      // the production default for 8-byte shuffle keys; TextAnalysisSpec
+      // proves the two identical on collision-free vocabularies. The
+      // second shuffle is bounded by the distinct occurrence counts
+      TextAnalysis.frequencySpectrum(documents(s, dir), "text",
+        hashed = false)),
 
     "d52_length_buckets" -> ((s, dir) =>
       // curriculum quartile bucketing by token length WITHOUT ntile's
@@ -3730,8 +3737,10 @@ object SparkEntry {
         |FROM bm JOIN em USING (doc_id)""".stripMargin,
 
     // weighted sample: DuckDB replays the same deterministic draw —
-    // u from the rolling fingerprint, exponential key ln(u)/w floored
-    // at e6 (the d25/d30/d45 single-float hazard class), id tie-break
+    // u from the rolling fingerprint, ln(u) floored at e9 BEFORE the
+    // weight division (the d25/d30/d45 single-float hazard class; the
+    // rank division key_e9/w is exact-int/exact-int in IEEE double, so
+    // the ordering replays bitwise), id tie-break
     "d49_weighted_sample" ->
       """WITH d AS (SELECT doc_id,
         |    greatest(len(string_split(text, ' ')), 1) AS w,
@@ -3741,9 +3750,10 @@ object SparkEntry {
         |      (acc, x) -> (acc*31 + x) % 2147483647) AS fp
         |  FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id, CAST(w AS BIGINT) AS w_tokens,
-        |  CAST(floor(1e6 * ln(CAST(fp + 1 AS DOUBLE) / 2147483648.0) / w)
-        |    AS BIGINT) AS key_micro
-        |FROM d ORDER BY key_micro DESC, doc_id ASC LIMIT 100""".stripMargin,
+        |  CAST(floor(1e9 * ln(CAST(fp + 1 AS DOUBLE) / 2147483648.0))
+        |    AS BIGINT) AS key_e9
+        |FROM d ORDER BY CAST(key_e9 AS DOUBLE) / w_tokens DESC, doc_id ASC
+        |LIMIT 100""".stripMargin,
 
     // BPE encode: the oracle SQL is GENERATED from the same merge list
     // the engine folds over (TextAnalysis.bpeDemoMerges — the p69

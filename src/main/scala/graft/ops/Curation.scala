@@ -114,11 +114,19 @@ object Curation {
     * likelier, the length-balanced epoch-sampling shape); zero-token
     * docs get w=1 so they stay sampleable.
     *
-    * The ONE float is `floor(1e6·ln(u)/w)` — the d25/d30/d45 hazard
+    * The ONE float is `floor(1e9·ln(u))` — the d25/d30/d45 hazard
     * class: ln is evaluated once per doc on both engines and floored
-    * at e6, where a last-ulp libm divergence would need the true value
-    * within ~1e-10 of an integer/boundary to flip a rank (ties break
-    * by id). Scale: key computation is a narrow codegen map; top-n is
+    * at e9 BEFORE the weight division, so the rank resolution
+    * (~4×10^10 distinct values over ln's range) is independent of
+    * document length. The first version floored AFTER dividing by w
+    * (`floor(1e6·ln(u)/w)`), which shrank resolution with w — at
+    * w≈1e4 only ~2150 distinct keys existed and the top-n cut fell
+    * inside large tie masses resolved by ascending id, deterministically
+    * biasing selection among long docs toward low ids instead of by the
+    * draw. The ranking division `key_e9/w` is exact-int-over-exact-int
+    * in IEEE double (|key_e9| ≤ 2.2e10 < 2^53), correctly rounded and
+    * therefore bitwise identical on any engine; ties break by id.
+    * Scale: key computation is a narrow codegen map; top-n is
     * TakeOrderedAndProject — per-partition partial top-n, ~n rows per
     * partition to the driver-side merge, NO full sort, no shuffle of
     * the corpus. */
@@ -126,13 +134,14 @@ object Curation {
                      n: Int): DataFrame = {
     require(n > 0, s"weightedSample: n must be positive, got $n")
     val M = 2147483647L
-    val w = greatest(size(split(col(textCol), " ")), lit(1)).cast("double")
+    val w = greatest(size(split(col(textCol), " ")), lit(1))
     val u = (TextAnalysis.fingerprint(col(textCol)) + lit(1L)).cast("double") /
       lit((M + 1).toDouble)
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), w.cast("bigint").as("w_tokens"),
-        floor(lit(1e6) * log(u) / w).cast("bigint").as("key_micro"))
-      .orderBy(col("key_micro").desc, col(idCol).asc)
+        floor(lit(1e9) * log(u)).cast("bigint").as("key_e9"))
+      .orderBy((col("key_e9").cast("double") / col("w_tokens")).desc,
+        col(idCol).asc)
       .limit(n)
   }
 

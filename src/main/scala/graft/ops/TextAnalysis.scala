@@ -302,9 +302,14 @@ object TextAnalysis {
     * Scale design: shuffle 1 carries 8-byte hashed token keys with
     * map-side partial combine (`hashed=true`, the production default;
     * `hashed=false` groups raw token strings so a SQL oracle reproduces
-    * the aggregation — the spec proves both identical); shuffle 2 is
-    * bounded by the number of DISTINCT occurrence counts — O(√N) under
-    * any Zipf-like law — not by the vocabulary or the corpus. */
+    * the aggregation — the spec proves both identical). Caveat on
+    * `hashed=true`: unlike d46/d47 the downstream never sees the hash,
+    * so a 64-bit key collision silently merges two token types — the
+    * birthday bound n²/2^65 is negligible to ~10^8 types but not at
+    * 10^9+ (≈3% at 1e9); pass `hashed=false` when the spectrum must be
+    * exact at that vocabulary scale. Shuffle 2 is bounded by the number
+    * of DISTINCT occurrence counts — O(√N) under any Zipf-like law —
+    * not by the vocabulary or the corpus. */
   def frequencySpectrum(docs: DataFrame, textCol: String,
                         hashed: Boolean = true): DataFrame = {
     val toks = docs.filter(col(textCol).isNotNull)

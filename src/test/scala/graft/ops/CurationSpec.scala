@@ -309,13 +309,29 @@ class CurationSpec extends SparkSpec {
   }
 
   test("weightedSample: selection is the global top-n of the key ranking") {
+    // rank = key_e9/w descending (ln floored BEFORE the weight
+    // division), id tie-break — mirror that ordering here
     val docs = (0 until 200).map(i =>
         (i.toLong, s"word$i " * (1 + i % 13))).toDF("doc_id", "text")
+    def rank(r: org.apache.spark.sql.Row): (Double, Long) =
+      (-(r.getLong(2).toDouble / r.getLong(1)), r.getLong(0))
     val full = Curation.weightedSample(docs, "doc_id", "text", n = 200)
-      .collect().map(r => (r.getLong(2), r.getLong(0)))
-    val expectTop = full.sortBy { case (k, id) => (-k, id) }.take(25).toSeq
+      .collect().map(r => (rank(r), (r.getLong(2), r.getLong(0))))
+    val expectTop = full.sortBy(_._1).take(25).map(_._2).toSeq
     val got = Curation.weightedSample(docs, "doc_id", "text", n = 25)
-      .collect().map(r => (r.getLong(2), r.getLong(0))).toSeq
-    assert(got.sortBy { case (k, id) => (-k, id) } === expectTop)
+      .collect().map(r => (rank(r), (r.getLong(2), r.getLong(0)))).toSeq
+    assert(got.sortBy(_._1).map(_._2) === expectTop)
+  }
+
+  test("weightedSample: rank resolution independent of weight (heavy docs)") {
+    // pre-fix, w≈1e3-1e4 collapsed keys into ~2150 distinct values and
+    // ties resolved by ascending id — with ln floored at e9 first, the
+    // keys of 300 long docs must be (near-)distinct so the draw, not
+    // the id, decides selection
+    val docs = (0 until 300).map(i =>
+        (i.toLong, s"w$i " * 2000)).toDF("doc_id", "text")
+    val keys = Curation.weightedSample(docs, "doc_id", "text", n = 300)
+      .collect().map(_.getLong(2))
+    assert(keys.distinct.length >= 295) // ~no tie mass at e9 resolution
   }
 }

@@ -4,7 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, udf}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -456,6 +456,61 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(all.filter(col("route") === "user_turns").count() == 2)
       assert(all.filter(col("route") === "default").count() == 1)
     } finally q.stop()
+  }
+
+  test("multiplexed routed sink: one upstream pass, per-sink rows ≡ per-query path") {
+    implicit val sqlCtx = spark.sqlContext
+    val turns = Seq(
+      Turn("c1", 0, "user", "user=1 action=msg cents=5", "", ts(1)),
+      Turn("c1", 1, "system", "INFO [comp-1] signup user=1", "", ts(2)),
+      Turn("c2", 0, "user", "user=2 action=msg cents=9", "", ts(3)))
+    val sinks = Seq("user_turns", "default")
+
+    // multiplexed path, with an upstream row counter: the accumulator
+    // rides a nondeterministic filter ABOVE parse+enrich+tagging, so it
+    // counts upstream executions — k per-query sinks would count each
+    // row k times, the multiplexer's single cached materialization
+    // counts it once
+    val acc = spark.sparkContext.longAccumulator("upstream_rows")
+    val bump = udf { (_: String) => acc.add(1L); true }.asNondeterministic()
+    val mem = MemoryStream[Turn]
+    val tagged = graft.route.RouteStage.tagged(
+        graft.run.Pipeline.parseEnrich(spark, mem.toDF()), graft.run.Pipeline.routeTable)
+      .filter(bump(col("conv_id")))
+    val outDir = Files.createTempDirectory("graft_stream_mux").toString
+    val ckDir = Files.createTempDirectory("graft_stream_mux_ck").toString
+    val q = StreamingPipeline.startRoutedSinksMultiplexed(tagged, sinks, outDir, ckDir)
+    try {
+      mem.addData(turns: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(acc.value === turns.size,
+      s"upstream executed ${acc.value.toDouble / turns.size}x, expected once")
+
+    // per-query reference path on the same input
+    val mem2 = MemoryStream[Turn]
+    val tagged2 = graft.route.RouteStage.tagged(
+      graft.run.Pipeline.parseEnrich(spark, mem2.toDF()), graft.run.Pipeline.routeTable)
+    val outDir2 = Files.createTempDirectory("graft_stream_mux_ref").toString
+    val ckDir2 = Files.createTempDirectory("graft_stream_mux_ref_ck").toString
+    val qs = StreamingPipeline.startRoutedSinks(tagged2, sinks, outDir2, ckDir2)
+    try {
+      mem2.addData(turns: _*)
+      qs.foreach(_.processAllAvailable())
+    } finally qs.foreach(_.stop())
+
+    // routed-row-set equality per sink (batch_id is the multiplexer's
+    // idempotence partition column, not payload — drop it)
+    sinks.foreach { name =>
+      val got = spark.read.parquet(s"$outDir/$name").drop("batch_id")
+      val want = spark.read.parquet(s"$outDir2/$name")
+      assert(got.columns.sorted.toSeq === want.columns.sorted.toSeq)
+      val cols = got.columns.sorted.map(col).toSeq
+      assert(got.select(cols: _*).collect().map(_.toString).sorted.toSeq ===
+        want.select(cols: _*).collect().map(_.toString).sorted.toSeq,
+        s"sink $name diverges from the per-query path")
+      assert(got.count() > 0) // both routes exercised by the fixture
+    }
   }
 
   private def tsm(min: Int): Timestamp = new Timestamp(ts(0).getTime + min * 60000L)

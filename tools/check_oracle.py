@@ -22,6 +22,13 @@ def sortkey(row):
 
 def connect(sf_dir):
     con = duckdb.connect()
+    # Bounded-memory oracle: the e12 IVF-PQ oracle replays two
+    # quantization layers in DuckDB and OOM'd the *oracle process* on a
+    # loaded host (round-4 driver run) — cap the allocator well under
+    # the container and let anything bigger spill to disk instead of
+    # dying. The engine side is unaffected; this is oracle hygiene.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
@@ -45,6 +52,13 @@ def main(sf_dir, out_dir):
         for attempt in range(3):
             try:
                 if attempt > 0:
+                    # close the dead connection first: the retry exists
+                    # to recover from allocator OOM, and a leaked
+                    # connection holds exactly the blocks we need back
+                    try:
+                        con.close()
+                    except Exception:
+                        pass
                     con = connect(sf_dir)
                 got = con.execute(
                     f"SELECT * FROM read_parquet({spark_glob!r})").fetch_df()
