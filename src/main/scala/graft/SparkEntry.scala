@@ -475,11 +475,18 @@ object SparkEntry {
       // BRUTE-FORCE jaccard>=0.85 pair set while this side uses LSH
       // candidates, so equality additionally asserts LSH recall = 100%
       // on this corpus (already established pairwise by d07's green
-      // oracle on the same parameters). At 64 hashes / 16 bands / 4
-      // rows per band, a true pair at j=0.85 collides in ≥1 band with
-      // p = 1-(1-0.85^4)^16 ≈ 0.9997, and the test corpus's dup pairs
-      // sit well above the threshold — a miss would also fail d07, so
-      // an oracle mismatch HERE isolates group formation, not recall.
+      // oracle on the same parameters). BAND/ROW RECALL PIN (the p67
+      // idiom): at 64 hashes / 16 bands / 4 rows per band, a
+      // threshold-boundary pair at j=0.85 collides in ≥1 band with
+      // p = 1-(1-0.85^4)^16 ≈ 0.9997 (per-pair miss ≈ 3.3e-4 — NOT
+      // negligible over thousands of boundary pairs); the pin holds
+      // because the synthetic corpus's true dup pairs are
+      // near-identical (j ≈ 1, where a band collides with p ≈ 1 and
+      // the miss probability is (1-j^4)^16 ≈ 0 to machine precision),
+      // so expected corpus-level misses ≈ 0. A corpus with genuine
+      // boundary-mass pairs would need the pair-list-fed oracle
+      // variant instead. A miss would also fail d07, so an oracle
+      // mismatch HERE isolates group formation, not recall.
       Dedup.groupsWithSummary(
         Dedup.nearDupMinhashLsh(documents(s, dir), "doc_id", "text",
           numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.85),

@@ -284,10 +284,21 @@ object TextAnalysis {
         sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " "))).as("gram"))
     val key = if (hashed) xxhash64(col("gram")) else col("gram")
-    grams.groupBy(key.as("k"))
+    // two-phase instead of count_distinct: a single-pass
+    // `count_distinct(id) + count(*)` makes Catalyst EXPAND the
+    // exploded gram stream ×2 (one copy per aggregate group) before the
+    // shuffle. Grouping by (k, id) first collapses within-doc repeats
+    // MAP-SIDE — frequent grams repeat inside documents by definition,
+    // so shuffle 1 carries |distinct (gram, doc)| rows instead of
+    // 2×|gram occurrences|; shuffle 2 groups the near-distinct
+    // remainder by the 8-byte key only. Same result: n_docs = rows per
+    // key after phase 1, n_uses = sum of per-doc uses.
+    grams.groupBy(key.as("k"), col(idCol))
+      .agg(min(col("gram")).as("gram"), count(lit(1)).as("uses"))
+      .groupBy(col("k"))
       .agg(min(col("gram")).as("gram"),
-        count_distinct(col(idCol)).as("n_docs"),
-        count(lit(1)).as("n_uses"))
+        count(lit(1)).as("n_docs"),
+        sum(col("uses")).as("n_uses"))
       .filter(col("n_docs") >= minDocs)
       .select("gram", "n_docs", "n_uses")
   }
