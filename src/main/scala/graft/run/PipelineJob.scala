@@ -46,35 +46,7 @@ object PipelineJob {
     val windowDur = winArgs.headOption
       .orElse(fileCfg.map(_.window)).getOrElse("1 hour")
 
-    // FAIL FAST on an implausible heap BEFORE building the session:
-    // in local mode the driver JVM hosts every executor thread, and
-    // spark-submit's default 1g driver heap at local[32] dies with an
-    // executor OOM deep in the fan-out write stage (judge-reproduced,
-    // round 3) — ~20 min into a large input. Rule of thumb: parse →
-    // enrich → partitioned fan-out needs ≥ ~256 MB/core of heap; below
-    // that, exit NOW with the launch fix instead of OOMing later.
-    locally {
-      val masterStr = sys.props.getOrElse("spark.master",
-        sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
-      val localThreads = "local\\[(\\d+|\\*)\\]".r.findFirstMatchIn(masterStr)
-        .map(m => if (m.group(1) == "*") Runtime.getRuntime.availableProcessors()
-                  else m.group(1).toInt)
-      localThreads.foreach { threads =>
-        val maxHeap = Runtime.getRuntime.maxMemory()
-        val needed = threads.toLong * 256L * 1024 * 1024
-        if (maxHeap < needed) {
-          System.err.println(
-        s"""PipelineJob: JVM max heap ${maxHeap >> 20} MB is too small for
-           |$masterStr ($threads executor threads share this one local-mode
-           |JVM; the routed fan-out write needs ~256 MB/core, i.e. >=
-           |${needed >> 20} MB here). This launch would OOM mid-run.
-           |Fix:  spark-submit --driver-memory 16g --master local[$threads] \\
-           |        --class graft.run.PipelineJob <jar> <in> <out>
-           |or reduce parallelism to local[${math.max(1, maxHeap / (256L * 1024 * 1024)).toInt}] for this heap.""".stripMargin)
-          sys.exit(2)
-        }
-      }
-    }
+    failFastLocalHeap("PipelineJob")
 
     val builder = SparkSession.builder()
       .appName("graft-pipeline")
@@ -213,6 +185,37 @@ object PipelineJob {
         System.err.println(s"[pipeline] sink $name failed: $msg")
       }
       sys.exit(3)
+    }
+  }
+
+  /** FAIL FAST on an implausible heap BEFORE building the session:
+    * in local mode the driver JVM hosts every executor thread, and
+    * spark-submit's default 1g driver heap at local[32] dies with an
+    * executor OOM deep in the fan-out write stage (judge-reproduced,
+    * round 3) — ~20 min into a large input. Rule of thumb: parse →
+    * enrich → partitioned fan-out needs ≥ ~256 MB/core of heap; below
+    * that, exit NOW with the launch fix instead of OOMing later.
+    * Shared by [[PipelineJob]] and [[StreamingJob]]. */
+  private[run] def failFastLocalHeap(jobName: String): Unit = {
+    val masterStr = sys.props.getOrElse("spark.master",
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+    val localThreads = "local\\[(\\d+|\\*)\\]".r.findFirstMatchIn(masterStr)
+      .map(m => if (m.group(1) == "*") Runtime.getRuntime.availableProcessors()
+                else m.group(1).toInt)
+    localThreads.foreach { threads =>
+      val maxHeap = Runtime.getRuntime.maxMemory()
+      val needed = threads.toLong * 256L * 1024 * 1024
+      if (maxHeap < needed) {
+        System.err.println(
+      s"""$jobName: JVM max heap ${maxHeap >> 20} MB is too small for
+         |$masterStr ($threads executor threads share this one local-mode
+         |JVM; the routed fan-out write needs ~256 MB/core, i.e. >=
+         |${needed >> 20} MB here). This launch would OOM mid-run.
+         |Fix:  spark-submit --driver-memory 16g --master local[$threads] \\
+         |        --class graft.run.$jobName <jar> <in> <out>
+         |or reduce parallelism to local[${math.max(1, maxHeap / (256L * 1024 * 1024)).toInt}] for this heap.""".stripMargin)
+        sys.exit(2)
+      }
     }
   }
 }

@@ -708,8 +708,9 @@ object StreamingPipeline {
     * 10^12-turn scale the ingest economy wins — the per-query variant
     * stays available when a sink needs independent restart cadence. */
   def startRoutedSinksMultiplexed(tagged: DataFrame, sinkNames: Seq[String],
-                                  outDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    tagged.writeStream
+                                  outDir: String, checkpointDir: String,
+                                  trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    trigger.foldLeft(tagged.writeStream)(_.trigger(_))
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
