@@ -22,12 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object Transcripts {
 
+  /** The `input_hint` shape as a schema — applied on read for text
+    * formats (json lines / csv) that carry no types of their own and
+    * would otherwise infer `turn_idx` as long and `ts` as string. Self-
+    * describing formats (parquet/orc/iceberg) keep their own footers. */
+  val transcriptSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("tool", StringType), StructField("ts", TimestampType)))
+  }
+
   /** Format seam: swap "parquet" for "iceberg" when the runtime jar is
     * present on the cluster. All reads/writes of transcript-shaped data
     * go through here. */
   final case class TranscriptTable(format: String = "parquet") {
-    def read(spark: SparkSession, path: String): DataFrame =
-      spark.read.format(format).load(path)
+    def read(spark: SparkSession, path: String): DataFrame = {
+      val r = spark.read.format(format)
+      (if (format == "json" || format == "csv") r.schema(transcriptSchema)
+       else r).load(path)
+    }
     def write(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
       val w = df.write.format(format).mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(path)

@@ -55,4 +55,30 @@ class TranscriptTableSpec extends SparkSpec {
     val viaOrc = runThrough("orc", s"$dir/orc")
     assert(viaOrc == viaParquet)
   }
+
+  test("JSON-lines TranscriptTable (the reference filelog's native line format)") {
+    // text formats carry no types, so the seam applies the input_hint
+    // schema on read — turn_idx must come back int (not long) and ts a
+    // timestamp (not string), or every downstream window/order breaks
+    val turns = TranscriptSynth.generate(spark,
+      TranscriptSynth.Config(nTurns = 2000, nConvs = 20)).cache()
+    val dir = Files.createTempDirectory("graft_json").toString
+    val jl = Transcripts.TranscriptTable("json")
+    jl.write(turns, s"$dir/t")
+    val back = jl.read(spark, s"$dir/t")
+    assert(back.schema == Transcripts.transcriptSchema)
+    assert(norm(back) == norm(turns))
+
+    // flagship over JSON lines == flagship over parquet
+    Transcripts.TranscriptTable("parquet").write(turns, s"$dir/pq")
+    def keys(df: DataFrame): Map[String, Set[(String, Int)]] = {
+      val enriched = Pipeline.parseEnrich(spark, df)
+      graft.route.RouteStage.fanOut(enriched, Pipeline.routeTable).map {
+        case (name, d) => name -> d.select("conv_id", "turn_idx")
+          .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      }
+    }
+    assert(keys(jl.read(spark, s"$dir/t")) ==
+      keys(Transcripts.TranscriptTable("parquet").read(spark, s"$dir/pq")))
+  }
 }
