@@ -26,7 +26,12 @@ import graft.streaming.StreamingPipeline
   *   - `outDir/counts` — the streaming count connector
   *     ([[StreamingPipeline.windowedCounts]]): per-(window, route, role)
   *     counts under a watermark, append-finalized — state is bounded by
-  *     `lateness`, not the stream.
+  *     `lateness`, not the stream;
+  *   - `outDir/metric_<name>` — each metric the config declares
+  *     (conditions + attrs, the count-connector surface), computed over
+  *     the PRE-fan-out enriched frame exactly like [[PipelineJob]]
+  *     (multi-match explosion would double-count global metrics), one
+  *     independently-restartable query per metric.
   *
   * `--once` runs with `Trigger.AvailableNow` (drain what's there, then
   * exit): the streaming service doubling as an incremental batch job —
@@ -42,7 +47,10 @@ import graft.streaming.StreamingPipeline
   */
 object StreamingJob {
 
-  final case class Handles(sinks: StreamingQuery, counts: StreamingQuery)
+  final case class Handles(sinks: StreamingQuery, counts: StreamingQuery,
+                           metrics: Seq[(String, StreamingQuery)]) {
+    def all: Seq[StreamingQuery] = sinks +: counts +: metrics.map(_._2)
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
@@ -71,8 +79,7 @@ object StreamingJob {
     val hs = start(spark, inPath, outDir, fileCfg, windowDur,
       lateness = "10 minutes", once = once)
     if (once) {
-      hs.sinks.awaitTermination()
-      hs.counts.awaitTermination()
+      hs.all.foreach(_.awaitTermination())
       spark.stop()
     } else spark.streams.awaitAnyTermination()
   }
@@ -108,17 +115,41 @@ object StreamingJob {
     // the streaming count connector over the SAME tag column (two
     // queries = two upstream passes — mirroring the batch path, where
     // counts also derive from their own exploded-tag pass; the sink
-    // query's multiplexer keeps ITS pass single regardless of k)
-    val counts = StreamingPipeline.windowedCounts(
-      tagged, windowDur, lateness, Seq("route", "role"))
-    val qCounts = trig.foldLeft(
-        counts.writeStream
-          .outputMode(OutputMode.Append)
-          .option("checkpointLocation", s"$outDir/_ck/counts")
-          .option("path", s"$outDir/counts")
-      )(_.trigger(_))
-      .format("parquet")
-      .start()
-    Handles(qSinks, qCounts)
+    // query's multiplexer keeps ITS pass single regardless of k). One
+    // (window, route, role) table — the streaming rendering of
+    // PipelineJob's per-route `counts_<route>` tables, route as a column
+    def startAppend(df: org.apache.spark.sql.DataFrame, path: String,
+                    ck: String): StreamingQuery =
+      trig.foldLeft(
+          df.writeStream
+            .outputMode(OutputMode.Append)
+            .option("checkpointLocation", ck)
+            .option("path", path)
+        )(_.trigger(_))
+        .format("parquet")
+        .start()
+    val qCounts = startAppend(
+      StreamingPipeline.windowedCounts(tagged, windowDur, lateness,
+        Seq("route", "role")),
+      s"$outDir/counts", s"$outDir/_ck/counts")
+
+    // configured count-connector metrics (`metric_<name>`, matching
+    // PipelineJob): over the PRE-fan-out enriched frame — multi-match
+    // explosion duplicates rows per route and would double-count global
+    // metrics. Metrics are a config-sized set, so one streaming query
+    // per metric (each its own checkpoint/table, independently
+    // restartable — the per-query variant's isolation is the RIGHT
+    // trade here, unlike the k-sink ingest path).
+    import org.apache.spark.sql.functions.col
+    val wmEnriched = enriched.withWatermark("ts", lateness)
+    val metricFrames: Seq[(String, org.apache.spark.sql.DataFrame)] =
+      fileCfg.filter(_.metrics.nonEmpty) match {
+        case Some(c) => c.countMetrics(wmEnriched, windowDur).toSeq
+        case None => Nil
+      }
+    val qMetrics = metricFrames.map { case (name, df) =>
+      name -> startAppend(df, s"$outDir/metric_$name", s"$outDir/_ck/metric_$name")
+    }
+    Handles(qSinks, qCounts, qMetrics)
   }
 }

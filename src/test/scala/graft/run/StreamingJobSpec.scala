@@ -37,11 +37,19 @@ class StreamingJobSpec extends SparkSpec {
     val inDir = Files.createTempDirectory("graft_sj_in").toString
     val outDir = Files.createTempDirectory("graft_sj_out").toString
 
+    // the golden flagship config file drives the run — routes AND
+    // metrics from YAML (ConfigLoaderSpec pins it ≡ the programmatic
+    // Pipeline config, so batch comparisons below stay valid)
+    val cfg = {
+      val in = getClass.getResourceAsStream("/flagship.yaml")
+      val yaml = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      graft.config.ConfigLoader.compile(graft.config.ConfigLoader.load(yaml))
+    }
     def drain(): Unit = {
-      val hs = StreamingJob.start(spark, inDir, outDir, fileCfg = None,
+      val hs = StreamingJob.start(spark, inDir, outDir, fileCfg = Some(cfg),
         windowDur = "1 hour", lateness = "10 minutes", once = true)
-      try { hs.sinks.awaitTermination(); hs.counts.awaitTermination() }
-      finally { hs.sinks.stop(); hs.counts.stop() }
+      try hs.all.foreach(_.awaitTermination())
+      finally hs.all.foreach(_.stop())
     }
     def batchTagged(rows: Seq[Turn]): DataFrame =
       RouteStage.tagsExploded(
@@ -100,5 +108,23 @@ class StreamingJobSpec extends SparkSpec {
     assert(wantFinal.nonEmpty)
     assert(got === wantFinal,
       "counts must hold exactly the finalized windows of the batch result")
+
+    // configured metric tables (metric_<name>): the finalized windows
+    // must equal the batch count-connector over the pre-fan-out
+    // enriched frame — multi-match explosion must NOT inflate them
+    val enrichedAll = Pipeline.parseEnrich(spark, (part1 ++ part2).toDS().toDF())
+    val gotMetric = spark.read.parquet(s"$outDir/metric_turn_count_by_role")
+      .select("window_start", "role", "turn_count_by_role")
+      .as[(Timestamp, String, Long)].collect().toSet
+    val wantMetric = graft.agg.CountStage.countWindowed(
+        enrichedAll,
+        graft.model.PipelineConfig.MetricSpec("turn_count_by_role",
+          attrs = Seq(graft.model.PipelineConfig.AttrSpec("role"))),
+        col("ts"), "1 hour", Pipeline.resolveAttr(Pipeline.parsedFields))
+      .select("window_start", "role", "turn_count_by_role")
+      .as[(Timestamp, String, Long)].collect().toSet
+      .filter(_._1.before(ts(2)))
+    assert(wantMetric.nonEmpty)
+    assert(gotMetric === wantMetric)
   }
 }
