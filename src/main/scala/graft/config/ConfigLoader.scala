@@ -59,6 +59,7 @@ import graft.route.RouteStage
   *       - key: cost_class
   *         default: unknown
   * window: 1 hour
+  * lateness: 10 minutes    # streaming watermark (StreamingJob only)
   * }}}
   */
 object ConfigLoader {
@@ -75,12 +76,15 @@ object ConfigLoader {
                               action: String = "upsert",
                               dimPath: Option[String] = None)
 
-  /** The whole pipeline as round-trippable data. */
+  /** The whole pipeline as round-trippable data. `lateness` is the
+    * streaming watermark delay ([[graft.run.StreamingJob]]; ignored by
+    * the batch job, where event time is complete by construction). */
   final case class GraftFileConfig(parse: ParseConfig,
                                    enrich: Option[EnrichFile] = None,
                                    routes: RoutesFile = RoutesFile(),
                                    metrics: Seq[MetricFileSpec] = Nil,
-                                   window: String = "1 hour")
+                                   window: String = "1 hour",
+                                   lateness: String = "10 minutes")
 
   // one configured ObjectMapper is thread-safe; rebuilding it per
   // load()/render() call would pay full Jackson factory setup each time
@@ -101,7 +105,8 @@ object ConfigLoader {
       routes = opt(root, "routes").map(routesSection)
         .getOrElse(RoutesFile()),
       metrics = seq(root.get("metrics")).map(metricSection),
-      window = str(root, "window", "1 hour"))
+      window = str(root, "window", "1 hour"),
+      lateness = str(root, "lateness", "10 minutes"))
   }
 
   private def parseSection(n: JsonNode): ParseConfig = ParseConfig(
@@ -212,6 +217,7 @@ object ConfigLoader {
       }
     }
     root.put("window", c.window)
+    root.put("lateness", c.lateness)
     m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -224,7 +230,8 @@ object ConfigLoader {
                             metrics: Seq[MetricSpec],
                             enrich: Option[EnrichFile],
                             window: String,
-                            parsedFields: Set[String]) {
+                            parsedFields: Set[String],
+                            lateness: String = "10 minutes") {
 
     def resolver: ExprLang.Resolver = ExprLang.transcriptResolver(parsedFields)
 
@@ -304,7 +311,8 @@ object ConfigLoader {
         attrs = m.attributes.map(a => AttrSpec(a.key, a.default)))),
       enrich = c.enrich,
       window = c.window,
-      parsedFields = parsedFields)
+      parsedFields = parsedFields,
+      lateness = c.lateness)
   }
 
   def compileFile(path: String): Compiled = compile(loadFile(path))

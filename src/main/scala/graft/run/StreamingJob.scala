@@ -77,7 +77,8 @@ object StreamingJob {
       .getOrCreate()
 
     val hs = start(spark, inPath, outDir, fileCfg, windowDur,
-      lateness = "10 minutes", once = once)
+      lateness = fileCfg.map(_.lateness).getOrElse("10 minutes"),
+      once = once)
     if (once) {
       hs.all.foreach(_.awaitTermination())
       spark.stop()

@@ -47,6 +47,10 @@ class ConfigLoaderSpec extends SparkSpec {
     // twice: render output is itself stable input
     val again = ConfigLoader.render(ConfigLoader.load(ConfigLoader.render(c)))
     assert(ConfigLoader.load(again) == c)
+    // non-default streaming lateness survives the trip and compiles
+    val cl = c.copy(lateness = "30 seconds")
+    assert(ConfigLoader.load(ConfigLoader.render(cl)) == cl)
+    assert(ConfigLoader.compile(cl).lateness == "30 seconds")
   }
 
   test("on_error and enrich action parse; bad values are loud") {
