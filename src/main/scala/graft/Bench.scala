@@ -352,6 +352,11 @@ object Bench {
     // its own wall cap so a single noise spike cannot starve the suite.
     val reserveScaling = 95.0
     val reserveForQueries = math.min(160.0, budgetSec * 0.35)
+    // scaling pairs declared up here: the headline's rep-3 budget check
+    // and emit's salvage both read them (measured later, by the
+    // orchestrator-chosen phase order)
+    val pairs = scala.collection.mutable.ListBuffer[((Double, Double), (Double, Double))]()
+    var usedInprocFallback = false
     val reps = scala.collection.mutable.ListBuffer[Double]()
     // reps is appended to by the late-slack retry phase below, so the
     // headline value is derived on demand, not frozen here
@@ -376,9 +381,12 @@ object Bench {
       reps += time(endToEnd(s32, turnsPath, s"$outRoot/e2e32"))
       // min-over-reps needs ≥2 reps — rep 1 carries JIT warmup and (on
       // a polluted window) can read 3-6× slow, so the second rep runs
-      // UNCONDITIONALLY; a third only when budget clearly allows
+      // UNCONDITIONALLY; a third only when budget clearly allows. In
+      // probes-first order the scaling pair is already banked — don't
+      // reserve for it twice
       while (reps.size < 2 || (reps.size < 3 &&
-          remainingSec > reps.min * 1.2 + 2 * reserveScaling + reserveForQueries)) {
+          remainingSec > reps.min * 1.2 +
+            (if (pairs.nonEmpty) 0 else 2 * reserveScaling) + reserveForQueries)) {
         reps += time(endToEnd(s32, turnsPath, s"$outRoot/e2e32"))
       }
       s32.stop()
@@ -436,11 +444,9 @@ object Bench {
       }
     }
 
-    // ---- scaling state (declared before emit so the emit-time salvage
-    // can see live pairs; the measurement loop itself runs either FIRST
-    // — quiet launch — or after the query-suite settle window) ----
-    val pairs = scala.collection.mutable.ListBuffer[((Double, Double), (Double, Double))]()
-    var usedInprocFallback = false
+    // ---- scaling state (pairs/usedInprocFallback declared above the
+    // headline defs; the measurement loop itself runs either FIRST —
+    // quiet launch — or after the query-suite settle window) ----
     def liveEff: Option[Double] =
       if (pairs.isEmpty) None
       else Some(pairs.map(_._1._1).min / (4.0 * pairs.map(_._2._1).min))
