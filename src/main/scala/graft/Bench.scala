@@ -394,20 +394,28 @@ object Bench {
     // cache a quiet-gated headline only (a polluted one must never be
     // replayed); keyed by n_turns at read time so a 1M-turn smoke run's
     // overhead-biased number can never stand in for the 8M headline
+    // the cached ambient signal is the LAUNCH loadavg: a post-rep
+    // loadAvg() read is dominated by our own just-finished 32-thread
+    // reps (~14 after a clean run) and would make a quiet capture look
+    // like a storm capture when replayed under the cached label
     def persistHeadline(): Unit =
       if (reps.nonEmpty && !headlinePolluted)
         try Files.write(headlineCachePath,
-          (s"""{"value":$thr32,"n_turns":$nTurns,"loadavg":${loadAvg()},""" +
+          (s"""{"value":$thr32,"n_turns":$nTurns,""" +
+           s""""loadavg_launch":$launchLoad,""" +
+           s""""loadavg_after_reps":${loadAvg()},""" +
            s""""ts_ms":${System.currentTimeMillis()},""" +
            s""""e2e_reps_sec":${reps.map(jnum).mkString("[", ",", "]")}}""")
             .getBytes("UTF-8"))
         catch { case _: Throwable => }
-    /** (value, n_turns, loadavg at capture, age in sec) */
+    /** (value, n_turns, launch loadavg at capture, age in sec) */
     def cachedHeadline: Option[(Long, Long, Double, Double)] =
       readCacheLines(headlineCachePath).map(_.head).flatMap { j =>
         for { v <- jfield(j, "value"); n <- jfield(j, "n_turns")
               if n.toLong == nTurns } yield
-          (v.toLong, n.toLong, jfield(j, "loadavg").getOrElse(-1.0),
+          (v.toLong, n.toLong,
+            jfield(j, "loadavg_launch")
+              .orElse(jfield(j, "loadavg")).getOrElse(-1.0),
             ageSec(jfield(j, "ts_ms")))
       }
 
