@@ -458,9 +458,17 @@ object Bench {
     def liveEff: Option[Double] =
       if (pairs.isEmpty) None
       else Some(pairs.map(_._1._1).min / (4.0 * pairs.map(_._2._1).min))
-    /** (full json, compact json, efficiency) of the cached pair. */
+    /** (full json, compact json, efficiency) of the cached pair.
+      * Keyed by probe size like the headline cache: a smoke-scale
+      * (1-2M) pair's fixed-cost-biased ratio must never stand in for
+      * full-scale evidence — accept only pairs at ≥ the standard 8M
+      * probe. (n_turns_probe lives in line 3 for new caches; older
+      * caches carry it in line 1's full json.) */
     def cachedScaling: Option[(String, String, Double)] =
-      readCacheLines(scalingCachePath).filter(_.size >= 3).flatMap { ls =>
+      readCacheLines(scalingCachePath).filter(_.size >= 3).filter { ls =>
+        jfield(ls(2), "n_turns_probe").orElse(jfield(ls(0), "n_turns_probe"))
+          .exists(_ >= nProbe.toDouble)
+      }.flatMap { ls =>
         jfield(ls(2), "efficiency").map { eff =>
           val age = ageSec(jfield(ls(2), "ts_ms"))
           val la = jfield(ls(2), "loadavg").getOrElse(-1.0)
@@ -671,12 +679,22 @@ object Bench {
         val (f, c) = scalingJsons()
         try Files.write(scalingCachePath, (f + "\n" + c + "\n" +
           s"""{"loadavg":${loadAvg()},"ts_ms":${System.currentTimeMillis()},""" +
+          s""""n_turns_probe":$probeSize,""" +
           s""""efficiency":${liveEff.get}}""").getBytes("UTF-8"))
         catch { case _: Throwable => }
       }
     def scalingLoop(): Unit = while (attempts < 3 && pairs.isEmpty &&
         remainingSec > lastPairSec + 40) {
       attempts += 1
+      // re-check big-probe affordability AT ATTEMPT TIME: probeSize was
+      // chosen at launch (remainingSec ≈ full budget), but in
+      // settle-window order this loop runs after headline + queries —
+      // a 20M attempt on a <240 s tail can't absorb one failed try
+      // (fail-fast cap 95 s) and still fit the 8M fallback
+      if (probeSize == nProbeBig && remainingSec <= 240 &&
+          !sideBest.contains((nProbeBig, 2)) &&
+          !sideBest.contains((nProbeBig, 8)))
+        probeSize = nProbe
       // fall back to the small input only when the BIG pair holds
       // NEITHER side — a held full-size half is worth finishing (an
       // overhead-biased 2M pair beats no pair on a saturated host, but
@@ -779,6 +797,12 @@ object Bench {
       // a parseable contract line from second zero when the caches can
       // supply it (headline + scaling + scale point all cached-labeled)
       if (cachedHeadline.isDefined) emit("null", "{}")
+      else attempts = 2 // cold caches: nothing parseable exists until
+        // the post-headline emit, so bound this pre-headline phase to
+        // ONE attempt — a worst case of two failed 20M probes (~300 s)
+        // plus storm headline reps would otherwise blow the budget with
+        // contractEmitted=false (the settle-window retry below restores
+        // the spent attempts)
       syncAndWarm() // flush first-run synth writeback; warm probe input
       scalingLoop()
     }
@@ -797,8 +821,13 @@ object Bench {
     if (pairs.isEmpty) {
       // probes-first may have burned all 3 attempts in a window that
       // turned bad mid-run — the post-queries settle window earns one
-      // more try before the fallback/salvage chain takes over
+      // more try before the fallback/salvage chain takes over. The
+      // headline sinks + query outputs just wrote gigabytes: flush the
+      // writeback and re-warm the probe input first, or the retry's
+      // child probes crawl on dirty pages (the round-3 >50 s-rep
+      // diagnosis syncAndWarm exists for)
       if (attempts >= 3) attempts = 2
+      syncAndWarm()
       scalingLoop()
     }
     var (scalingJson, scalingCompact) = scalingJsons()

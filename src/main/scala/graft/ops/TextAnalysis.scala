@@ -292,12 +292,15 @@ object TextAnalysis {
     // so shuffle 1 carries |distinct (gram, doc)| rows instead of
     // 2×|gram occurrences|; shuffle 2 groups the near-distinct
     // remainder by the 8-byte key only. Same result: n_docs = rows per
-    // key after phase 1, n_uses = sum of per-doc uses.
+    // key after phase 1, n_uses = sum of per-doc uses. n_docs counts
+    // `count(idCol)` — null-skipping, so a null-id group contributes
+    // its uses but no document, exactly the single-pass
+    // `count_distinct(idCol)` null semantics this rewrite replaced.
     grams.groupBy(key.as("k"), col(idCol))
       .agg(min(col("gram")).as("gram"), count(lit(1)).as("uses"))
       .groupBy(col("k"))
       .agg(min(col("gram")).as("gram"),
-        count(lit(1)).as("n_docs"),
+        count(col(idCol)).as("n_docs"),
         sum(col("uses")).as("n_uses"))
       .filter(col("n_docs") >= minDocs)
       .select("gram", "n_docs", "n_uses")

@@ -37,14 +37,7 @@ object PipelineJob {
     // *.yml = config, anything else = windowDur) so the config's
     // `window:` field is reachable without a positional placeholder —
     // an explicit windowDur arg still wins over the config's window.
-    val extra = args.drop(2)
-    val (cfgArgs, winArgs) = extra.partition(a =>
-      a.endsWith(".yaml") || a.endsWith(".yml"))
-    val fileModel = cfgArgs.headOption
-      .map(graft.config.ConfigLoader.loadFile)
-    val fileCfg = fileModel.map(graft.config.ConfigLoader.compile)
-    val windowDur = winArgs.headOption
-      .orElse(fileCfg.map(_.window)).getOrElse("1 hour")
+    val (fileModel, fileCfg, windowDur) = parseExtraArgs(args.drop(2))
 
     failFastLocalHeap("PipelineJob")
 
@@ -186,6 +179,27 @@ object PipelineJob {
       }
       sys.exit(3)
     }
+  }
+
+  /** Shared extra-arg surface for the batch and streaming entry points
+    * (they are documented as the SAME config surface, so the parsing
+    * must be one definition): extras are recognized by SHAPE
+    * (*.yaml / *.yml = config file, anything else = windowDur) so the
+    * config's `window:` field is reachable without a positional
+    * placeholder; an explicit windowDur arg still wins over it.
+    * Returns (raw model for config fingerprinting, compiled config,
+    * effective window). */
+  private[run] def parseExtraArgs(extra: Array[String])
+      : (Option[graft.config.ConfigLoader.GraftFileConfig],
+         Option[graft.config.ConfigLoader.Compiled], String) = {
+    val (cfgArgs, winArgs) = extra.partition(a =>
+      a.endsWith(".yaml") || a.endsWith(".yml"))
+    val fileModel = cfgArgs.headOption
+      .map(graft.config.ConfigLoader.loadFile)
+    val fileCfg = fileModel.map(graft.config.ConfigLoader.compile)
+    val windowDur = winArgs.headOption
+      .orElse(fileCfg.map(_.window)).getOrElse("1 hour")
+    (fileModel, fileCfg, windowDur)
   }
 
   /** FAIL FAST on an implausible heap BEFORE building the session:

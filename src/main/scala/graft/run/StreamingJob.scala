@@ -58,13 +58,8 @@ object StreamingJob {
     val inPath = args(0); val outDir = args(1)
     val extra = args.drop(2)
     val once = extra.contains("--once")
-    val rest = extra.filterNot(_ == "--once")
-    val (cfgArgs, winArgs) = rest.partition(a =>
-      a.endsWith(".yaml") || a.endsWith(".yml"))
-    val fileCfg = cfgArgs.headOption
-      .map(graft.config.ConfigLoader.compileFile)
-    val windowDur = winArgs.headOption
-      .orElse(fileCfg.map(_.window)).getOrElse("1 hour")
+    val (_, fileCfg, windowDur) =
+      PipelineJob.parseExtraArgs(extra.filterNot(_ == "--once"))
 
     PipelineJob.failFastLocalHeap("StreamingJob")
 
@@ -92,8 +87,14 @@ object StreamingJob {
             windowDur: String, lateness: String, once: Boolean): Handles = {
     // file streaming sources need an explicit schema — take it from the
     // files already present (the table's shape is the input_hint
-    // contract, so this is a metadata-only footer read)
-    val schema = spark.read.parquet(inPath).schema
+    // contract, so this is a metadata-only footer read). A resident
+    // service must be launchable BEFORE the first file lands: when the
+    // input dir is empty or absent, fall back to the input_hint schema
+    // itself instead of crashing at startup on schema inference
+    val schema =
+      try spark.read.parquet(inPath).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        graft.sources.Transcripts.transcriptSchema }
     val stream = spark.readStream.schema(schema).parquet(inPath)
 
     val routeTable = fileCfg.map(_.routeTable).getOrElse(Pipeline.routeTable)

@@ -431,6 +431,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Set(("click here", 3L, 3L), ("here to", 2L, 2L)), s"got $got")
   }
 
+  test("frequentNgrams: null doc ids add uses but never documents (count_distinct null semantics)") {
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "spam ham spam ham"),
+      (java.lang.Long.valueOf(2L), "spam ham eggs"),
+      // null-id rows: their grams count toward n_uses, but the null
+      // group is NOT a document — and a gram seen ONLY in null-id rows
+      // has n_docs = 0, so it never passes any minDocs cut
+      (null.asInstanceOf[java.lang.Long], "spam ham spam ham zzz qqq")
+    ).toDF("doc_id", "text")
+    for (h <- Seq(true, false)) {
+      val got = TextAnalysis.frequentNgrams(docs, "doc_id", "text",
+        n = 2, minDocs = 1, hashed = h)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == Map(
+        "spam ham" -> ((2L, 5L)), "ham spam" -> ((1L, 2L)),
+        "ham eggs" -> ((1L, 1L))), s"hashed=$h got $got")
+    }
+  }
+
   test("frequentNgrams: hashed production path ≡ string oracle path") {
     val rnd = new scala.util.Random(43)
     val vocab = Vector.tabulate(12)(i => s"w$i")

@@ -33,6 +33,34 @@ class StreamingJobSpec extends SparkSpec {
       """CALL tool=search args={"q":1} dur_ms=5""", "search", ts(2, 30)),
     Turn("c3", 1, "user", "user=3 action=msg cents=2", "", ts(2, 40)))
 
+  test("service starts on an empty input dir (schema falls back to the input_hint shape)") {
+    val inDir = Files.createTempDirectory("graft_sj_empty_in").toString
+    val outDir = Files.createTempDirectory("graft_sj_empty_out").toString
+    def drain(): Unit = {
+      val hs = StreamingJob.start(spark, inDir, outDir, fileCfg = None,
+        windowDur = "1 hour", lateness = "10 minutes", once = true)
+      try hs.all.foreach(_.awaitTermination())
+      finally hs.all.foreach(_.stop())
+    }
+    // a resident service must be launchable BEFORE the first file
+    // lands: this drain must start (schema = the input_hint fallback,
+    // not inference over zero files) and terminate having read nothing
+    drain()
+    // the first files land later; the SAME checkpointed queries pick
+    // them up on the next drain and the fan-out matches batch
+    part1.toDS().toDF().write.mode("append").parquet(inDir)
+    drain()
+    val sinkNames =
+      Pipeline.routeTable.routes.map(_.name) :+ Pipeline.routeTable.defaultName
+    val gotRows = sinkNames.map { n =>
+      try spark.read.parquet(s"$outDir/sinks/$n").count() catch { case _: Throwable => 0L }
+    }.sum
+    val wantRows = RouteStage.tagsExploded(
+      Pipeline.parseEnrich(spark, part1.toDS().toDF()), Pipeline.routeTable).count()
+    assert(wantRows > 0 && gotRows == wantRows,
+      s"post-empty-start drain must fan out like batch: got $gotRows want $wantRows")
+  }
+
   test("--once runs are incremental; sinks ≡ batch fan-out; windows finalize across runs") {
     val inDir = Files.createTempDirectory("graft_sj_in").toString
     val outDir = Files.createTempDirectory("graft_sj_out").toString
