@@ -158,29 +158,59 @@ object StreamingPipeline {
     * silently restarting its running sum. */
   def deltaToCumulativeStream(points: Dataset[MetricPoint], lateness: String,
                               maxStaleMs: Long): Dataset[CumulativePoint] = {
+    import points.sparkSession.implicits._
+    statefulSeries[Double, CumulativePoint](points, lateness, maxStaleMs,
+      init = 0.0) { (series, p, total) =>
+      val t2 = total + p.value
+      (t2, CumulativePoint(series, p.ts, p.value, t2))
+    }
+  }
+
+  /** Shared scaffolding for the three stateful metric-series operators
+    * ([[deltaToCumulativeStream]] / [[cumulativeToDeltaStream]] /
+    * [[deltaToRateStream]]): the null-ts guard, per-series grouping,
+    * within-batch (ts, value) ordering, the historical-newest eviction
+    * anchor, and the `max_stale` timeout arm live HERE once — the
+    * timeout arithmetic had to be fixed in three hand-synced copies in
+    * round 4, which is exactly one copy too many twice over. Each
+    * operator supplies only its per-point fold `(series, point, acc) →
+    * (acc', out-row)`; state is `(acc, newest-event-ms)` per live
+    * series, O(1) per key. */
+  private def statefulSeries[S, O](points: Dataset[MetricPoint],
+      lateness: String, maxStaleMs: Long, init: S)(
+      step: (String, MetricPoint, S) => (S, O))(
+      implicit es: org.apache.spark.sql.Encoder[(S, Long)],
+      eo: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
     require(maxStaleMs > 0, s"maxStaleMs must be positive, got $maxStaleMs"
       + " (zero/negative would evict live series or set timeouts at/behind"
       + " the watermark, killing the query)")
-    import points.sparkSession.implicits._
-    points.withWatermark("ts", lateness)
-      .groupByKey(_.series)
-      .flatMapGroupsWithState[(Double, Long), CumulativePoint](
+    points
+      // a null event time (a corrupt line under the nullable input_hint
+      // schema) passes the watermark's late-filter — null comparisons
+      // are false, so the row is KEPT — and would NPE in the sort below,
+      // killing the query; it carries no orderable position, so drop it
+      .filter(_.ts != null)
+      .withWatermark("ts", lateness)
+      .groupByKey(_.series)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[(S, Long), O](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (series: String, rows: Iterator[MetricPoint],
-         state: GroupState[(Double, Long)]) =>
+         state: GroupState[(S, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var (total, newestMs) = state.getOption.getOrElse((0.0, Long.MinValue))
             // one micro-batch of one series is the buffering unit — the
-            // state that persists is only the (total, newest-ts) pair
+            // state that persists is only the (acc, newest-ts) pair
+            var (acc, newestMs) =
+              state.getOption.getOrElse((init, Long.MinValue))
             val out = rows.toVector.sortBy(p => (p.ts.getTime, p.value)).map { p =>
-              total += p.value
-              CumulativePoint(series, p.ts, p.value, total)
+              val (a2, o) = step(series, p, acc)
+              acc = a2
+              newestMs = math.max(newestMs, p.ts.getTime)
+              o
             }
-            newestMs = math.max(newestMs, out.iterator.map(_.ts.getTime).max)
-            state.update((total, newestMs))
+            state.update((acc, newestMs))
             state.setTimeoutTimestamp(
               math.max(newestMs, state.getCurrentWatermarkMs()) + maxStaleMs)
             out.iterator
@@ -206,34 +236,11 @@ object StreamingPipeline {
     * restart-on-stale). */
   def cumulativeToDeltaStream(points: Dataset[MetricPoint], lateness: String,
                               maxStaleMs: Long): Dataset[DeltaPoint] = {
-    require(maxStaleMs > 0, s"maxStaleMs must be positive, got $maxStaleMs"
-      + " (zero/negative would evict live series or set timeouts at/behind"
-      + " the watermark, killing the query)")
     import points.sparkSession.implicits._
-    points.withWatermark("ts", lateness)
-      .groupByKey(_.series)
-      .flatMapGroupsWithState[(Double, Long), DeltaPoint](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (series: String, rows: Iterator[MetricPoint],
-         state: GroupState[(Double, Long)]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var prev: Option[Double] = state.getOption.map(_._1)
-            var newestMs = state.getOption.map(_._2).getOrElse(Long.MinValue)
-            val out = rows.toVector.sortBy(p => (p.ts.getTime, p.value)).map { p =>
-              val d = prev.map(p.value - _)
-              prev = Some(p.value)
-              newestMs = math.max(newestMs, p.ts.getTime)
-              DeltaPoint(series, p.ts, p.value, d)
-            }
-            state.update((prev.get, newestMs))
-            state.setTimeoutTimestamp(
-              math.max(newestMs, state.getCurrentWatermarkMs()) + maxStaleMs)
-            out.iterator
-          }
-      }
+    statefulSeries[Option[Double], DeltaPoint](points, lateness, maxStaleMs,
+      init = None) { (series, p, prev) =>
+      (Some(p.value), DeltaPoint(series, p.ts, p.value, prev.map(p.value - _)))
+    }
   }
 
   /** [[MetricPoint]] with the per-second rate attached (null for the
@@ -251,37 +258,15 @@ object StreamingPipeline {
     * rendering's dt=0 null. */
   def deltaToRateStream(points: Dataset[MetricPoint], lateness: String,
                         maxStaleMs: Long): Dataset[RatePoint] = {
-    require(maxStaleMs > 0, s"maxStaleMs must be positive, got $maxStaleMs"
-      + " (zero/negative would evict live series or set timeouts at/behind"
-      + " the watermark, killing the query)")
     import points.sparkSession.implicits._
-    points.withWatermark("ts", lateness)
-      .groupByKey(_.series)
-      .flatMapGroupsWithState[(Long, Long), RatePoint](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (series: String, rows: Iterator[MetricPoint],
-         state: GroupState[(Long, Long)]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var prevMs: Option[Long] = state.getOption.map(_._1)
-            var newestMs = state.getOption.map(_._2).getOrElse(Long.MinValue)
-            val out = rows.toVector.sortBy(p => (p.ts.getTime, p.value)).map { p =>
-              val ms = p.ts.getTime
-              val rate = prevMs.collect {
-                case pm if ms > pm => p.value / ((ms - pm) / 1000.0)
-              }
-              prevMs = Some(ms)
-              newestMs = math.max(newestMs, ms)
-              RatePoint(series, p.ts, p.value, rate)
-            }
-            state.update((prevMs.get, newestMs))
-            state.setTimeoutTimestamp(
-              math.max(newestMs, state.getCurrentWatermarkMs()) + maxStaleMs)
-            out.iterator
-          }
+    statefulSeries[Option[Long], RatePoint](points, lateness, maxStaleMs,
+      init = None) { (series, p, prevMs) =>
+      val ms = p.ts.getTime
+      val rate = prevMs.collect {
+        case pm if ms > pm => p.value / ((ms - pm) / 1000.0)
       }
+      (Some(ms), RatePoint(series, p.ts, p.value, rate))
+    }
   }
 
   /** One finished conversation (recombine output). */
@@ -299,13 +284,17 @@ object StreamingPipeline {
   def recombine(turns: Dataset[Turn], lateness: String, gapMs: Long,
                 maxTurns: Int = 10000): Dataset[ConvSession] = {
     import turns.sparkSession.implicits._
-    turns.withWatermark("ts", lateness)
+    turns.filter(_.ts != null) // null event time: kept by the watermark's
+                               // late-filter (null compares false), would
+                               // NPE in the gap arithmetic below
+      .withWatermark("ts", lateness)
       .groupByKey(_.conv_id)
-      .flatMapGroupsWithState[Vector[Turn], ConvSession](
+      .flatMapGroupsWithState[(Vector[Turn], Long), ConvSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (convId: String, rows: Iterator[Turn], state: GroupState[Vector[Turn]]) =>
+        (convId: String, rows: Iterator[Turn],
+         state: GroupState[(Vector[Turn], Long)]) =>
           if (state.hasTimedOut) {
-            val buf = state.get
+            val buf = state.get._1
             state.remove()
             emit(convId, buf)
           } else {
@@ -314,11 +303,20 @@ object StreamingPipeline {
             // is O(n²) across micro-batches) and flush a chunk the moment
             // the buffer hits maxTurns, so executor state never exceeds
             // maxTurns rows no matter how many turns a batch delivers
-            // (max_batch_size flush, transformer.go:95-227)
-            var buf = state.getOption.getOrElse(Vector.empty[Turn])
+            // (max_batch_size flush, transformer.go:95-227). The newest
+            // event time rides IN state and folds over incoming rows
+            // only — recomputing it from the buffer would be an
+            // O(buffer) scan on every micro-batch of a hot conversation
+            // (the cost tailSample confines to its rare forced path),
+            // and the buffer alone under-reads it after a chunk flush:
+            // the gap timer measures from the last ACTIVITY, flushed
+            // turns included
+            var (buf, newestMs) =
+              state.getOption.getOrElse((Vector.empty[Turn], Long.MinValue))
             val out = Vector.newBuilder[ConvSession]
             rows.foreach { t =>
               buf = buf :+ t
+              newestMs = math.max(newestMs, t.ts.getTime)
               if (buf.size >= maxTurns) {
                 out ++= emit(convId, buf)
                 buf = Vector.empty
@@ -326,8 +324,7 @@ object StreamingPipeline {
             }
             if (buf.isEmpty) state.remove()
             else {
-              state.update(buf)
-              val maxTs = buf.iterator.map(_.ts.getTime).max
+              state.update((buf, newestMs))
               // clamp above the current watermark (the tailSample /
               // recombineFixedWait discipline): a turn admitted by the
               // PREVIOUS batch's watermark can carry an event time whose
@@ -335,12 +332,21 @@ object StreamingPipeline {
               // setTimeoutTimestamp below the watermark throws and kills
               // the query — such a session just times out next batch
               state.setTimeoutTimestamp(
-                math.max(maxTs + gapMs, state.getCurrentWatermarkMs() + 1))
+                clampAboveWatermark(state, newestMs + gapMs))
             }
             out.result().iterator
           }
       }
   }
+
+  /** Event-time timeouts must stay ABOVE the current watermark —
+    * `setTimeoutTimestamp` at/below it throws and kills the query, and
+    * a late-arriving group's natural deadline can already be behind it.
+    * One definition for every stateful operator: three independent
+    * copies of this one-liner were three places a future edit could
+    * reintroduce the crash the clamp exists to prevent. */
+  private def clampAboveWatermark(state: GroupState[_], wantMs: Long): Long =
+    math.max(wantMs, state.getCurrentWatermarkMs() + 1)
 
   private def emit(convId: String, buf: Vector[Turn]): Iterator[ConvSession] = {
     if (buf.isEmpty) Iterator.empty
@@ -377,16 +383,15 @@ object StreamingPipeline {
                  policy: Seq[Turn] => Boolean,
                  maxBuffer: Int = 100000): Dataset[Turn] = {
     import turns.sparkSession.implicits._
-    turns.withWatermark("ts", lateness)
+    turns.filter(_.ts != null) // see recombine: a null event time passes
+                               // the late-filter and would NPE below
+      .withWatermark("ts", lateness)
       .groupByKey(_.conv_id)
       .flatMapGroupsWithState[TailState, Turn](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (convId: String, rows: Iterator[Turn], state: GroupState[TailState]) =>
-          // event-time timeouts must stay ABOVE the current watermark or
-          // GroupState throws — a late-arriving conversation's natural
-          // deadline may already be behind it
           def aboveWatermark(wantMs: Long): Long =
-            math.max(wantMs, state.getCurrentWatermarkMs() + 1)
+            clampAboveWatermark(state, wantMs)
           if (state.hasTimedOut) {
             val st = state.get
             if (st.decided) { state.remove(); Iterator.empty } // purge cache
@@ -470,13 +475,15 @@ object StreamingPipeline {
   def recombineFixedWait(turns: Dataset[Turn], lateness: String, waitMs: Long,
                          maxTurns: Int = 10000): Dataset[ConvSession] = {
     import turns.sparkSession.implicits._
-    turns.withWatermark("ts", lateness)
+    turns.filter(_.ts != null) // see recombine: a null event time passes
+                               // the late-filter and would NPE below
+      .withWatermark("ts", lateness)
       .groupByKey(_.conv_id)
       .flatMapGroupsWithState[TailState, ConvSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (convId: String, rows: Iterator[Turn], state: GroupState[TailState]) =>
           def aboveWatermark(wantMs: Long): Long =
-            math.max(wantMs, state.getCurrentWatermarkMs() + 1)
+            clampAboveWatermark(state, wantMs)
           if (state.hasTimedOut) {
             val st = state.get
             if (st.decided) { state.remove(); Iterator.empty } // purge marker
@@ -524,9 +531,14 @@ object StreamingPipeline {
 
   // ---- turn-level policies for tailSample (internal/sampling/*.go) ----
 
-  /** Conversation contains an ERROR/FATAL status turn (status-code policy). */
+  /** Conversation contains an ERROR/FATAL status turn (status-code
+    * policy). Null-tolerant: under the nullable input_hint schema a
+    * corrupt line yields text = null, and a policy NPE inside
+    * flatMapGroupsWithState kills the query — and keeps killing it on
+    * restart, since the poison buffer is checkpointed. */
   val streamErrorPolicy: Seq[Turn] => Boolean =
-    _.exists(t => t.text.startsWith("ERROR ") || t.text.startsWith("FATAL "))
+    _.exists(t => t.text != null &&
+      (t.text.startsWith("ERROR ") || t.text.startsWith("FATAL ")))
 
   /** Latency policy: first→last event time span ≥ threshold. */
   def streamLatencyPolicy(minMs: Long): Seq[Turn] => Boolean = { buf =>

@@ -587,6 +587,53 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("poison rows: null ts dropped, null text doesn't kill the decision policy") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val kept = StreamingPipeline.tailSample(
+      mem.toDS(), "0 seconds", decisionWaitMs = 5 * 60000L,
+      StreamingPipeline.streamErrorPolicy)
+    val q = kept.writeStream.format("memory").queryName("poison")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // corrupt lines under the nullable input_hint schema: a null
+      // event time has no orderable position (dropped pre-watermark),
+      // and a null text must not NPE the policy when the decision
+      // fires — both previously killed the query from inside
+      // flatMapGroupsWithState, and kept killing it on restart since
+      // the poison state is checkpointed
+      mem.addData(
+        Turn("c1", 0, "user", null, "", ts(1)),
+        Turn("c1", 1, "user", "ERROR [db] boom", "", ts(2)),
+        Turn("cx", 0, "user", "lost in time", "", null))
+      q.processAllAvailable()
+      mem.addData(turn("c_push", 0, 30, "watermark push"))
+      q.processAllAvailable()
+      val out = spark.table("poison").as[Turn].collect()
+      assert(out.map(_.conv_id).toSet == Set("c1"), s"got ${out.toSeq}")
+      assert(out.length == 2) // the null-text turn releases with its conv
+    } finally q.stop()
+  }
+
+  test("metric series: a null-ts point is dropped, not query-killing") {
+    import StreamingPipeline.{CumulativePoint, MetricPoint}
+    implicit val sqlCtx = spark.sqlContext
+    def mp(s: String, min: Long, v: Double) =
+      MetricPoint(s, new Timestamp(ts(0).getTime + min * 60000L), v)
+    val mem = MemoryStream[MetricPoint]
+    val out = StreamingPipeline.deltaToCumulativeStream(
+      mem.toDS(), "5 minutes", maxStaleMs = 30 * 60000L)
+    val q = out.writeStream.format("memory").queryName("d2c_poison")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(mp("a", 1, 1.0), MetricPoint("a", null, 99.0), mp("a", 2, 2.0))
+      q.processAllAvailable()
+      val got = spark.table("d2c_poison").as[CumulativePoint].collect()
+        .map(p => (p.ts.getTime / 60000 % 60, p.cumulative)).toSet
+      assert(got == Set((1L, 1.0), (2L, 3.0)), s"got $got") // 99.0 never folded
+    } finally q.stop()
+  }
+
   test("streaming deltatocumulative: running sum carried across micro-batches, O(1) state") {
     import StreamingPipeline.{CumulativePoint, MetricPoint}
     implicit val sqlCtx = spark.sqlContext
