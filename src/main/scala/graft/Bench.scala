@@ -314,6 +314,13 @@ object Bench {
     // quiet) or a 4th consecutive `scaling: null`. ----
     val headlineCachePath = Paths.get(s"$outRoot/headline_last.json")
     val scalingCachePath = Paths.get(s"$outRoot/scaling_last.json")
+    val spCache = Paths.get(s"$outRoot/scale_point_last.json")
+    def cachedScalePoint: String =
+      if (!Files.exists(spCache)) "null"
+      else {
+        val j = new String(Files.readAllBytes(spCache), "UTF-8").trim
+        if (j.startsWith("{")) "{\"cached\":true," + j.drop(1) else "null"
+      }
     def readCacheLines(p: java.nio.file.Path): Option[Seq[String]] =
       if (!Files.exists(p)) None
       else try {
@@ -399,15 +406,27 @@ object Bench {
     // reps (~14 after a clean run) and would make a quiet capture look
     // like a storm capture when replayed under the cached label
     def persistHeadline(): Unit =
-      if (reps.nonEmpty && !headlinePolluted)
-        try Files.write(headlineCachePath,
-          (s"""{"value":$thr32,"n_turns":$nTurns,""" +
-           s""""loadavg_launch":$launchLoad,""" +
-           s""""loadavg_after_reps":${loadAvg()},""" +
-           s""""ts_ms":${System.currentTimeMillis()},""" +
-           s""""e2e_reps_sec":${reps.map(jnum).mkString("[", ",", "]")}}""")
-            .getBytes("UTF-8"))
-        catch { case _: Throwable => }
+      if (reps.nonEmpty && !headlinePolluted && nTurns >= 4000000L) {
+        // full-scale runs only: the cache is one slot, and a smoke-sf
+        // run (nTurns < 4M, where the floor gate is off by design)
+        // would CLOBBER the full-scale entry the next storm run needs.
+        // Within full scale, don't let a mid-storm above-floor reading
+        // (reps 2-3 are deliberately un-gated — gating them would read
+        // our own rep-1 self-load) wipe a recent much-better quiet one:
+        // overwrite when within 2/3 of the stored value, or when the
+        // stored entry has aged out (machine state drifts)
+        val keepExisting = cachedHeadline.exists { case (v, _, _, age) =>
+          thr32 * 3L < v * 2L && age >= 0 && age < 4 * 3600 }
+        if (!keepExisting)
+          try Files.write(headlineCachePath,
+            (s"""{"value":$thr32,"n_turns":$nTurns,""" +
+             s""""loadavg_launch":$launchLoad,""" +
+             s""""loadavg_after_reps":${loadAvg()},""" +
+             s""""ts_ms":${System.currentTimeMillis()},""" +
+             s""""e2e_reps_sec":${reps.map(jnum).mkString("[", ",", "]")}}""")
+              .getBytes("UTF-8"))
+          catch { case _: Throwable => }
+      }
     /** (value, n_turns, launch loadavg at capture, age in sec) */
     def cachedHeadline: Option[(Long, Long, Double, Double)] =
       readCacheLines(headlineCachePath).map(_.head).flatMap { j =>
@@ -458,6 +477,12 @@ object Bench {
     def liveEff: Option[Double] =
       if (pairs.isEmpty) None
       else Some(pairs.map(_._1._1).min / (4.0 * pairs.map(_._2._1).min))
+    // The plausibility band — ONE definition shared by the substitution
+    // gate (chooseScaling), the cache persist gate (persistScaling),
+    // and the rescue trigger: three literal copies were three gates a
+    // future band tweak could silently desynchronize (a pair persisted
+    // under one band but rejected for substitution under another)
+    def effPlausible(e: Double): Boolean = e >= 0.8 && e <= 1.05
     /** (full json, compact json, efficiency) of the cached pair.
       * Keyed by probe size like the headline cache: a smoke-scale
       * (1-2M) pair's fixed-cost-biased ratio must never stand in for
@@ -487,10 +512,10 @@ object Bench {
       * implausible for this embarrassingly-parallel path, the N side
       * caught the noise). */
     def chooseScaling(liveFull: String, liveCompact: String): (String, String) = {
-      val implausible = liveEff.exists(e => e < 0.8 || e > 1.05)
+      val implausible = liveEff.exists(e => !effPlausible(e))
       cachedScaling match {
         case Some((cf, cc, _)) if liveFull == "null" => (cf, cc)
-        case Some((cf, cc, ce)) if implausible && ce >= 0.8 && ce <= 1.05 =>
+        case Some((cf, cc, ce)) if implausible && effPlausible(ce) =>
           (cf.dropRight(1) + s""","live":$liveFull}""",
             cc.dropRight(1) + s""","live":$liveCompact}""")
         case _ => (liveFull, liveCompact)
@@ -521,8 +546,14 @@ object Bench {
 
     def emit(scalingJson: String, queriesJson: String,
              scalingCompact: String = "null", queriesSummary: String = "null",
-             scalePoint: String = "null"): Unit = {
+             scalePointArg: String = "null"): Unit = {
       val (sFull, sCompact) = chooseScaling(scalingJson, scalingCompact)
+      // every line is a superset of its predecessors (the driver
+      // tail-parses whatever line a kill leaves last): a line emitted
+      // before the live scale-point phase still carries the labeled
+      // cached point from disk, not a bare null
+      val scalePoint =
+        if (scalePointArg == "null") cachedScalePoint else scalePointArg
       // full line first (complete data, may exceed the driver's tail
       // window), COMPACT line last (always parseable)
       println(
@@ -597,6 +628,12 @@ object Bench {
     // is the consistent estimator (see BENCH.md for the stress validation).
     var lastPairSec = 100.0 // prior estimate until a real pair lands
     var attempts = 0
+    // attempt CAP, distinct from the attempt COUNT: the cold-cache
+    // probes-first bound must limit how many tries run, NOT pre-spend
+    // the counter — presetting attempts=2 made the attempts>=2
+    // size-downgrade fire on the very first probe, shipping the
+    // structurally-biased 2M pair on a perfectly quiet first run
+    var maxAttempts = 3
     // ALWAYS attempt the full-size probe first: the fixed-cost share at
     // 2M (70% of an 8-core pass) structurally under-reads the ratio
     // (measured ladder 0.64@2M → 0.77@8M → 0.80@8M true-idle), a
@@ -675,7 +712,11 @@ object Bench {
     // and never a mixed-methodology in-proc pair under the
     // "CPU-pinned JVMs" criterion label
     def persistScaling(): Unit =
-      if (liveEff.exists(e => e >= 0.8 && e <= 1.05) && !usedInprocFallback) {
+      if (liveEff.exists(effPlausible) && !usedInprocFallback
+          && probeSize >= 8000000L) { // full-scale pairs only: one cache
+        // slot, and the read gate rejects smaller sizes anyway — a
+        // downgraded 2M pair writing here would clobber the 8M/20M
+        // entry with a file no full-scale run will accept
         val (f, c) = scalingJsons()
         try Files.write(scalingCachePath, (f + "\n" + c + "\n" +
           s"""{"loadavg":${loadAvg()},"ts_ms":${System.currentTimeMillis()},""" +
@@ -683,23 +724,27 @@ object Bench {
           s""""efficiency":${liveEff.get}}""").getBytes("UTF-8"))
         catch { case _: Throwable => }
       }
-    def scalingLoop(): Unit = while (attempts < 3 && pairs.isEmpty &&
+    def scalingLoop(): Unit = while (attempts < maxAttempts && pairs.isEmpty &&
         remainingSec > lastPairSec + 40) {
       attempts += 1
       // re-check big-probe affordability AT ATTEMPT TIME: probeSize was
       // chosen at launch (remainingSec ≈ full budget), but in
       // settle-window order this loop runs after headline + queries —
       // a 20M attempt on a <240 s tail can't absorb one failed try
-      // (fail-fast cap 95 s) and still fit the 8M fallback
-      if (probeSize == nProbeBig && remainingSec <= 240 &&
+      // (fail-fast cap 95 s) and still fit the 8M fallback. This
+      // re-size IS that 8M fallback — it must suppress the failed-try
+      // downgrade below for this iteration, or a tight tail would
+      // chain 20M→8M→2M in one step and skip 8M entirely
+      val resizedToStandard =
+        probeSize == nProbeBig && remainingSec <= 240 &&
           !sideBest.contains((nProbeBig, 2)) &&
-          !sideBest.contains((nProbeBig, 8)))
-        probeSize = nProbe
+          !sideBest.contains((nProbeBig, 8))
+      if (resizedToStandard) probeSize = nProbe
       // fall back to the small input only when the BIG pair holds
       // NEITHER side — a held full-size half is worth finishing (an
       // overhead-biased 2M pair beats no pair on a saturated host, but
       // a completed 8M half beats both)
-      if (attempts >= 2 && pairs.isEmpty &&
+      if (!resizedToStandard && attempts >= 2 && pairs.isEmpty &&
           !sideBest.contains((probeSize, 2)) && !sideBest.contains((probeSize, 8)))
         probeSize =
           if (probeSize == nProbeBig) nProbe
@@ -797,12 +842,13 @@ object Bench {
       // a parseable contract line from second zero when the caches can
       // supply it (headline + scaling + scale point all cached-labeled)
       if (cachedHeadline.isDefined) emit("null", "{}")
-      else attempts = 2 // cold caches: nothing parseable exists until
-        // the post-headline emit, so bound this pre-headline phase to
-        // ONE attempt — a worst case of two failed 20M probes (~300 s)
-        // plus storm headline reps would otherwise blow the budget with
-        // contractEmitted=false (the settle-window retry below restores
-        // the spent attempts)
+      else maxAttempts = 1 // cold caches: nothing parseable exists
+        // until the post-headline emit, so CAP this pre-headline phase
+        // at ONE attempt (without touching the attempt counter the
+        // size-downgrade rule reads) — a worst case of two failed 20M
+        // probes (~300 s) plus storm headline reps would otherwise blow
+        // the budget with contractEmitted=false (the settle-window
+        // retry below lifts the cap)
       syncAndWarm() // flush first-run synth writeback; warm probe input
       scalingLoop()
     }
@@ -816,7 +862,7 @@ object Bench {
 
     queryPhase()
     writeSidecar()
-    emit(scalingJsons()._1, qs, scalingJsons()._2, qSummary)
+    locally { val (f, c) = scalingJsons(); emit(f, qs, c, qSummary) }
 
     if (pairs.isEmpty) {
       // probes-first may have burned all 3 attempts in a window that
@@ -826,6 +872,8 @@ object Bench {
       // writeback and re-warm the probe input first, or the retry's
       // child probes crawl on dirty pages (the round-3 >50 s-rep
       // diagnosis syncAndWarm exists for)
+      maxAttempts = 3 // lift the cold-cache one-attempt cap: the
+                      // contract line is on stdout by now
       if (attempts >= 3) attempts = 2
       syncAndWarm()
       scalingLoop()
@@ -875,8 +923,7 @@ object Bench {
     // consistent estimator as min-over-reps. 190 s guard keeps the
     // scale-point phase (95 s) viable behind it. ----
     locally {
-      def eff = if (pairs.isEmpty) 1.0
-        else pairs.map(_._1._1).min / (4.0 * pairs.map(_._2._1).min)
+      def eff = liveEff.getOrElse(1.0)
       // 170 s guard: a slim pair costs ~80-100 s and the load-aware 5×
       // scale point fits the ~75 s it leaves (dry run 3: rescue was
       // skipped at 174 s remaining under a 190 guard and a 0.608
@@ -890,7 +937,7 @@ object Bench {
       // clean manual pair → 1.074). A slim retake min-combines per side,
       // so it can only tighten the estimate toward the true ratio.
       if (pairs.nonEmpty && !usedInprocFallback &&
-          (eff < 0.8 || eff > 1.05) && remainingSec > 170) {
+          !effPlausible(eff) && remainingSec > 170) {
         awaitQuiet()
         val sizePath = probePathOf(probeSize)
         // slim budgets must scale with probeSize like the main loop's:
@@ -967,7 +1014,7 @@ object Bench {
         // the run past the driver's timeout
         val sec = timeCapped(s2, "headline-retry",
           endToEnd(s2, turnsPath, s"$outRoot/e2e32"),
-          capSec = math.min(70.0, remainingSec - 20.0))
+          capSec = math.max(10.0, math.min(70.0, remainingSec - 20.0)))
         s2.stop()
         if (sec >= 0) reps += sec
         println(s"HEADLINE_RETRY rep=$sec load=${loadAvg()}")
@@ -999,13 +1046,6 @@ object Bench {
     // real, just not from this invocation (run 39's pattern: the same
     // cached 10× corpus feeds every run; the phase's timings are
     // machine-state, not binary-state).
-    val spCache = Paths.get(s"$outRoot/scale_point_last.json")
-    def cachedScalePoint: String =
-      if (!Files.exists(spCache)) "null"
-      else {
-        val j = new String(Files.readAllBytes(spCache), "UTF-8").trim
-        if (j.startsWith("{")) "{\"cached\":true," + j.drop(1) else "null"
-      }
     val scalePoint =
       if (remainingSec < 55.0) cachedScalePoint
       else {
@@ -1089,7 +1129,7 @@ object Bench {
           else timeCapped(s2, "scale_point_d11", {
             groupCount = graft.ops.Dedup.dedupGroups(scaleDf)
               .agg(countDistinct(col("group"))).head().getLong(0)
-          }, capSec = math.min(90.0, remainingSec - 20.0))
+          }, capSec = math.max(10.0, math.min(90.0, remainingSec - 20.0)))
         // d35 scale path: the cross-source dup matrix over the SAME
         // cached pair list (its -2 is inherited from riding d07's
         // pairs) — two 8-byte-key joins to a doc→source map + a
