@@ -38,6 +38,10 @@ object Lineage {
   // other driver, and resume — the module's whole contract — would
   // silently never fire off-box. The local default FS keeps tests
   // byte-identical.
+  // default when no session is threaded through; callers that HOLD a
+  // session (runResumable) pass its conf explicitly — the active-session
+  // fallback resolves the wrong filesystem when the passed session is
+  // not the thread's active one (missing fs.s3a.* etc. settings)
   private def hadoopConf: org.apache.hadoop.conf.Configuration =
     scala.util.Try(SparkSession.active.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
@@ -48,8 +52,8 @@ object Lineage {
   /** Atomic small-file write through the output FS: temp +
     * single overwriting rename (same pattern as Incremental's ingest
     * manifest; Hadoop local FS makes this an atomic move in tests). */
-  private[run] def writeAtomic(path: HPath, content: String): Unit = {
-    val conf = hadoopConf
+  private[graft] def writeAtomic(path: HPath, content: String,
+      conf: org.apache.hadoop.conf.Configuration = hadoopConf): Unit = {
     val fs = path.getFileSystem(conf)
     fs.mkdirs(path.getParent)
     val tmp = new HPath(path.getParent, path.getName + ".tmp")
@@ -85,14 +89,14 @@ object Lineage {
     if (!fs.exists(dir)) return Nil
     val files = fs.listFiles(dir, true)
     val out = scala.collection.mutable.ArrayBuffer[FileLineage]()
+    // manifest records the sink-RELATIVE path so partitioned sinks
+    // stay identifiable and manifests stay portable across mounts
+    val qualified = fs.makeQualified(dir).toString
     while (files.hasNext) {
       val f = files.next()
       if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
         val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
-        // manifest records the sink-RELATIVE path so partitioned sinks
-        // stay identifiable and manifests stay portable across mounts
-        val qualified = fs.makeQualified(dir).toString
         val rel = f.getPath.toString.stripPrefix(qualified).stripPrefix("/")
         try out += FileLineage(rel, footer.getRecordCount)
         finally footer.close()
@@ -103,12 +107,14 @@ object Lineage {
 
   /** Atomic manifest commit: write temp, fsync-rename into place
     * (the reference persister's save step, checkpoint.go:40-63). */
-  private[run] def commitManifest(outDir: String, m: Manifest): Unit =
-    writeAtomic(manifestPath(outDir, m.sink), renderJson(m))
+  private[run] def commitManifest(outDir: String, m: Manifest,
+      conf: org.apache.hadoop.conf.Configuration = hadoopConf): Unit =
+    writeAtomic(manifestPath(outDir, m.sink), renderJson(m), conf)
 
-  def isCommitted(outDir: String, sink: String, fingerprint: String): Boolean = {
+  def isCommitted(outDir: String, sink: String, fingerprint: String,
+      conf: org.apache.hadoop.conf.Configuration = hadoopConf): Boolean = {
     val p = manifestPath(outDir, sink)
-    val fs = p.getFileSystem(hadoopConf)
+    val fs = p.getFileSystem(conf)
     fs.exists(p) && {
       val in = fs.open(p)
       val json =
@@ -128,20 +134,34 @@ object Lineage {
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     val manifests = scala.collection.mutable.LinkedHashMap[String, Manifest]()
+    val conf = spark.sparkContext.hadoopConfiguration
     sinks.toSeq.sortBy(_._1).foreach { case (sink, df) =>
-      if (isCommitted(outDir, sink, fingerprint)) skipped += sink
-      else {
-        try {
+      // the committed check sits INSIDE the per-sink try: a transient
+      // manifest-read error on one sink must not abort the remaining
+      // sinks (the documented isolation contract); an unreadable
+      // manifest degrades to "not committed" → idempotent re-execute
+      try {
+        if (isCommitted(outDir, sink, fingerprint, conf)) skipped += sink
+        else {
           val sinkDir = s"$outDir/$sink"
+          // INVALIDATE any stale manifest (a different fingerprint's)
+          // BEFORE the destructive overwrite: a kill between the
+          // overwrite and commitManifest would otherwise leave the old
+          // manifest standing over destroyed data — and a config
+          // rollback to that old fingerprint would then skip the sink
+          // and ship the partial mixed output as committed
+          val mp = manifestPath(outDir, sink)
+          val mfs = mp.getFileSystem(conf)
+          if (mfs.exists(mp)) mfs.delete(mp, false)
           df.write.mode("overwrite").parquet(sinkDir)
           val lineage = fileLineage(spark, sinkDir)
           val m = Manifest(sink, fingerprint, lineage.map(_.rows).sum, lineage)
-          commitManifest(outDir, m)
+          commitManifest(outDir, m, conf)
           manifests += sink -> m
           executed += sink
-        } catch {
-          case NonFatal(e) => failed += sink -> String.valueOf(e.getMessage)
         }
+      } catch {
+        case NonFatal(e) => failed += sink -> String.valueOf(e.getMessage)
       }
     }
     RunReport(executed.toSeq, skipped.toSeq, failed.toMap, manifests.toMap)

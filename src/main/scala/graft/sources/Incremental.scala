@@ -46,16 +46,21 @@ object Incremental {
     // are data files too) and FULL-URI fingerprints: toUri.getPath would
     // strip scheme/authority, so s3a://bucket/x and hdfs://nn/x would
     // collide and readNew would re-resolve them against the default FS
-    val current = {
-      val it = fs.listFiles(table, true)
-      val buf = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(suffix))
-          buf += s"${f.getPath.toString}|${f.getLen}"
+    // consumer deployed before the producer's first run: a missing
+    // table dir is "nothing new yet", not a crash (the fs.exists → Nil
+    // discipline fileLineage already follows)
+    val current =
+      if (!fs.exists(table)) Seq.empty[String]
+      else {
+        val it = fs.listFiles(table, true)
+        val buf = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(suffix))
+            buf += s"${escapePath(f.getPath.toString)}|${f.getLen}"
+        }
+        buf.result().sorted
       }
-      buf.result().sorted
-    }
     val mp = manifestPath(ckptDir)
     val mfs = mp.getFileSystem(conf)
     val seen: Set[String] =
@@ -66,28 +71,42 @@ object Incremental {
         finally in.close()
       } else Set.empty
     val fresh = current.filterNot(seen)
-    Plan(fresh, () => {
-      val tmp = new Path(ckptDir, s"ingest_manifest.tmp")
-      mfs.mkdirs(new Path(ckptDir))
-      val out = mfs.create(tmp, true)
-      try out.write((seen ++ fresh).toSeq.sorted.mkString("\n")
-        .getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      // single overwriting rename — no delete-then-rename crash window
-      // (a crash in between would lose the manifest → full re-ingest),
-      // and the result is CHECKED: Hadoop rename signals failure by
-      // returning false, which silently left a stale manifest before
-      org.apache.hadoop.fs.FileContext.getFileContext(mp.toUri, conf)
-        .rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    })
+    val currentSet = current.toSet
+    Plan(fresh, () =>
+      // atomic replace via the shared temp+overwriting-rename writer
+      // (one implementation with the lineage manifests). The manifest
+      // is PRUNED to fingerprints still present in the table: without
+      // it, retention/compaction makes the manifest grow O(history)
+      // forever and every run reads+rewrites dead entries. Cost of the
+      // prune: a deleted-then-resurrected identical path re-ingests —
+      // the at-least-once side of the contract, resolved by the
+      // idempotent sink like any crash replay.
+      graft.run.Lineage.writeAtomic(mp,
+        (seen.filter(currentSet) ++ fresh).toSeq.sorted.mkString("\n"), conf))
   }
+
+  // a legal POSIX/HDFS file name may contain '\n' (and '%'): the
+  // manifest is newline-separated, so an unescaped path would split
+  // into bogus entries that never match and re-ingest forever
+  private def escapePath(p: String): String =
+    p.replace("%", "%25").replace("\n", "%0A")
+  private def unescapePath(p: String): String =
+    p.replace("%0A", "\n").replace("%25", "%")
 
   /** Read just the not-yet-committed files of a parquet table (empty
     * DataFrame with the table's schema when nothing is new). */
   def readNew(spark: SparkSession, tablePath: String, ckptDir: String): (DataFrame, Plan) = {
     val p = plan(spark, tablePath, ckptDir)
     val df =
-      if (p.isEmpty) spark.read.parquet(tablePath).limit(0)
+      if (p.isEmpty)
+        // a table dir that is missing or has no data files yet makes
+        // schema inference throw — the consumer-before-producer case
+        // must yield the promised empty frame, in the input_hint shape
+        // (the StreamingJob empty-dir discipline)
+        try spark.read.parquet(tablePath).limit(0)
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            Transcripts.transcriptSchema) }
       // basePath: reading explicit leaf files of a PARTITIONED table
       // (route=X/part-N.parquet) must keep the partition columns the
       // empty-plan branch's whole-table read carries — without it the
@@ -96,7 +115,8 @@ object Incremental {
       // last bar, not the first: a legal file name may itself contain
       // '|' and a first-bar split would truncate the path
       else spark.read.option("basePath", tablePath)
-        .parquet(p.newFiles.map(f => f.substring(0, f.lastIndexOf('|'))): _*)
+        .parquet(p.newFiles.map(f =>
+          unescapePath(f.substring(0, f.lastIndexOf('|')))): _*)
     (df, p)
   }
 }

@@ -42,6 +42,28 @@ class LineageSpec extends SparkSpec {
     }
   }
 
+  test("a changed-fingerprint overwrite invalidates the old manifest BEFORE writing (no stale commit over destroyed data)") {
+    val out = Files.createTempDirectory("graft_lineage_stale").toString
+    val fp1 = Lineage.fingerprintOf("pipeline", "v1")
+    val fp2 = Lineage.fingerprintOf("pipeline", "v2")
+    val data = Map("alpha" -> Seq((1, "a")).toDF("id", "v"))
+    assert(Lineage.runResumable(spark, data, out, fp1).executed == Seq("alpha"))
+    assert(Lineage.isCommitted(out, "alpha", fp1))
+    // the v2 run's write fails mid-overwrite (the kill window): the v1
+    // manifest must already be gone, or a rollback to v1 would skip the
+    // sink and ship the destroyed/partial data as committed under v1
+    val poisoned = Map("alpha" -> data("alpha")
+      .withColumn("boom", expr("raise_error('killed mid-overwrite')")))
+    val r2 = Lineage.runResumable(spark, poisoned, out, fp2)
+    assert(r2.failed.keySet == Set("alpha"))
+    assert(!Lineage.isCommitted(out, "alpha", fp1),
+      "stale v1 manifest survived a failed v2 overwrite")
+    // the v1 rerun re-executes (not skips) and restores a committed state
+    val r3 = Lineage.runResumable(spark, data, out, fp1)
+    assert(r3.executed == Seq("alpha") && r3.skipped.isEmpty)
+    assert(spark.read.parquet(s"$out/alpha").count() == 1)
+  }
+
   test("manifest carries per-file row lineage matching the committed data") {
     val out = Files.createTempDirectory("graft_lineage2").toString
     val fp = Lineage.fingerprintOf("p2")

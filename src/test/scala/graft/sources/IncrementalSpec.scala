@@ -34,6 +34,47 @@ class IncrementalSpec extends SparkSpec {
     assert(p4.isEmpty)
   }
 
+  test("consumer before producer: missing/empty table yields an empty plan and frame, then catches up") {
+    val parent = Files.createTempDirectory("inc_pre").toString
+    val table = s"$parent/not_yet_created"
+    val ckpt = Files.createTempDirectory("inc_pre_ckpt").toString
+    // missing dir: empty plan, empty input_hint-shaped frame, no crash
+    val (df0, p0) = Incremental.readNew(spark, table, ckpt)
+    assert(p0.isEmpty && df0.count() == 0)
+    assert(df0.columns.contains("conv_id")) // the input_hint fallback shape
+    p0.commit() // committing the empty plan must also be harmless
+    // dir exists but holds no data files yet: same contract
+    Files.createDirectories(java.nio.file.Paths.get(table))
+    val (df1, p1) = Incremental.readNew(spark, table, ckpt)
+    assert(p1.isEmpty && df1.count() == 0)
+    // the producer's first write is then picked up normally
+    (1 to 10).toDF("v").repartition(1).write.mode("append").parquet(table)
+    val (df2, p2) = Incremental.readNew(spark, table, ckpt)
+    assert(p2.newFiles.size == 1 && df2.count() == 10)
+  }
+
+  test("manifest prunes fingerprints of deleted files (bounded by current table, not history)") {
+    val table = Files.createTempDirectory("inc_prune").toString
+    val ckpt = Files.createTempDirectory("inc_prune_ckpt").toString
+    (1 to 10).toDF("v").repartition(1).write.mode("append").parquet(table)
+    val (_, p1) = Incremental.readNew(spark, table, ckpt)
+    p1.commit()
+    // retention/compaction: the committed file is deleted, a new one lands
+    val dir = java.nio.file.Paths.get(table)
+    java.nio.file.Files.list(dir).forEach { f =>
+      if (f.toString.endsWith(".parquet")) java.nio.file.Files.delete(f) }
+    (11 to 20).toDF("v").repartition(1).write.mode("append").parquet(table)
+    val (df2, p2) = Incremental.readNew(spark, table, ckpt)
+    assert(p2.newFiles.size == 1 && df2.count() == 10)
+    p2.commit()
+    // the manifest now holds ONLY the live file's fingerprint — the
+    // dead entry was pruned on commit, keeping the file O(current table)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ckpt, "ingest_manifest.list")), "UTF-8")
+    val entries = manifest.split("\n").filter(_.nonEmpty)
+    assert(entries.length == 1, s"manifest not pruned: ${entries.toSeq}")
+  }
+
   test("partitioned table layouts are listed recursively with full URIs") {
     val table = Files.createTempDirectory("inc_part").toString
     val ckpt = Files.createTempDirectory("inc_part_ckpt").toString
