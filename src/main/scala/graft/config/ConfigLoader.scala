@@ -123,7 +123,15 @@ object ConfigLoader {
     })
 
   private def enrichSection(n: JsonNode): EnrichFile = EnrichFile(
-    keys = seq(n.get("keys")).map(_.asText()),
+    keys = {
+      val ks = seq(n.get("keys")).map(_.asText())
+      // empty keys would reach EnrichStage as join(Seq.empty) — a
+      // cross-join-shaped plan silently multiplying every fact row by
+      // the dim row count; a missing/misspelled `keys:` must be loud
+      require(ks.nonEmpty,
+        "config: enrich requires a non-empty `keys` list")
+      ks
+    },
     action = str(n, "action", "upsert") match {
       case a @ ("insert" | "update" | "upsert") => a
       case other => throw new IllegalArgumentException(
@@ -164,6 +172,11 @@ object ConfigLoader {
     val v = n.get(field)
     require(v != null && !v.isNull,
       s"config: missing required field `$field` in ${n}")
+    // a container here is a mis-indented block (the seq() hazard for
+    // scalars): ObjectNode.asText() is "", which would silently become
+    // an empty pattern name / regex / route predicate
+    require(v.isValueNode,
+      s"config: field `$field` must be a scalar, got ${v.getNodeType}: $v")
     v.asText()
   }
 
@@ -279,11 +292,10 @@ object ConfigLoader {
     def run(spark: SparkSession, transcripts: DataFrame)
         : (Map[String, DataFrame], Map[String, DataFrame]) = {
       val enriched = parseEnrich(spark, transcripts)
-      val sinks = RouteStage.fanOut(enriched, routeTable)
-      val exploded = RouteStage.tagsExploded(enriched, routeTable)
+      val (sinks, stream) = RouteStage.sinksAndStream(enriched, routeTable)
       val counts = sinks.keySet.map { name =>
         name -> CountStage.countWindowed(
-          exploded.filter(col("route") === name),
+          stream.filter(col("route") === name),
           MetricSpec("count"), col("ts"), window, resolveAttr)
       }.toMap
       (sinks, counts)
@@ -297,6 +309,22 @@ object ConfigLoader {
   }
 
   def compile(c: GraftFileConfig): Compiled = {
+    // name collisions are map-key collisions downstream: a duplicate
+    // metric name silently loses all but the last entry in
+    // countMetrics' .toMap (one streaming sink vanishes with no error),
+    // a route named like the default is overwritten by the default sink
+    // in fanOut's map union — a copy-paste edit must fail at load, not
+    // ship half the sinks
+    def dupes(xs: Seq[String]): Seq[String] =
+      xs.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.toSeq
+    val metricDupes = dupes(c.metrics.map(_.name))
+    require(metricDupes.isEmpty,
+      s"config: duplicate metric names: ${metricDupes.mkString(", ")}")
+    val routeDupes = dupes(c.routes.table.map(_.name))
+    require(routeDupes.isEmpty,
+      s"config: duplicate route names: ${routeDupes.mkString(", ")}")
+    require(!c.routes.table.exists(_.name == c.routes.default),
+      s"config: route name '${c.routes.default}' collides with the default sink")
     val parsedFields = c.parse.patterns.flatMap(_.fields).toSet
     val resolver = ExprLang.transcriptResolver(parsedFields)
     Compiled(

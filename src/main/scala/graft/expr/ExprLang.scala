@@ -302,9 +302,14 @@ object ExprLang {
     case Or(l, r) => compileExpr(l, resolve) || compileExpr(r, resolve)
     case Math(op, l, r) =>
       val (a, b) = (compileExpr(l, resolve), compileExpr(r, resolve))
+      // try_* arithmetic, not bare operators: under Spark 4's default
+      // ANSI mode a division by zero or an overflow THROWS and kills
+      // the whole batch — OTTL error_mode=ignore semantics (and this
+      // file's try_cast discipline) require the row to evaluate null
+      // and become a non-match instead
       op match {
-        case '+' => a + b; case '-' => a - b
-        case '*' => a * b; case '/' => a / b
+        case '+' => try_add(a, b); case '-' => try_subtract(a, b)
+        case '*' => try_multiply(a, b); case '/' => try_divide(a, b)
       }
     case Func(name, args) => compileFunc(name, args, resolve)
   }
@@ -312,12 +317,21 @@ object ExprLang {
   /** Converter dispatch — OTTL names (`pkg/ottl/ottlfuncs/README.md`),
     * bodies delegated to the existing [[graft.functions.Ottl]] surface. */
   private def compileFunc(name: String, args: Seq[Expr], resolve: Resolver): Column = {
-    def c(i: Int): Column = compileExpr(args(i), resolve)
-    def str(i: Int): String = args(i) match {
+    // arity-checked accessor: a wrong-arity call in a config string
+    // (`IsMatch(body)` with the pattern forgotten) must name the
+    // converter and the missing position, not surface as a bare
+    // IndexOutOfBoundsException with no source context
+    def at(i: Int): Expr = {
+      if (i >= args.size) throw new IllegalArgumentException(
+        s"$name: expects at least ${i + 1} argument(s), got ${args.size}")
+      args(i)
+    }
+    def c(i: Int): Column = compileExpr(at(i), resolve)
+    def str(i: Int): String = at(i) match {
       case Lit(s: String) => s
       case _ => throw new IllegalArgumentException(s"$name: argument ${i + 1} must be a string literal")
     }
-    def int(i: Int): Int = args(i) match {
+    def int(i: Int): Int = at(i) match {
       case Lit(v: Long) => v.toInt
       case _ => throw new IllegalArgumentException(s"$name: argument ${i + 1} must be an int literal")
     }
@@ -345,7 +359,12 @@ object ExprLang {
       case "SHA256" => Ottl.sha256Hex(c(0))
       case "FNV" => Ottl.fnv1a64(c(0))
       case "Log" => Ottl.ottlLog(c(0))
-      case "Time" => Ottl.timeParse(c(0), str(1))
+      // try_to_timestamp, not to_timestamp: an unparseable value is an
+      // OTTL eval error (row → non-match under error_mode=ignore); the
+      // plain form throws under default-ANSI Spark 4 and kills the
+      // batch. The Ottl.timeParse surface keeps strict semantics for
+      // the parse-stage path, where on_error handles the failure.
+      case "Time" => try_to_timestamp(c(0), lit(str(1)))
       case "TruncateTime" => Ottl.truncateTime(c(0), str(1))
       case "UnixSeconds" => Ottl.unixSeconds(c(0))
       case "UnixMilli" => Ottl.unixMillis(c(0))
@@ -516,7 +535,12 @@ object ExprLang {
         var inStr = false
         while (j < s.length && depth > 0) {
           s(j) match {
-            case '"' if s(j - 1) != '\\' => inStr = !inStr
+            // consume escape PAIRS like the real lexer: the previous
+            // look-behind (`s(j-1) != '\\'`) misread a string ending in
+            // an escaped backslash (`"a\\"`) as an escaped quote,
+            // leaving inStr stuck and failing a well-formed template
+            case '\\' if inStr && j + 1 < s.length => j += 1
+            case '"' => inStr = !inStr
             case '(' if !inStr => depth += 1
             case ')' if !inStr => depth -= 1
             case _ =>

@@ -88,6 +88,23 @@ object RouteStage {
     tagsExploded(df, table).write.format(format).mode("overwrite")
       .partitionBy("route").save(outDir)
 
+  /** Per-sink frames + the single-scan tagged stream, honoring the
+    * table's match semantics in ONE place (match_once → first-match
+    * single tag, `routingconnector/logs.go:87`; default → multi-match
+    * explosion). Both materialized run paths (Pipeline.run and the
+    * config surface's Compiled.run) route through here: they previously
+    * each hard-coded the multi-match pair, so a `match_once: true`
+    * config silently got fan-out duplicates in every matching sink and
+    * doubled every per-route count. Counts derived from the returned
+    * stream agree with the sinks by construction. */
+  def sinksAndStream(df: DataFrame, table: RouteTable)
+      : (Map[String, DataFrame], DataFrame) =
+    if (table.matchOnce) {
+      val t = tagged(df, table)
+      val names = table.routes.map(_.name) :+ table.defaultName
+      (names.map(n => n -> t.filter(col("route") === n).drop("route")).toMap, t)
+    } else (fanOut(df, table), tagsExploded(df, table))
+
   /** Route-to-multiple-pipelines fan-out (`connector/routingconnector/
     * config.go:70-82` Pipelines lists; delivery grouped per consumer so a
     * row reaching one pipeline via several routes arrives ONCE,

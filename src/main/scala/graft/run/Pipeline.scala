@@ -150,11 +150,10 @@ object Pipeline {
   def run(spark: SparkSession, transcripts: DataFrame, windowDur: String = "1 hour")
       : (Map[String, DataFrame], Map[String, DataFrame]) = {
     val enriched = parseEnrich(spark, transcripts)
-    val sinks = RouteStage.fanOut(enriched, routeTable)
-    val exploded = RouteStage.tagsExploded(enriched, routeTable)
+    val (sinks, stream) = RouteStage.sinksAndStream(enriched, routeTable)
     val counts = sinks.keySet.map { name =>
       name -> CountStage.countWindowed(
-        exploded.filter(col("route") === name),
+        stream.filter(col("route") === name),
         MetricSpec(s"count"), col("ts"), windowDur, resolveAttr(parsedFields))
     }.toMap
     (sinks, counts)

@@ -134,6 +134,58 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(outDup.count() == turns.count())
   }
 
+  test("match_once: true gives first-match-wins sinks, no fan-out duplicates") {
+    import spark.implicits._
+    val yaml =
+      """parse:
+        |  patterns: []
+        |routes:
+        |  match_once: true
+        |  table:
+        |    - name: users
+        |      where: 'role == "user"'
+        |    - name: early
+        |      where: 'turn_idx < 1'
+        |""".stripMargin
+    val compiled = ConfigLoader.compile(ConfigLoader.load(yaml))
+    val turns = Seq(
+      ("c1", 0, "user", "both match", "", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("c2", 5, "tool", "neither", "", java.sql.Timestamp.valueOf("2024-01-01 00:10:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val (sinks, counts) = compiled.run(spark, turns)
+    // c1 matches BOTH routes: first-match-wins must land it in `users`
+    // only (the previous multi-match path duplicated it into both and
+    // doubled the per-route counts)
+    assert(sinks("users").count() == 1 && sinks("early").count() == 0,
+      s"got ${sinks.view.mapValues(_.count()).toMap}")
+    assert(sinks("default").count() == 1)
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    val total = counts.values.map(
+      _.agg(coalesce(sum("count"), lit(0L))).head().getLong(0)).sum
+    assert(total == 2, s"counts must partition the rows once, got $total")
+  }
+
+  test("config collisions and degenerate enrich keys fail loudly at load/compile") {
+    def loadC(y: String) = ConfigLoader.compile(ConfigLoader.load(y))
+    val dupMetric = intercept[IllegalArgumentException] { loadC(
+      "parse:\n  patterns: []\nmetrics:\n  - name: m\n  - name: m\n") }
+    assert(dupMetric.getMessage.contains("duplicate metric"))
+    val dupRoute = intercept[IllegalArgumentException] { loadC(
+      "parse:\n  patterns: []\nroutes:\n  table:\n    - name: r\n      where: 'turn_idx > 0'\n    - name: r\n      where: 'turn_idx < 0'\n") }
+    assert(dupRoute.getMessage.contains("duplicate route"))
+    val defClash = intercept[IllegalArgumentException] { loadC(
+      "parse:\n  patterns: []\nroutes:\n  default: r\n  table:\n    - name: r\n      where: 'turn_idx > 0'\n") }
+    assert(defClash.getMessage.contains("default"))
+    val emptyKeys = intercept[IllegalArgumentException] { ConfigLoader.load(
+      "parse:\n  patterns: []\nenrich:\n  action: upsert\n") }
+    assert(emptyKeys.getMessage.contains("keys"))
+    // a mis-indented scalar (regex holding a nested block) is loud, not
+    // an empty-string regex matching every row
+    val containerScalar = intercept[IllegalArgumentException] { ConfigLoader.load(
+      "parse:\n  patterns:\n    - name: p\n      regex:\n        oops: 1\n      fields: []\n") }
+    assert(containerScalar.getMessage.contains("scalar"))
+  }
+
   test("compiled config drives the flagship: identical sinks and counts") {
     val turns = TranscriptSynth.generate(spark,
       TranscriptSynth.Config(nTurns = 3000, nConvs = 30)).cache()

@@ -71,6 +71,34 @@ class ExprLangSpec extends SparkSpec {
     assert(byHand.keySet == Set("tool_calls", "errors", "user_turns", "default"))
   }
 
+  test("ANSI-safe eval errors: div-by-zero, overflow, bad Time are non-matches, not batch kills") {
+    // turn_idx is 0 for c1: a plain `/` would throw DIVIDE_BY_ZERO
+    // under Spark 4's default ANSI mode and abort the job — OTTL
+    // error_mode=ignore demands the row be a non-match instead
+    assert(rows("""42 / turn_idx >= 0""") == Set("c2", "c3"))
+    assert(rows("""9223372036854775807 + turn_idx > 0""") == Set("c1")) // overflow rows drop out
+    // an unparseable Time value is an eval error → non-match (c1's
+    // text is not a timestamp); parseable values still compare
+    assert(rows("""Time(text, "yyyy-MM-dd") > Time("2020-01-01", "yyyy-MM-dd")""").isEmpty)
+  }
+
+  test("wrong converter arity names the converter, not a bare index error") {
+    val e = intercept[IllegalArgumentException] {
+      ExprLang.condition("""IsMatch(text)""", R)
+    }
+    assert(e.getMessage.contains("IsMatch") && e.getMessage.contains("argument"),
+      s"got: ${e.getMessage}")
+  }
+
+  test("template string literal ending in an escaped backslash still terminates") {
+    // the old scanner's look-behind misread `\\"` as an escaped quote,
+    // left inStr stuck, and failed this well-formed template
+    val out = df.filter($"conv_id" === "c1")
+      .select(ExprLang.template("""pre EXPR(Concat(["a\\", role], "-")) post""", R).as("t"))
+      .as[String].collect().head
+    assert(out == """pre a\-user post""", s"got: $out")
+  }
+
   test("error_mode=ignore: condition evaluating to null does not match") {
     // Int("notanumber") is null under non-ANSI cast → condition false, no throw
     val safe = df.filter(ExprLang.condition("""Int(role) > 0""", R))
