@@ -197,7 +197,15 @@ object Curation {
     val reserved = Seq("_c", "_cum", "_cum_above", "_thr", "_quota", "_r")
     require(!df.columns.exists(reserved.contains),
       s"topNPerGroup: input must not carry internal columns $reserved")
-    val rows = df.filter(col(scoreCol).isNotNull)
+    // pin the scored manifest ONCE (r6): three consumers walk it (the
+    // histogram, the above-threshold branch, the boundary branch), and
+    // without the checkpoint each re-ran the caller's scoring
+    // projection over the corpus — 3× the per-row score cost (d28's
+    // qualityMetrics was the measured offender in the sibling
+    // function). Callers pass the narrow (group, score, id[, tokens])
+    // manifest per the scale contract, so the pinned blocks are
+    // manifest-sized, the cumBefore discipline.
+    val rows = df.filter(col(scoreCol).isNotNull).localCheckpoint(true)
     val hist = rows.groupBy(groupCol, scoreCol).agg(count(lit(1)).as("_c"))
     val wh = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col(scoreCol).desc)
@@ -254,7 +262,11 @@ object Curation {
     val reserved = Seq("_tc", "_cum", "_cum_above", "_thr", "_quota", "_cb")
     require(!df.columns.exists(reserved.contains),
       s"tokenBudgetPerGroup: input must not carry internal columns $reserved")
+    // pin the scored manifest ONCE — see [[topNPerGroup]] (r6): the
+    // histogram + two kept branches each re-ran the caller's scoring
+    // projection (d28: 3× qualityMetrics over the corpus, measured)
     val rows = df.filter(col(scoreCol).isNotNull && col(tokensCol).isNotNull)
+      .localCheckpoint(true)
     val hist = rows.groupBy(groupCol, scoreCol)
       .agg(sum(tokensCol).cast("bigint").as("_tc"))
     val wh = org.apache.spark.sql.expressions.Window
@@ -344,14 +356,20 @@ object Curation {
     * to pack in shuffled order. */
   def shuffleOrder(docs: DataFrame, idCol: String,
                    parts: Int = 32): DataFrame = {
-    // carry the input columns through: the documented composition
-    // (packSequences over the ranked frame) needs the text column, and
-    // a rank-only frame would force the caller into a re-join
-    val keyed = docs.withColumn("_k",
+    // rank over the NARROW manifest (id, knuth key) only — r6: the old
+    // shape pushed the FULL doc row (text included) through cumBefore's
+    // range shuffle and its eager pid-pinning localCheckpoint, and a
+    // rank-only consumer (d21) could not column-prune through the
+    // checkpoint, so the corpus text was shuffled and block-cached for
+    // nothing. Input columns still carry through (the documented
+    // packSequences composition) via an 8-byte-key equi-join; a
+    // rank-only consumer now prunes the join to id columns on both
+    // sides and the text never moves.
+    val keyed = docs.select(col(idCol)).withColumn("_k",
       graft.functions.ConsistentHash.knuthBucket(col(idCol), 1048573))
-    cumBefore(keyed, Seq(col("_k"), col(idCol)), lit(1L), parts)
-      .withColumn("shuffle_rank", col("_cum_before"))
-      .drop("_k", "_cum_before")
+    val ranks = cumBefore(keyed, Seq(col("_k"), col(idCol)), lit(1L), parts)
+      .select(col(idCol), col("_cum_before").as("shuffle_rank"))
+    docs.join(ranks, Seq(idCol))
   }
 
   /** Duplication-aware upsampling schedule (the "use each duplicate

@@ -143,27 +143,39 @@ object Dedup {
   def nearDupMinhashLsh(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // verify-join payload is the HASHED shingle set (8 bytes/shingle),
-    // not the n-gram strings — Jaccard over distinct hashes equals
-    // Jaccard over distinct shingles up to xxhash64 collisions (~2^-64
-    // per pair), and the candidate shuffle shrinks ~10× at 100 TB
-    val sh = df.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleSize).as("shh"))
-    val banded = sh
-      .withColumn("sig", minhashSignature(col("shh"), numHashes))
-      .select(col("id"), col("shh"),
-        posexplode(bandHashes(col("sig"), numHashes, bands)).as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("shh").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("shh").as("sh_b"))
-    a.join(b, Seq("band", "bh"))
+    // DECIDE with small rows, ATTACH the payload once (guide-§8 proxy
+    // discipline, r6): the banded self-join and the pair-dedup carry
+    // ONLY (band, bh, id) — 24 bytes/row. Round-5's shape shuffled each
+    // doc's full shingle-hash array through the ×bands explode on BOTH
+    // join sides and then pair-deduped with first(array) aggregates,
+    // which Spark can only run as SortAggregate: every candidate row
+    // (up to `bands` per pair) was sorted and exchanged twice with
+    // KB-sized array payloads. Candidates are orders below the corpus,
+    // so re-fetching their shingle sets by id (one broadcast-filtered
+    // re-scan; Jaccard over distinct hashes equals Jaccard over distinct
+    // shingles up to xxhash64 collisions, ~2^-64 per pair) replaces that
+    // array traffic with two candidate-sized equi-joins.
+    val banded = df
+      .select(col(idCol).as("id"),
+        bandHashes(minhashSignature(shingleHashes(col(textCol), shingleSize),
+          numHashes), numHashes, bands).as("_bhs"))
+      .select(col("id"), posexplode(col("_bhs")).as(Seq("band", "bh")))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       // dedupe multi-band hits BEFORE the verify: a true near-dup shares
-      // most of its `bands` buckets, so verifying per join row ran the
-      // exact-Jaccard set scan up to `bands`× per pair — and then
-      // shuffled every copy into the old post-filter groupBy anyway.
-      // Grouping first costs the same shuffle but verifies once per pair.
-      .groupBy("id_a", "id_b")
-      .agg(first("sh_a").as("sh_a"), first("sh_b").as("sh_b"))
+      // most of its `bands` buckets — 16-byte HashAggregate rows now
+      .select(col("id_a"), col("id_b")).distinct()
+    // candidate members (≪ corpus): broadcast-filter the re-scan so the
+    // corpus side never shuffles, then attach each side's shingle set
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val shHit = df.join(broadcast(candIds), col(idCol) === col("id"))
+      .select(col("id"), shingleHashes(col(textCol), shingleSize).as("shh"))
+    cand
+      .join(shHit.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
+      .join(shHit.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -206,21 +218,36 @@ object Dedup {
                            threshold: Double = 0.85): DataFrame = {
     require(idCol != benchIdCol,
       s"idCol and benchIdCol must differ (both '$idCol'): the output carries one column per side")
-    def banded(df: DataFrame, id: Column, idName: String, t: Column,
-               shName: String): DataFrame =
-      df.select(id.as(idName), shingleHashes(t, shingleSize).as(shName))
-        .withColumn("sig", minhashSignature(col(shName), numHashes))
-        .select(col(idName), col(shName),
-          posexplode(bandHashes(col("sig"), numHashes, bands))
-            .as(Seq("band", "bh")))
-    val corpus = banded(docs, col(idCol), "doc_id_c", col(textCol), "sh_d")
-    val bench = banded(benchmark, col(benchIdCol), "bench_id_c",
-      col(benchTextCol), "sh_b")
-    corpus.join(broadcast(bench), Seq("band", "bh"))
-      // a true near-dup shares most of its bands — dedup pair hits
-      // before the exact-Jaccard verify, same as the self-join path
-      .groupBy("doc_id_c", "bench_id_c")
-      .agg(first("sh_d").as("sh_d"), first("sh_b").as("sh_b"))
+    // DECIDE with small rows, ATTACH the payload once (guide-§8, r6 —
+    // the [[nearDupMinhashLsh]] restructure applied to the asymmetric
+    // join): the band join carries ONLY (band, bh, id) — round-5's
+    // shape rode each corpus doc's full shingle-hash array through the
+    // ×bands explode and pair-deduped with first(array) SortAggregates.
+    // Candidate hits (≈ contaminated docs, orders below the corpus)
+    // re-fetch their shingle sets via a broadcast-filtered re-scan; the
+    // corpus side still never shuffles.
+    def bandedIds(df: DataFrame, id: Column, idName: String,
+                  t: Column): DataFrame =
+      df.select(id.as(idName),
+          bandHashes(minhashSignature(shingleHashes(t, shingleSize),
+            numHashes), numHashes, bands).as("_bhs"))
+        .select(col(idName), posexplode(col("_bhs")).as(Seq("band", "bh")))
+    val corpus = bandedIds(docs, col(idCol), "doc_id_c", col(textCol))
+    val bench = bandedIds(benchmark, col(benchIdCol), "bench_id_c",
+      col(benchTextCol))
+    // a true near-dup shares most of its bands — dedup pair hits
+    // before the exact-Jaccard verify (16-byte HashAggregate rows)
+    val cand = corpus.join(broadcast(bench), Seq("band", "bh"))
+      .select(col("doc_id_c"), col("bench_id_c")).distinct()
+    val candDocIds = cand.select(col("doc_id_c")).distinct()
+    val corpusSh = docs.join(broadcast(candDocIds),
+        col(idCol) === col("doc_id_c"))
+      .select(col("doc_id_c"),
+        shingleHashes(col(textCol), shingleSize).as("sh_d"))
+    val benchSh = benchmark.select(col(benchIdCol).as("bench_id_c"),
+      shingleHashes(col(benchTextCol), shingleSize).as("sh_b"))
+    cand.join(corpusSh, Seq("doc_id_c"))
+      .join(broadcast(benchSh), Seq("bench_id_c"))
       .select(col("doc_id_c").as(idCol), col("bench_id_c").as(benchIdCol),
         jaccard(col("sh_d"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
