@@ -283,7 +283,6 @@ object TextAnalysis {
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " "))).as("gram"))
-    val key = if (hashed) xxhash64(col("gram")) else col("gram")
     // two-phase instead of count_distinct: a single-pass
     // `count_distinct(id) + count(*)` makes Catalyst EXPAND the
     // exploded gram stream ×2 (one copy per aggregate group) before the
@@ -296,12 +295,27 @@ object TextAnalysis {
     // `count(idCol)` — null-skipping, so a null-id group contributes
     // its uses but no document, exactly the single-pass
     // `count_distinct(idCol)` null semantics this rewrite replaced.
-    grams.groupBy(key.as("k"), col(idCol))
-      .agg(min(col("gram")).as("gram"), count(lit(1)).as("uses"))
-      .groupBy(col("k"))
-      .agg(min(col("gram")).as("gram"),
-        count(col(idCol)).as("n_docs"),
-        sum(col("uses")).as("n_uses"))
+    //
+    // r6: the display gram rides the GROUP KEY, not a `min(gram)`
+    // payload — a string-buffer aggregate is not hash-aggregable, so
+    // both phases ran as SortAggregate and the exploded gram stream was
+    // SORTED three times (measured: the dominant d43 cost; a
+    // re-attach-by-second-pass variant re-paid the gram explode and
+    // measured slower). Group keys may be strings under HashAggregate,
+    // and map-side combine collapses to per-partition distinct grams
+    // either way, so the shuffle byte profile matches the old payload
+    // rendering while every sort disappears. With `hashed=true` the
+    // 8-byte key leads the grouping; a 64-bit key collision now keeps
+    // the colliding grams as separate rows instead of silently merging
+    // them under one min() representative — the strictly more faithful
+    // reading of "grams recurring in ≥ minDocs docs".
+    val keyCols = if (hashed) Seq(xxhash64(col("gram")).as("k"), col("gram"))
+                  else Seq(col("gram"))
+    val phase2Keys = if (hashed) Seq(col("k"), col("gram")) else Seq(col("gram"))
+    grams.groupBy((keyCols :+ col(idCol)): _*)
+      .agg(count(lit(1)).as("uses"))
+      .groupBy(phase2Keys: _*)
+      .agg(count(col(idCol)).as("n_docs"), sum(col("uses")).as("n_uses"))
       .filter(col("n_docs") >= minDocs)
       .select("gram", "n_docs", "n_uses")
   }

@@ -38,25 +38,37 @@ object Parsers {
     * (year-less RFC3164 stamps need a reference year, as in the
     * reference's time sub-parser). */
   private val Syslog3164 =
-    "^<(\\d{1,3})>([A-Z][a-z]{2} [ \\d]\\d \\d{2}:\\d{2}:\\d{2}) (\\S+) ([^:\\[ ]+)(?:\\[(\\d+)\\])?: (.*)$"
+    "^<(?<pri>\\d{1,3})>(?<stamp>[A-Z][a-z]{2} [ \\d]\\d \\d{2}:\\d{2}:\\d{2}) " +
+    "(?<host>\\S+) (?<tag>[^:\\[ ]+)(?:\\[(?<pid>\\d+)\\])?: (?<msg>.*)$"
 
+  /** ONE regex pass per row (r6): the per-field `regexp_extract`
+    * rendering ran the same compiled pattern 8× per row; this routes
+    * through [[graft.functions.MultiPatternExtract]] (the parse-bank
+    * expression — codegen subexpression elimination keeps the single
+    * projection at one evaluation) and unpacks the group map.
+    * `regexp_extract` semantics preserved exactly: "" for a
+    * non-matching line or a non-participating optional group
+    * (coalesce over the map's nulls), null ints on non-match (the
+    * map lookup is null there, so the ANSI-safe cast sees null —
+    * the nullif guard the old rendering needed). */
   def parseSyslog3164(c: Column): Column = {
-    // nullif before the int cast: regexp_extract returns "" on a
-    // non-matching line, and CAST('' AS INT) is an error under Spark 4's
-    // default ANSI mode — a single malformed line would kill the whole
-    // query instead of yielding null fields (the stanza on_error
-    // contract). On matching lines PRI is \d{1,3}, never empty, so
-    // matched-row semantics (and the DuckDB oracles) are unchanged.
-    val pri = nullif(regexp_extract(c, Syslog3164, 1), lit("")).cast("int")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val m = Bridge.column(graft.functions.MultiPatternExtract(
+      Bridge.expression(c),
+      Seq(graft.model.PipelineConfig.PatternSpec("syslog3164", Syslog3164,
+        Seq("pri", "stamp", "host", "tag", "pid", "msg")))))
+      .getField("fields")
+    def s(k: String) = coalesce(m.getItem(k), lit(""))
+    val pri = m.getItem("pri").cast("int")
     struct(
       pri.as("priority"),
       (pri / 8).cast("int").as("facility"),
       pmod(pri, lit(8)).cast("int").as("severity"),
-      regexp_extract(c, Syslog3164, 2).as("stamp"),
-      regexp_extract(c, Syslog3164, 3).as("host"),
-      regexp_extract(c, Syslog3164, 4).as("tag"),
-      regexp_extract(c, Syslog3164, 5).as("pid"),
-      regexp_extract(c, Syslog3164, 6).as("msg"))
+      s("stamp").as("stamp"),
+      s("host").as("host"),
+      s("tag").as("tag"),
+      s("pid").as("pid"),
+      s("msg").as("msg"))
   }
 
   /** RFC5424 syslog parse (`parser/syslog/parser.go:152` RFC5424 branch):
@@ -69,25 +81,32 @@ object Parsers {
     * can — a greedy `\[.*\]` would swallow message text up to the LAST
     * `]` whenever the MSG itself contains one. */
   private val Syslog5424 =
-    "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) " +
-    "(-|(?:\\[[^\\]\"]*(?:\"[^\"]*\"[^\\]\"]*)*\\])+)(?: (.*))?$"
+    "^<(?<pri>\\d{1,3})>(?<ver>\\d+) (?<stamp>\\S+) (?<host>\\S+) (?<app>\\S+) " +
+    "(?<pid>\\S+) (?<msgid>\\S+) " +
+    "(?<sd>-|(?:\\[[^\\]\"]*(?:\"[^\"]*\"[^\\]\"]*)*\\])+)(?: (?<msg>.*))?$"
 
+  /** ONE regex pass per row — see [[parseSyslog3164]] (r6: was 10×). */
   def parseSyslog5424(c: Column): Column = {
-    // nullif before int casts: see parseSyslog3164 (ANSI-safe on
-    // non-matching lines; matched-row semantics unchanged)
-    val pri = nullif(regexp_extract(c, Syslog5424, 1), lit("")).cast("int")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val m = Bridge.column(graft.functions.MultiPatternExtract(
+      Bridge.expression(c),
+      Seq(graft.model.PipelineConfig.PatternSpec("syslog5424", Syslog5424,
+        Seq("pri", "ver", "stamp", "host", "app", "pid", "msgid", "sd", "msg")))))
+      .getField("fields")
+    def s(k: String) = coalesce(m.getItem(k), lit(""))
+    val pri = m.getItem("pri").cast("int")
     struct(
       pri.as("priority"),
       (pri / 8).cast("int").as("facility"),
       pmod(pri, lit(8)).cast("int").as("severity"),
-      nullif(regexp_extract(c, Syslog5424, 2), lit("")).cast("int").as("version"),
-      regexp_extract(c, Syslog5424, 3).as("stamp"),
-      regexp_extract(c, Syslog5424, 4).as("host"),
-      regexp_extract(c, Syslog5424, 5).as("app"),
-      regexp_extract(c, Syslog5424, 6).as("pid"),
-      regexp_extract(c, Syslog5424, 7).as("msgid"),
-      regexp_extract(c, Syslog5424, 8).as("sd"),
-      regexp_extract(c, Syslog5424, 9).as("msg"))
+      m.getItem("ver").cast("int").as("version"),
+      s("stamp").as("stamp"),
+      s("host").as("host"),
+      s("app").as("app"),
+      s("pid").as("pid"),
+      s("msgid").as("msgid"),
+      s("sd").as("sd"),
+      s("msg").as("msg"))
   }
 
   /** scope parser (`parser/scope/parser.go:20`): set scope from a field. */
