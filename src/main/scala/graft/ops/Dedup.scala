@@ -158,24 +158,49 @@ object Dedup {
     val banded = df
       .select(col(idCol).as("id"),
         bandHashes(minhashSignature(shingleHashes(col(textCol), shingleSize),
-          numHashes), numHashes, bands).as("_bhs"))
-      .select(col("id"), posexplode(col("_bhs")).as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
+          numHashes), numHashes, bands).as("bhs"))
+      .select(col("id"), col("bhs"), posexplode(col("bhs")).as(Seq("band", "bh")))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"),
+      col("bhs").as("bhs_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"),
+      col("bhs").as("bhs_b"))
+    // multi-band dedup WITHOUT an aggregate: a true near-dup shares most
+    // of its `bands` buckets (up to `bands` join rows per pair), and the
+    // round-5 groupBy(id_a, id_b) collapse was the dominant scale-point
+    // cost (a corpus-scale exchange+aggregate over every candidate row).
+    // Instead each join row keeps itself iff ITS band is the pair's
+    // first shared band — a fused codegen filter inside the join stage
+    // ([[graft.functions.FirstSharedBand]] over the fixed-width band
+    // arrays both sides already carry), so exactly one row per pair
+    // survives and nothing aggregates.
+    import org.apache.spark.sql.graftbridge.Bridge
+    val firstShared = Bridge.column(graft.functions.FirstSharedBand(
+      Bridge.expression(col("bhs_a")), Bridge.expression(col("bhs_b"))))
     val cand = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      // dedupe multi-band hits BEFORE the verify: a true near-dup shares
-      // most of its `bands` buckets — 16-byte HashAggregate rows now
-      .select(col("id_a"), col("id_b")).distinct()
+      .filter(firstShared === col("band"))
+      .select(col("id_a"), col("id_b"))
     // candidate members (≪ corpus): broadcast-filter the re-scan so the
     // corpus side never shuffles, then attach each side's shingle set
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
     val shHit = df.join(broadcast(candIds), col(idCol) === col("id"))
       .select(col("id"), shingleHashes(col(textCol), shingleSize).as("shh"))
+    // broadcast BOTH attach joins: the candidate-pair stream can be far
+    // larger than the member set (the pathological self-similar corpus:
+    // 17M pairs over 50k docs), and a sort-merge attach would push the
+    // pair stream WITH its first attached array through the second
+    // join's sort — measured 27 GB of sort traffic at the 10× scale
+    // point. As broadcasts, both attaches and the Jaccard verify fuse
+    // into one codegen pass over the pair stream; the member set is
+    // bounded by the docs that share any bucket, which a near-dup
+    // workload keeps orders below the corpus (and the broadcast is of
+    // hashed shingle sets, not documents).
     cand
-      .join(shHit.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
-      .join(shHit.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
+      .join(broadcast(shHit.select(col("id").as("id_a"), col("shh").as("sh_a"))),
+        Seq("id_a"))
+      .join(broadcast(shHit.select(col("id").as("id_b"), col("shh").as("sh_b"))),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -236,7 +261,12 @@ object Dedup {
     val bench = bandedIds(benchmark, col(benchIdCol), "bench_id_c",
       col(benchTextCol))
     // a true near-dup shares most of its bands — dedup pair hits
-    // before the exact-Jaccard verify (16-byte HashAggregate rows)
+    // before the exact-Jaccard verify (16-byte HashAggregate rows; the
+    // distinct's exchange doubles as the reuse boundary that keeps the
+    // corpus-side minhash pass at ONE execution across the two
+    // consumers below — measured faster here than the in-join-stage
+    // FirstSharedBand dedup the self-join path uses, whose exchange-free
+    // pair stream had to be pinned or recomputed per consumer)
     val cand = corpus.join(broadcast(bench), Seq("band", "bh"))
       .select(col("doc_id_c"), col("bench_id_c")).distinct()
     val candDocIds = cand.select(col("doc_id_c")).distinct()
