@@ -122,6 +122,16 @@ case class JaccardSim(left: Expression, right: Expression)
     // every empty doc with every other; and the HOF oracle's Divide
     // throws DIVIDE_BY_ZERO under ANSI. Both renderings guard this.
     if (na + nb == 0) return 0.0
+    // sorted-merge fast path (r6): the LSH verify paths pre-sort their
+    // hashed shingle arrays ONCE PER DOC (sort_array upstream), so the
+    // per-PAIR intersection runs as an unboxed long merge instead of
+    // building two boxed HashSets per candidate — at the 10× scale
+    // point that is 17M pairs × ~300-element sets of avoided boxing.
+    // Result is bit-identical (same distinct-intersection count, same
+    // raw-size denominator, same IEEE division); the O(n) sortedness
+    // probe is noise next to the hash-set build it replaces.
+    if (!isString && isSortedNoNullLongs(a, na) && isSortedNoNullLongs(b, nb))
+      return mergeJaccardSorted(a, na, b, nb)
     val setA = new java.util.HashSet[AnyRef](na * 2)
     var i = 0
     while (i < na) { setA.add(elem(a, i)); i += 1 }
@@ -134,6 +144,40 @@ case class JaccardSim(left: Expression, right: Expression)
     }
     val inter = matched.size.toDouble
     inter / (na + nb - inter)
+  }
+
+  private def isSortedNoNullLongs(x: ArrayData, n: Int): Boolean = {
+    var i = 0
+    var prev = Long.MinValue
+    while (i < n) {
+      if (x.isNullAt(i)) return false
+      val v = x.getLong(i)
+      if (v < prev) return false
+      prev = v
+      i += 1
+    }
+    true
+  }
+
+  /** Distinct-count merge intersection over sorted long arrays; duplicate
+    * runs collapse so the count matches the hash-set rendering exactly. */
+  private def mergeJaccardSorted(a: ArrayData, na: Int,
+                                 b: ArrayData, nb: Int): Double = {
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va < vb) i += 1
+      else if (vb < va) j += 1
+      else {
+        inter += 1
+        while (i < na && a.getLong(i) == va) i += 1
+        while (j < nb && b.getLong(j) == va) j += 1
+      }
+    }
+    inter.toDouble / (na + nb - inter)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =

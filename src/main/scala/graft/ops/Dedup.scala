@@ -185,7 +185,10 @@ object Dedup {
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
     val shHit = df.join(broadcast(candIds), col(idCol) === col("id"))
-      .select(col("id"), shingleHashes(col(textCol), shingleSize).as("shh"))
+      .select(col("id"),
+        // sorted ONCE per doc so the per-pair verify takes JaccardSim's
+        // unboxed merge fast path (set semantics: value unchanged)
+        sort_array(shingleHashes(col(textCol), shingleSize)).as("shh"))
     // broadcast BOTH attach joins: the candidate-pair stream can be far
     // larger than the member set (the pathological self-similar corpus:
     // 17M pairs over 50k docs), and a sort-merge attach would push the
@@ -273,9 +276,11 @@ object Dedup {
     val corpusSh = docs.join(broadcast(candDocIds),
         col(idCol) === col("doc_id_c"))
       .select(col("doc_id_c"),
-        shingleHashes(col(textCol), shingleSize).as("sh_d"))
+        // sorted once per doc -> JaccardSim merge fast path (see
+        // nearDupMinhashLsh; set semantics, value unchanged)
+        sort_array(shingleHashes(col(textCol), shingleSize)).as("sh_d"))
     val benchSh = benchmark.select(col(benchIdCol).as("bench_id_c"),
-      shingleHashes(col(benchTextCol), shingleSize).as("sh_b"))
+      sort_array(shingleHashes(col(benchTextCol), shingleSize)).as("sh_b"))
     cand.join(corpusSh, Seq("doc_id_c"))
       .join(broadcast(benchSh), Seq("bench_id_c"))
       .select(col("doc_id_c").as(idCol), col("bench_id_c").as(benchIdCol),
@@ -529,9 +534,15 @@ object Dedup {
     */
   def dedupGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxRounds: Int = 12, strict: Boolean = true): DataFrame = {
+    // hash-partition the (fixed) edge set by the join key ONCE — the
+    // checkpointed frame keeps its outputPartitioning, so every round's
+    // label join exchanges only the (small) label frame instead of
+    // re-shuffling the full symmetric edge list per round (r6: one
+    // setup shuffle buys one saved 2·|pairs|-row exchange per round)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("group", col("id"))
