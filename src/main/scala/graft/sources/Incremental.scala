@@ -94,19 +94,30 @@ object Incremental {
     p.replace("%0A", "\n").replace("%25", "%")
 
   /** Read just the not-yet-committed files of a parquet table (empty
-    * DataFrame with the table's schema when nothing is new). */
-  def readNew(spark: SparkSession, tablePath: String, ckptDir: String): (DataFrame, Plan) = {
+    * DataFrame with the table's schema when nothing is new).
+    *
+    * `fallbackSchema` is the shape of the empty frame when the table
+    * directory does not exist yet (consumer-before-producer): schema
+    * inference has nothing to read there, so the promised
+    * "empty DataFrame with the table's schema" contract can only be
+    * honored by the caller naming the schema. Defaults to the
+    * transcript input_hint shape (the StreamingJob discipline) — a
+    * non-transcript table's consumer passes its own (r6, ADVICE r5:
+    * the hard-coded transcript fallback silently mis-shaped generic
+    * tables' empty frames). */
+  def readNew(spark: SparkSession, tablePath: String, ckptDir: String,
+              fallbackSchema: org.apache.spark.sql.types.StructType =
+                Transcripts.transcriptSchema): (DataFrame, Plan) = {
     val p = plan(spark, tablePath, ckptDir)
     val df =
       if (p.isEmpty)
         // a table dir that is missing or has no data files yet makes
         // schema inference throw — the consumer-before-producer case
-        // must yield the promised empty frame, in the input_hint shape
-        // (the StreamingJob empty-dir discipline)
+        // must yield the promised empty frame, in the caller's shape
         try spark.read.parquet(tablePath).limit(0)
         catch { case _: org.apache.spark.sql.AnalysisException =>
           spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            Transcripts.transcriptSchema) }
+            fallbackSchema) }
       // basePath: reading explicit leaf files of a PARTITIONED table
       // (route=X/part-N.parquet) must keep the partition columns the
       // empty-plan branch's whole-table read carries — without it the
