@@ -108,6 +108,67 @@ class PlanSpec extends SparkSpec {
       s"no partial aggregate before shuffle:\n${aggLines.mkString("\n")}")
   }
 
+  // ---- r6 optimization gates: the SortAggregate/regexp-multiplicity
+  // regressions these guard were each measured as the dominant cost of
+  // their query before the r6 restructures (OPTIMIZATION_r06.md) ----
+
+  private lazy val docsDf = {
+    import spark.implicits._
+    (1L to 60L).map(i => (i, s"tok${i % 7} alpha beta gamma tok${i % 5} delta"))
+      .toDF("doc_id", "text")
+  }
+
+  test("r6: LSH near-dup pair path has no sort-based aggregate (first-shared-band dedup)") {
+    val pairs = graft.ops.Dedup.nearDupMinhashLsh(docsDf, "doc_id", "text",
+      numHashes = 16, bands = 4, shingleSize = 1, threshold = 0.5)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"),
+      s"pair dedup fell back to a sort-based aggregate:\n$plan")
+    assert(plan.contains("first_shared_band"),
+      s"in-join-stage pair dedup missing:\n$plan")
+  }
+
+  test("r6: contamination pair dedup is hash-based (no array-buffer aggregate)") {
+    val pairs = graft.ops.Dedup.contaminationNearDup(docsDf, "doc_id", "text",
+      docsDf.select(col("doc_id").as("bench_id"), col("text")), "bench_id",
+      "text", numHashes = 16, bands = 4, shingleSize = 1, threshold = 0.5)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"),
+      s"contamination pair dedup fell back to a sort-based aggregate:\n$plan")
+  }
+
+  test("r6: frequentNgrams counting phases are hash aggregates") {
+    val plan = graft.ops.TextAnalysis
+      .frequentNgrams(docsDf, "doc_id", "text", n = 2, minDocs = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"),
+      s"gram counting fell back to a sort-based aggregate:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash aggregate found:\n$plan")
+  }
+
+  test("r6: syslog parsers carry zero regexp_extract (one bank pass per row)") {
+    import spark.implicits._
+    val lines = Seq("<13>Oct 11 22:14:15 host app[1]: msg").toDF("line")
+    val p3164 = lines.select(graft.parse.Parsers.parseSyslog3164(col("line")).as("p"))
+      .select("p.priority", "p.msg")
+    assert(!p3164.queryExecution.optimizedPlan.toString.contains("regexp_extract"),
+      "RFC3164 re-grew per-field regexp_extract calls")
+    val p5424 = lines.select(graft.parse.Parsers.parseSyslog5424(col("line")).as("p"))
+      .select("p.priority", "p.msg")
+    assert(!p5424.queryExecution.optimizedPlan.toString.contains("regexp_extract"),
+      "RFC5424 re-grew per-field regexp_extract calls")
+  }
+
+  test("r6: rank-only shuffleOrder consumer never moves the text column") {
+    val q = graft.ops.Curation.shuffleOrder(docsDf, "doc_id")
+      .select("doc_id", "shuffle_rank")
+    // the ranked side is computed from the narrow (id, key) manifest and
+    // the doc side prunes to ids — text must appear nowhere in the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("text#"),
+      s"text column leaked into the rank-only plan:\n$plan")
+  }
+
   test("servicegraph full-outer TTL join keys on (conv_id, corr_id), no nested loop") {
     // the TTL range predicate must ride as a join FILTER on an
     // equality-keyed join — a planner that only saw the range would
