@@ -87,7 +87,14 @@ object Incremental {
 
   // a legal POSIX/HDFS file name may contain '\n' (and '%'): the
   // manifest is newline-separated, so an unescaped path would split
-  // into bogus entries that never match and re-ingest forever
+  // into bogus entries that never match and re-ingest forever.
+  // MIGRATION NOTE (ADVICE r5): manifests written BEFORE escaping was
+  // introduced store paths containing '%' unescaped; on upgrade those
+  // entries no longer match their re-escaped fingerprints (and the
+  // prune drops them), so such files re-ingest ONCE — the at-least-once
+  // side of the contract, absorbed by the idempotent sink like any
+  // crash replay. Paths without '%' (the overwhelming case) are
+  // byte-identical under escaping and unaffected.
   private def escapePath(p: String): String =
     p.replace("%", "%25").replace("\n", "%0A")
   private def unescapePath(p: String): String =

@@ -280,6 +280,14 @@ object StreamingPipeline {
     * streaming analog of `transformer/recombine/transformer.go:95-227`
     * (max_batch_size ≙ maxTurns flush, force-flush timeout ≙ state
     * timeout).
+    *
+    * CHECKPOINT COMPATIBILITY (ADVICE r5): the round-5 null-row
+    * tolerance changed this operator's state encoding
+    * (`Vector[Turn]` → `(Vector[Turn], Long)`), and cumulativeToDelta's
+    * changed likewise (`(Double, Long)` → `(Option[Double], Long)`) — a
+    * query restarted from a PRE-change streaming checkpoint fails state
+    * deserialization. Pre-release this is acceptable; operators must
+    * start fresh checkpoints when upgrading across that boundary.
     */
   def recombine(turns: Dataset[Turn], lateness: String, gapMs: Long,
                 maxTurns: Int = 10000): Dataset[ConvSession] = {
