@@ -102,8 +102,19 @@ object Dedup {
 
   /** Banded LSH keys: split the signature into `bands` bands of
     * `numHashes/bands` rows and hash each band. Docs sharing ANY
-    * (band_idx, band_hash) become near-dup candidates. */
+    * (band_idx, band_hash) become near-dup candidates. One codegen
+    * pass ([[graft.functions.BandHashes]], r6); the HOF rendering below
+    * is the differential oracle. */
   def bandHashes(sigCol: Column, numHashes: Int, bands: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.BandHashes(
+      Bridge.expression(sigCol), numHashes, bands))
+  }
+
+  /** Interpreted-HOF rendering of [[bandHashes]] (differential oracle —
+    * bit-identical on non-null signatures): `bands` interpreted lambda
+    * evals per row, each slicing a copy of the signature. */
+  def bandHashesHof(sigCol: Column, numHashes: Int, bands: Int): Column = {
     val r = numHashes / bands
     require(bands * r == numHashes, s"bands=$bands must divide numHashes=$numHashes")
     transform(sequence(lit(0), lit(bands - 1)), b =>

@@ -280,9 +280,14 @@ object TextAnalysis {
     val toks = split(col(textCol), " ")
     val grams = docs
       .filter(col(textCol).isNotNull && size(toks) >= n)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " "))).as("gram"))
+      // all n-grams in document order via the one-pass codegen
+      // expression (r6): the transform/sequence/slice/array_join HOF
+      // rendering evaluated interpreted lambdas per gram — same
+      // pathology and fix as the shingle paths; the ≥n filter above
+      // keeps ShingleArray's short-doc degenerate shingle unreachable,
+      // so the gram sets are identical
+      .select(col(idCol),
+        explode(graft.ops.Dedup.shinglesAll(col(textCol), n)).as("gram"))
     // two-phase instead of count_distinct: a single-pass
     // `count_distinct(id) + count(*)` makes Catalyst EXPAND the
     // exploded gram stream ×2 (one copy per aggregate group) before the

@@ -144,6 +144,22 @@ class DedupSpec extends SparkSpec {
     assert((0 until 5).map(i => (500L + i, i.toLong)).toSet.subsetOf(deletes))
   }
 
+  test("band-hash codegen expression is bit-identical to the HOF rendering") {
+    val sig = corpus.select(Dedup.minhashSignature(
+      Dedup.shingleHashes(col("text"), 1), 64).as("sig"))
+    val diff = sig.select(
+      Dedup.bandHashes(col("sig"), 64, 16).as("fast"),
+      Dedup.bandHashesHof(col("sig"), 64, 16).as("slow"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(diff.nonEmpty && diff.forall { case (f, h) => f == h })
+    // uneven band count divisor variant
+    val diff2 = sig.select(
+      Dedup.bandHashes(col("sig"), 64, 8).as("fast"),
+      Dedup.bandHashesHof(col("sig"), 64, 8).as("slow"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(diff2.forall { case (f, h) => f == h })
+  }
+
   test("minhash codegen expression is bit-identical to the HOF rendering") {
     val sh = corpus.select(Dedup.shingles(col("text"), 3).as("sh"))
     val diff = sh.select(
