@@ -654,29 +654,36 @@ object TextAnalysis {
   def bigramLmScore(df: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
     val docs = df.filter(col(textCol).isNotNull)
-      .select(col(idCol), split(col(textCol), " ").as("_toks"))
-    // sequence(0, size-2) needs size ≥ 2: sequence(0, -1) would emit
-    // [0, -1] (Spark picks step -1 when start > stop), not empty
-    val big = docs.filter(size(col("_toks")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(0, size(_toks) - 2)," +
-          " i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))")).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .select(col(idCol), col(textCol))
+    // bigrams as "w1 w2" gram STRINGS via the one-pass codegen shingle
+    // expression (r6): the transform(sequence, i -> struct(toks[i],
+    // toks[i+1])) rendering evaluated interpreted lambdas per bigram,
+    // twice (count pass + scoring pass). Tokens are space-split, so
+    // gram ↔ (w1, w2) is a bijection and grouping/joining on the gram
+    // is identical to grouping/joining on the pair; w1 recovers as
+    // substring_index(gram, ' ', 1) for the context totals. The ≥2
+    // token filter keeps ShingleArray's short-doc degenerate shingle
+    // unreachable.
+    val big = docs.filter(size(split(col(textCol), " ")) >= 2)
+      .select(col(idCol),
+        explode(graft.ops.Dedup.shinglesAll(col(textCol), 2)).as("bg"))
+    val c12 = big.groupBy("bg").agg(count(lit(1)).as("c12"))
     // context totals C(w1→·) reduce the bigram frame — the sum over
     // observed followers, NOT the unigram count (the last token of each
     // doc opens no bigram); V is the full unigram vocabulary, the
     // add-one denominator mass
-    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-    val vocab = docs.select(explode(col("_toks")).as("tok"))
+    val c1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c12").as("c1"))
+    val vocab = docs.select(explode(split(col(textCol), " ")).as("tok"))
       .agg(count_distinct(col("tok")).cast("double").as("_v"))
-    val model = c12.join(broadcast(c1), Seq("w1"))
+    val model = c12.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(broadcast(c1), Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("w1"), col("w2"),
+      .select(col("bg"),
         floor(lit(1e6) * log((col("c12") + lit(1L)).cast("double") /
           (col("c1").cast("double") + col("_v"))))
           .cast("bigint").as("s_micro"))
-    big.join(broadcast(model), Seq("w1", "w2"))
+    big.join(broadcast(model), Seq("bg"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), sum("s_micro").as("logprob_micro"))
   }
