@@ -400,7 +400,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .groupBy("id_a", "id_b").agg(first("cosine").as("cosine"))
+    // no pair-dedup aggregate (r6): each vector carries exactly ONE
+    // bucket (no multi-probe explode on either side), so a pair joins
+    // at most once — the old groupBy(id_a, id_b).agg(first(cosine))
+    // was a no-op dedup costing a full exchange of the pair stream
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
