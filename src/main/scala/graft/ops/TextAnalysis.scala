@@ -439,9 +439,18 @@ object TextAnalysis {
         xxhash64(col(roleCol), col("tmpl")))
       else when(nonNull,
         concat(col(roleCol), lit("\u0000"), col("tmpl")))
+    // pin the narrow (conv, key) manifest ONCE (r6): three consumers
+    // walk it (the template aggregate, the per-conversation audit, and
+    // the corpus conversation count), and without the checkpoint each
+    // replayed the upstream — for transcript inputs that is the full
+    // events window + digit normalization per pass. Only the 8-byte key
+    // and the conversation id are pinned; templates and turn bodies
+    // drop before the checkpoint.
     val tt = turns.select(col(convCol), col(roleCol), tmpl.as("tmpl"))
       .withColumn("k", key)
-    val nConvs = turns.select(col(convCol)).distinct()
+      .select(col(convCol), col("k"))
+      .localCheckpoint(true)
+    val nConvs = tt.select(col(convCol)).distinct()
       .agg(count(lit(1)).as("_n_convs"))
     val boiler = tt.groupBy(col("k"))
       .agg(count_distinct(col(convCol)).as("nc"))
